@@ -1,0 +1,221 @@
+"""URL canonicalization — RFC 3986 normalize + the reference's semantics.
+
+Behavioral parity targets (all in /root/reference/):
+- href normalization: entity decode, space escaping, quote/tab trimming
+  (src/engine/found_url.rs:122-163)
+- validity: drop ``#frag``, non-http schemes ``^[a-z]+:[a-z0-9]``,
+  ``file://`` (src/engine/found_urls.rs:13,71-83); requestable check
+  rejects ``{``, ``<``, ``&#`` (src/utils.rs:607-633)
+- absolutization: RFC 3986 join against the source page URL, fragment
+  stripped after join (src/engine/crawler.rs:1130-1143)
+- query filtering: ``--remove-query-params`` strips all;
+  ``--keep-query-param`` allowlist preserving order, empty names dropped
+  (src/engine/crawler.rs:1146-1156, 1882-1902)
+- canonical rendering: lowercase scheme+host, default port 80/443 elided
+  (src/engine/parsed_url.rs:133-187)
+- basename (non-200 guard key): last path segment, trailing ``/``
+  trimmed; query appended when the query contains ``/`` or ``%2F``
+  (src/engine/parsed_url.rs:465-482)
+
+These are per-row Python functions applied inside ``map_batches``; the
+regexes are module-level compiled once per worker process.  Hashing the
+resulting canonical URLs (the actual partition keys) is fully vectorized
+in :mod:`.hashing`.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin, urlsplit
+
+import numpy as np
+
+NON_HTTP_SCHEME_RE = re.compile(r"^[a-z]+:[a-z0-9]", re.I)
+HTTP_URL_RE = re.compile(r"^https?://", re.I)
+HAS_SCHEME_RE = re.compile(r"^[a-zA-Z0-9]+:")
+IS_HTTP_RE = re.compile(r"^https?:/", re.I)
+DOMAIN_2ND_LEVEL_RE = re.compile(r"([^.]+\.[^.]+)$")
+
+DEFAULT_MAX_URL_LENGTH = 2083  # reference default — README.md:569-573
+
+# extensions the reference treats as static assets (parsed_url.rs is_static_file)
+STATIC_EXTENSIONS = {
+    "css", "js", "mjs", "json", "png", "jpg", "jpeg", "gif", "webp", "avif",
+    "svg", "ico", "bmp", "tif", "tiff", "woff", "woff2", "ttf", "otf", "eot",
+    "mp3", "ogg", "wav", "aac", "flac", "mp4", "webm", "avi", "mov", "mkv",
+    "pdf", "doc", "docx", "xls", "xlsx", "ppt", "pptx", "zip", "gz", "rar",
+    "7z", "tar", "txt", "xml",
+}
+
+
+def normalize_href(href: str) -> str:
+    """found_url.rs:122-163 (minus the same-host prefix strip, which only
+    affects display form — canonical output here is always absolute)."""
+    s = (
+        href.replace("&#38;", "&")
+        .replace("&amp;", "&")
+        .replace("\\ ", "%20")
+        .replace(" ", "%20")
+    )
+    s = s.lstrip("\"'\t ")
+    return s.rstrip("&\"'\t ")
+
+
+def is_valid_for_crawling(href: str) -> bool:
+    """found_urls.rs:71-83."""
+    u = href.strip()
+    if not u or u.startswith("#"):
+        return False
+    if NON_HTTP_SCHEME_RE.match(u):
+        return False
+    if u.lower().startswith("file://"):
+        return False
+    return True
+
+
+def is_requestable_resource(href: str) -> bool:
+    """utils.rs:607-633 — applied to raw hrefs before normalization."""
+    if href.startswith("#") or "{" in href or "<" in href or "&#" in href:
+        return False
+    if HAS_SCHEME_RE.match(href) and not IS_HTTP_RE.match(href):
+        return False
+    return True
+
+
+def filter_query_params(url: str, keep_params: tuple[str, ...]) -> str:
+    """crawler.rs:1882-1902 — allowlist, order preserved, empty names dropped."""
+    q_pos = url.find("?")
+    if q_pos < 0:
+        return url
+    base, query = url[:q_pos], url[q_pos + 1 :]
+    kept = [p for p in query.split("&") if (n := p.split("=", 1)[0]) and n in keep_params]
+    return base + ("?" + "&".join(kept) if kept else "")
+
+
+def render_canonical(url: str) -> str | None:
+    """Canonical absolute form: lowercase scheme+host, default port elided,
+    no fragment (parsed_url.rs:133-187 + crawler.rs:1139-1143)."""
+    try:
+        sp = urlsplit(url)
+    except ValueError:
+        return None
+    if sp.scheme not in ("http", "https") or not sp.hostname:
+        return None
+    host = sp.hostname
+    port = sp.port
+    if port == 80 and sp.scheme == "http" or port == 443 and sp.scheme == "https":
+        port = None
+    netloc = host if port is None else f"{host}:{port}"
+    path = sp.path or "/"
+    return f"{sp.scheme}://{netloc}{path}" + (f"?{sp.query}" if sp.query else "")
+
+
+def canonicalize(
+    href: str,
+    base_url: str,
+    *,
+    remove_query_params: bool = False,
+    keep_query_params: tuple[str, ...] = (),
+) -> str | None:
+    """Full candidate-URL gauntlet: normalize → validity → join → fragment
+    strip → query filter → canonical render.  Returns None for dropped URLs.
+    Mirrors crawler.rs:1018-1187 ordering of the transformations."""
+    s = normalize_href(href)
+    if not is_valid_for_crawling(s):
+        return None
+    try:
+        absolute = urljoin(base_url, s)
+    except ValueError:
+        return None
+    if not absolute:
+        return None
+    hash_pos = absolute.find("#")
+    if hash_pos >= 0:
+        absolute = absolute[:hash_pos]
+    if remove_query_params:
+        q = absolute.find("?")
+        if q >= 0:
+            absolute = absolute[:q]
+    elif keep_query_params:
+        absolute = filter_query_params(absolute, keep_query_params)
+    return render_canonical(absolute)
+
+
+def canonicalize_many(
+    hrefs,
+    bases,
+    *,
+    remove_query_params: bool = False,
+    keep_query_params: tuple[str, ...] = (),
+) -> np.ndarray:
+    """Row-wise canonicalize over aligned href/base columns → object array
+    (None where dropped).  Called inside map_batches."""
+    out = np.empty(len(hrefs), dtype=object)
+    for i, (h, b) in enumerate(zip(hrefs, bases)):
+        out[i] = canonicalize(
+            h, b, remove_query_params=remove_query_params, keep_query_params=keep_query_params
+        )
+    return out
+
+
+def host_of(url: str) -> str:
+    try:
+        return urlsplit(url).hostname or ""
+    except ValueError:
+        return ""
+
+
+def hosts_of(urls) -> np.ndarray:
+    out = np.empty(len(urls), dtype=object)
+    for i, u in enumerate(urls):
+        out[i] = host_of(u)
+    return out
+
+
+def strip_www(host: str) -> str:
+    return host[4:] if host.startswith("www.") else host
+
+
+def is_same_host(a: str, b: str) -> bool:
+    """www-insensitive host equality — crawler.rs:776-780, 1348-1356."""
+    return strip_www(a) == strip_www(b)
+
+
+def domain_2nd_level(host: str) -> str | None:
+    m = DOMAIN_2ND_LEVEL_RE.search(host)
+    return m.group(1) if m else None
+
+
+def extension_of(path: str) -> str:
+    seg = path.rsplit("/", 1)[-1]
+    if "." in seg:
+        return seg.rsplit(".", 1)[-1].lower()
+    return ""
+
+
+def is_static_file(url: str) -> bool:
+    return extension_of(urlsplit(url).path) in STATIC_EXTENSIONS
+
+
+def depth_of(path: str) -> int:
+    """parsed_url.rs get_depth — '/' → 0, '/a/' → 1, '/a/b' → 2."""
+    return len([s for s in path.split("/") if s])
+
+
+def basename_of(url: str) -> str | None:
+    """parsed_url.rs:465-482 — key of the non-200-responses guard."""
+    sp = urlsplit(url)
+    path = sp.path
+    if not path or path == "/":
+        return None
+    seg = path.rstrip("/").rsplit("/", 1)[-1]
+    if not seg:
+        return None
+    if sp.query and ("/" in sp.query or "%2F" in sp.query):
+        return f"{seg}?{sp.query}"
+    return seg
+
+
+def compile_wildcard_domain(pattern: str) -> re.Pattern:
+    """crawler.rs:1871-1880 — ``*`` wildcards in --allowed-domain patterns."""
+    return re.compile("^" + re.escape(pattern).replace(r"\*", ".*") + "$", re.I)
