@@ -1,0 +1,376 @@
+"""Interleaved text+media document corpus — generation, storage, lookup.
+
+The engine's input is the ``BASELINE.json`` ``input_hint`` table:
+
+    documents(doc_id: string,
+              spans: list<struct<kind: string, text: string,
+                                 media_ref: string, offset: int32>>)
+
+``doc_id`` is the canonical absolute URL of a page; text spans carry the
+page's prose, link spans carry ``<a href>`` targets (reference UrlSource
+code 10), img/script/css/media spans carry asset refs (codes 20/30/50/24
+— /root/reference/src/engine/found_url.rs:12-29).  A "fetch" is a keyed
+lookup of the canonical URL in this corpus instead of a network call.
+
+Storage is hash-bucketed parquet (the Lance stand-in — ``lance`` is not
+installed here): ``bucket=XX/part.parquet`` with rows sorted by
+``url_key`` (xxhash64 of doc_id) and small row groups, so a keyed fetch
+reads only its bucket and prunes row groups via the sorted key column.
+At cluster scale each fetch actor caches only the buckets routed to it.
+
+Generation follows FIXTURES.md §1: seeded link graph over H hosts with a
+Zipf host-size skew, ~80% same-host links, ~10% cross-host, ~5%
+duplicate links per page, ~5% invalid hrefs (fragments/mailto:/
+javascript:/data:), query strings, ``&amp;`` entities, relative/
+protocol-relative/absolute href forms, and over-length URLs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.hashing import xxh64_strings
+
+SPAN_TYPE = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+DOCUMENTS_SCHEMA = pa.schema([("doc_id", pa.string()), ("spans", pa.list_(SPAN_TYPE))])
+
+_WORDS = (
+    "data span crawl page link index batch arrow shard queue host fetch "
+    "parse robots frontier epoch stream block actor filter token bucket"
+).split()
+
+# hrefs that must be dropped by the validity gauntlet (found_urls.rs:71-83)
+_INVALID_HREFS = [
+    "#section-2",
+    "mailto:someone@example.test",
+    "javascript:void(0)",
+    "data:image/png;base64,AAAA",
+    "tel:+1-555-0100",
+    "file:///etc/hosts",
+]
+
+
+def host_name(h: int) -> str:
+    return f"site-{h:03d}.test"
+
+
+def page_url(h: int, p: int) -> str:
+    u = f"https://{host_name(h)}/p/{p:05d}"
+    if p % 11 == 3:
+        u += f"?a={p % 7}&b={p % 5}"
+    return u
+
+
+def _zipf_counts(total: int, hosts: int, skew: float, rng: np.random.Generator) -> np.ndarray:
+    w = 1.0 / np.arange(1, hosts + 1) ** skew
+    counts = np.maximum(1, (w / w.sum() * total).astype(np.int64))
+    counts[0] += total - counts.sum()
+    return counts
+
+
+def make_graph_corpus(
+    seed: int = 42,
+    hosts: int = 4,
+    total_pages: int = 2000,
+    out_degree: int = 6,
+    zipf_skew: float = 1.2,
+) -> dict[str, pa.Table]:
+    """Deterministic corpus: returns {documents, seeds, robots} tables.
+
+    Pure function of its arguments (single seeded Generator; no ambient
+    randomness)."""
+    rng = np.random.default_rng(seed)
+    counts = _zipf_counts(total_pages, hosts, zipf_skew, rng)
+    host_of_page: list[int] = []
+    page_of_page: list[int] = []
+    for h, c in enumerate(counts):
+        host_of_page += [h] * int(c)
+        page_of_page += list(range(int(c)))
+    n = len(host_of_page)
+    urls = [page_url(h, p) for h, p in zip(host_of_page, page_of_page)]
+    host_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    # pre-draw all randomness in bulk (vectorized, deterministic)
+    degs = rng.integers(out_degree - 2, out_degree + 3, size=n)
+    total_links = int(degs.sum())
+    kind_roll = rng.random(total_links)  # <0.8 same-host, <0.9 cross, <0.95 dup, else invalid
+    tgt_roll = rng.integers(0, 1 << 30, size=total_links)
+    form_roll = rng.integers(0, 8, size=total_links)
+    inv_roll = rng.integers(0, len(_INVALID_HREFS), size=total_links)
+    asset_roll = rng.integers(0, 1 << 30, size=(n, 4))
+
+    doc_ids: list[str] = []
+    span_kind: list[str] = []
+    span_text: list[str] = []
+    span_ref: list[str] = []
+    span_off: list[int] = []
+    span_counts: list[int] = []
+
+    li = 0
+    for j in range(n):
+        h, p = host_of_page[j], page_of_page[j]
+        url = urls[j]
+        doc_ids.append(url)
+        off = 0
+        k0 = len(span_kind)
+
+        def add(kind: str, text: str, ref: str) -> None:
+            nonlocal off
+            span_kind.append(kind)
+            span_text.append(text)
+            span_ref.append(ref)
+            span_off.append(off)
+            off += max(1, len(text) + len(ref))
+
+        add("title", f"Page {p} of {host_name(h)}", "")
+        add("meta", f"description of page {p}", "")
+        add("text", " ".join(_WORDS[(p + i) % len(_WORDS)] for i in range(12)), "")
+        prev_target: str | None = None
+        for _ in range(int(degs[j])):
+            roll = kind_roll[li]
+            if roll < 0.80 or prev_target is None and roll < 0.95:
+                tgt_p = int(tgt_roll[li] % counts[h])
+                target = page_url(h, tgt_p)
+                href = _href_form(target, url, int(form_roll[li]))
+                prev_target = href
+                add("link", f"to {tgt_p}", href)
+            elif roll < 0.90:
+                th = int(tgt_roll[li] % hosts)
+                tp = int(tgt_roll[li] % counts[th])
+                add("link", "cross", page_url(th, tp))
+            elif roll < 0.95:
+                add("link", "dup", prev_target)
+            else:
+                add("link", "bad", _INVALID_HREFS[int(inv_roll[li])])
+            li += 1
+        # asset refs — exercise img/script/css/media source-attr classes
+        add("img", "", f"/static/img/{int(asset_roll[j, 0]) % 40}.png")
+        add("script", "", f"/static/js/app-{int(asset_roll[j, 1]) % 10}.js")
+        add("css", "", "/static/css/main.css")
+        if p % 17 == 0:
+            add("media", "", f"/static/v/{int(asset_roll[j, 2]) % 5}.mp4")
+        if p % 97 == 13:  # over-length URL → must be dropped by max_url_length
+            add("link", "long", "/" + "x" * 2200)
+        add("text", " ".join(_WORDS[(p * 3 + i) % len(_WORDS)] for i in range(8)), "")
+        span_counts.append(len(span_kind) - k0)
+
+    spans = pa.ListArray.from_arrays(
+        pa.array(np.concatenate([[0], np.cumsum(span_counts)]), type=pa.int32()),
+        pa.StructArray.from_arrays(
+            [
+                pa.array(span_kind),
+                pa.array(span_text),
+                pa.array(span_ref),
+                pa.array(span_off, type=pa.int32()),
+            ],
+            fields=list(SPAN_TYPE),
+        ),
+    )
+    documents = pa.Table.from_arrays([pa.array(doc_ids), spans], schema=DOCUMENTS_SCHEMA)
+
+    seeds = pa.table(
+        {
+            "url": [page_url(h, 0) for h in range(hosts) if h != 2],
+            "order": list(range(len([h for h in range(hosts) if h != 2]))),
+        }
+    )
+    robots = pa.table(
+        {
+            "host": [host_name(1), host_name(2), host_name(3)],
+            "body": [
+                # host 1: a path-prefix block + wildcard
+                "User-agent: *\nDisallow: /p/000*1\nAllow: /p/00011\n",
+                # host 2: everything blocked (assets still allowed)
+                "User-agent: *\nDisallow: /\n",
+                # host 3: anchored pattern
+                "User-agent: SiteOne-Crawler\nDisallow: /p/00004$\n",
+            ],
+        }
+    )
+    return {"documents": documents, "seeds": seeds, "robots": robots}
+
+
+def _href_form(target: str, base: str, form: int) -> str:
+    """Render a target URL in one of the href forms the canonicalizer must
+    resolve (FIXTURES.md §1): absolute, path-absolute, protocol-relative,
+    dot-relative, entity-encoded query, uppercase scheme/host."""
+    from urllib.parse import urlsplit
+
+    t = urlsplit(target)
+    path_q = t.path + (f"?{t.query}" if t.query else "")
+    if form == 0:
+        return target
+    if form == 1:
+        return path_q
+    if form == 2:
+        return f"//{t.hostname}{path_q}"
+    if form == 3:
+        return "./" + path_q.lstrip("/").split("/", 1)[-1] if "/p/" in base else path_q
+    if form == 4:
+        return path_q.replace("&", "&amp;") if "&" in path_q else path_q
+    if form == 5:
+        return target.replace("https://", "HTTPS://").replace(t.hostname, t.hostname.upper())
+    if form == 6:
+        return f'"{path_q}"'  # quoted — normalize_href trims
+    return target + "#frag"  # fragment — stripped after join
+
+
+def interleaved_from_testdata(sf_dir: str, hosts: int = 8, out_degree: int = 6) -> dict[str, pa.Table]:
+    """Derive a deterministic interleaved corpus from the driver-provided
+    ``documents.parquet`` (doc_id:int64, text, …) — the bench/entry input.
+
+    Every testdata row becomes one page; its text becomes text spans; link
+    targets are arithmetic functions of doc_id (closed under the corpus),
+    so the crawl graph is reproducible with no extra randomness."""
+    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ids = src["doc_id"].to_numpy()
+    texts = src["text"].to_pylist()
+    n = len(ids)
+
+    doc_ids: list[str] = []
+    span_kind: list[str] = []
+    span_text: list[str] = []
+    span_ref: list[str] = []
+    span_off: list[int] = []
+    span_counts: list[int] = []
+
+    for j in range(n):
+        i = int(ids[j])
+        h = i % hosts
+        p = i // hosts
+        doc_ids.append(page_url(h, p))
+        k0 = len(span_kind)
+        off = 0
+
+        def add(kind: str, text: str, ref: str) -> None:
+            nonlocal off
+            span_kind.append(kind)
+            span_text.append(text)
+            span_ref.append(ref)
+            span_off.append(off)
+            off += max(1, len(text) + len(ref))
+
+        add("title", f"Doc {i}", "")
+        add("text", texts[j], "")
+        for d in range(out_degree):
+            t = (i * 31 + d * 97 + 1) % n
+            ti = int(ids[t])
+            th, tp = ti % hosts, ti // hosts
+            if th == h or d % 3 == 0:
+                add("link", f"to {ti}", page_url(th, tp))
+            else:
+                add("link", f"x {ti}", page_url(th, tp))
+        add("img", "", f"/static/img/{i % 64}.png")
+        add("script", "", f"/static/js/chunk-{i % 16}.js")
+        add("css", "", "/static/css/site.css")
+        span_counts.append(len(span_kind) - k0)
+
+    spans = pa.ListArray.from_arrays(
+        pa.array(np.concatenate([[0], np.cumsum(span_counts)]), type=pa.int32()),
+        pa.StructArray.from_arrays(
+            [
+                pa.array(span_kind),
+                pa.array(span_text),
+                pa.array(span_ref),
+                pa.array(span_off, type=pa.int32()),
+            ],
+            fields=list(SPAN_TYPE),
+        ),
+    )
+    documents = pa.Table.from_arrays([pa.array(doc_ids), spans], schema=DOCUMENTS_SCHEMA)
+    seeds = pa.table({"url": [page_url(h, 0) for h in range(min(hosts, n))],
+                      "order": list(range(min(hosts, n)))})
+    robots = pa.table({"host": pa.array([], pa.string()), "body": pa.array([], pa.string())})
+    return {"documents": documents, "seeds": seeds, "robots": robots}
+
+
+# ---------------------------------------------------------------------------
+# bucketed columnar store (Lance stand-in)
+
+
+def write_corpus(documents: pa.Table, path: str, num_buckets: int = 16) -> None:
+    """Write hash-bucketed, key-sorted parquet: one dir per bucket so a
+    failed run / a fetch actor touches only its buckets."""
+    keys = xxh64_strings(documents["doc_id"])
+    bucket = (keys % np.uint64(num_buckets)).astype(np.int32)
+    t = documents.append_column("url_key", pa.array(keys, type=pa.uint64()))
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        import json
+
+        json.dump({"num_buckets": num_buckets, "num_rows": t.num_rows}, f)
+    for b in range(num_buckets):
+        sub = t.filter(pa.array(bucket == b))
+        order = pa.compute.sort_indices(sub["url_key"])
+        sub = sub.take(order)
+        bdir = os.path.join(path, f"bucket={b:02d}")
+        os.makedirs(bdir, exist_ok=True)
+        pq.write_table(sub, os.path.join(bdir, "part.parquet"), row_group_size=4096)
+
+
+class CorpusReader:
+    """Keyed lookup into the bucketed corpus store.
+
+    Buckets load lazily and stay cached (searchsorted on the sorted
+    ``url_key`` column → ``Table.take``).  One reader lives inside each
+    fetch actor; routing fetch batches by bucket keeps each actor's
+    cache to a subset of buckets at cluster scale."""
+
+    def __init__(self, path: str):
+        import json
+
+        with open(os.path.join(path, "_meta.json")) as f:
+            meta = json.load(f)
+        self.path = path
+        self.num_buckets = meta["num_buckets"]
+        self._cache: dict[int, tuple[np.ndarray, pa.Table]] = {}
+
+    def _bucket(self, b: int) -> tuple[np.ndarray, pa.Table]:
+        if b not in self._cache:
+            t = pq.read_table(os.path.join(self.path, f"bucket={b:02d}", "part.parquet"))
+            self._cache[b] = (t["url_key"].to_numpy(), t)
+        return self._cache[b]
+
+    def lookup(self, urls, keys: np.ndarray | None = None) -> tuple[np.ndarray, pa.Table]:
+        """→ (found_mask, rows) where rows has one entry per found URL, in
+        input order.  ``keys`` may be precomputed xxh64 of urls."""
+        if keys is None:
+            keys = xxh64_strings(urls)
+        keys = keys.astype(np.uint64, copy=False)
+        n = len(keys)
+        found = np.zeros(n, dtype=bool)
+        take_bucket = np.zeros(n, dtype=np.int32)
+        take_row = np.zeros(n, dtype=np.int64)
+        buckets = (keys % np.uint64(self.num_buckets)).astype(np.int32)
+        for b in np.unique(buckets):
+            sel = np.nonzero(buckets == b)[0]
+            bkeys, _ = self._bucket(int(b))
+            idx = np.searchsorted(bkeys, keys[sel])
+            ok = (idx < len(bkeys)) & (bkeys[np.minimum(idx, len(bkeys) - 1)] == keys[sel])
+            found[sel] = ok
+            take_bucket[sel] = b
+            take_row[sel] = idx
+        pieces = []
+        for b in np.unique(take_bucket[found]):
+            _, bt = self._bucket(int(b))
+            rows = take_row[found & (take_bucket == b)]
+            pieces.append((np.nonzero(found & (take_bucket == b))[0], bt.take(pa.array(rows))))
+        if not pieces:
+            empty = self._bucket(int(buckets[0]) if n else 0)[1].slice(0, 0)
+            return found, empty
+        # reassemble in input order
+        order = np.concatenate([p[0] for p in pieces])
+        tbl = pa.concat_tables([p[1] for p in pieces])
+        inv = np.argsort(order, kind="stable")
+        return found, tbl.take(pa.array(inv))

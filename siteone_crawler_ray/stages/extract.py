@@ -1,0 +1,254 @@
+"""Span explosion + candidate gauntlet — the per-batch link-discovery path.
+
+``explode_spans`` is the engine's analogue of the reference's
+HtmlProcessor regex battery (/root/reference/src/content_processor/
+html_processor.rs:161-394): with an interleaved-span corpus the links
+are already structured, so discovery is a pure Arrow ``list_flatten`` +
+``list_parent_indices`` — zero-copy, no per-row Python.
+
+``CandidateGauntlet`` reproduces the enqueue gauntlet ordering of
+crawler.rs:1018-1187: requestable → host allow → basename guard →
+robots (checked against the RAW normalized href, a reference quirk we
+keep for seen-set parity) → absolutize → fragment strip → query filter
+→ suitability (regex include/ignore, URL length).  Canonicalization is
+per-row Python (compiled regexes, urllib) but every surrounding
+mask/key/grouping step is vectorized; the xxhash64 keys are computed by
+the vectorized kernel in functions/hashing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import urls as U
+from ..functions.hashing import xxh64_strings
+from ..functions.robots import ASSET_EXTENSION_RE, RobotsIndex
+from ..types import SPAN_KIND_TO_SOURCE, SkippedReason
+
+# priority packing: (source wave position) * 2^20 + extraction index
+PRIO_SHIFT = 1 << 20
+
+
+def explode_spans(batch: pa.Table) -> pa.Table:
+    """documents(doc_id, spans, seq) → found hrefs, one row per link/asset
+    span, deduplicated per page on the normalized href (first span wins —
+    found_urls.rs:29-32 per-page MD5 dedup, made deterministic by span
+    order)."""
+    spans = batch["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = pc.list_flatten(spans)
+    parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    kind = flat.field("kind")
+    ref = flat.field("media_ref")
+
+    # positional extraction index within each document
+    n = len(parent)
+    if n:
+        first = np.ones(n, dtype=bool)
+        first[1:] = parent[1:] != parent[:-1]
+        starts = np.nonzero(first)[0]
+        extract_idx = np.arange(n, dtype=np.int64) - np.repeat(starts, np.diff(np.append(starts, n)))
+    else:
+        extract_idx = np.empty(0, dtype=np.int64)
+
+    has_ref = pc.and_(pc.is_valid(ref), pc.not_equal(ref, "")).to_numpy(zero_copy_only=False)
+    keep = np.nonzero(has_ref)[0]
+
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    seqs = batch["seq"].to_numpy(zero_copy_only=False)
+    wavepos = batch["wavepos"].to_numpy(zero_copy_only=False)
+    depths = batch["depth"].to_numpy(zero_copy_only=False)
+    uqids = batch["uq_id"].to_numpy(zero_copy_only=False)
+
+    kinds = kind.to_numpy(zero_copy_only=False)[keep]
+    hrefs = ref.to_numpy(zero_copy_only=False)[keep]
+    par = parent[keep]
+    src_attr = np.array([SPAN_KIND_TO_SOURCE.get(k, 10) for k in kinds], dtype=np.int8)
+
+    out = pa.table(
+        {
+            "href": pa.array(hrefs, type=pa.string()),
+            "kind": pa.array(kinds, type=pa.string()),
+            "source_url": pa.array(doc_ids[par], type=pa.string()),
+            "source_uq_id": pa.array(uqids[par], type=pa.string()),
+            "source_seq": pa.array(seqs[par], type=pa.int64()),
+            "source_wavepos": pa.array(wavepos[par], type=pa.int64()),
+            "source_attr": pa.array(src_attr, type=pa.int8()),
+            "extract_idx": pa.array(extract_idx[keep], type=pa.int64()),
+            "depth": pa.array(depths[par] + 1, type=pa.int32()),
+        }
+    )
+
+    # per-page dedup on the *normalized* href, first occurrence (span
+    # order) wins — the reference's per-page FoundUrls MD5 dedup
+    norm = np.array([U.normalize_href(h) for h in out["href"].to_numpy(zero_copy_only=False)], dtype=object)
+    out = out.append_column("norm_href", pa.array(norm, type=pa.string()))
+    df_keys = np.char.add(
+        np.char.add(out["source_url"].to_numpy(zero_copy_only=False).astype(str), "\x00"),
+        norm.astype(str),
+    )
+    _, first_idx = np.unique(df_keys, return_index=True)
+    return out.take(pa.array(np.sort(first_idx)))
+
+
+class CandidateGauntlet:
+    """Stateful batch filter: compiled regexes + broadcast robots rules +
+    broadcast basename blocklist, built once per actor (§2.3 of SURVEY)."""
+
+    def __init__(
+        self,
+        robots: RobotsIndex,
+        seed_host: str,
+        *,
+        remove_query_params: bool = False,
+        keep_query_params: tuple[str, ...] = (),
+        allowed_domains_crawl: tuple[str, ...] = (),
+        allowed_domains_static: tuple[str, ...] = (),
+        include_regex: tuple[str, ...] = (),
+        ignore_regex: tuple[str, ...] = (),
+        max_url_length: int = U.DEFAULT_MAX_URL_LENGTH,
+        max_depth: int | None = None,
+        ignore_robots_txt: bool = False,
+        basename_blocklist: frozenset[str] = frozenset(),
+    ):
+        import re
+
+        self.robots = robots
+        self.seed_host = seed_host
+        self.remove_query = remove_query_params
+        self.keep_query = keep_query_params
+        self.allowed_crawl = [U.compile_wildcard_domain(p) for p in allowed_domains_crawl]
+        self.allowed_static = [U.compile_wildcard_domain(p) for p in allowed_domains_static]
+        self.include = [re.compile(p) for p in include_regex]
+        self.ignore = [re.compile(p) for p in ignore_regex]
+        self.max_url_length = max_url_length
+        self.max_depth = max_depth
+        self.ignore_robots = ignore_robots_txt
+        self.basename_blocklist = basename_blocklist
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """→ rows tagged ``ok`` (enqueue candidates) or ``skip`` (recorded
+        with a reason); silently-dropped rows are removed."""
+        hrefs = batch["norm_href"].to_numpy(zero_copy_only=False)
+        raw = batch["href"].to_numpy(zero_copy_only=False)
+        sources = batch["source_url"].to_numpy(zero_copy_only=False)
+        kinds = batch["kind"].to_numpy(zero_copy_only=False)
+        depths = batch["depth"].to_numpy(zero_copy_only=False)
+        n = len(hrefs)
+
+        url = np.empty(n, dtype=object)  # canonical absolute (query-filtered)
+        skip_url = np.empty(n, dtype=object)  # canonical absolute (unfiltered)
+        tag = np.empty(n, dtype=object)
+        reason = np.zeros(n, dtype=np.int8)
+
+        for i in range(n):
+            h, b = hrefs[i], sources[i]
+            if not U.is_requestable_resource(raw[i]):
+                tag[i] = ""
+                continue
+            canon = U.canonicalize(h, b)
+            if canon is None:
+                tag[i] = ""
+                continue
+            host = U.host_of(canon)
+            same = U.is_same_host(host, self.seed_host)
+            allowed = False
+            if not same and host != self.seed_host:
+                is_asset = kinds[i] != "link"
+                if is_asset and any(p.match(host) for p in self.allowed_static):
+                    allowed = True
+                if any(p.match(host) for p in self.allowed_crawl):
+                    allowed = True
+            basename = U.basename_of(canon)
+            if basename is not None and basename in self.basename_blocklist:
+                tag[i] = ""
+                continue
+            if not same and not allowed:
+                tag[i] = "skip"
+                reason[i] = SkippedReason.NOT_ALLOWED_HOST
+                skip_url[i] = canon
+                continue
+            # robots: checked on the RAW normalized href (reference quirk,
+            # crawler.rs:1113-1124) and skipped for static files
+            if not self.ignore_robots and not U.is_static_file(canon):
+                if not self._robots_allowed(host, h):
+                    tag[i] = "skip"
+                    reason[i] = SkippedReason.ROBOTS_TXT
+                    skip_url[i] = canon
+                    continue
+            if self.max_depth is not None and int(depths[i]) > self.max_depth:
+                tag[i] = "skip"
+                reason[i] = SkippedReason.EXCEEDS_MAX_DEPTH
+                skip_url[i] = canon
+                continue
+            final = U.canonicalize(
+                h, b, remove_query_params=self.remove_query, keep_query_params=self.keep_query
+            )
+            if final is None or len(final) > self.max_url_length:
+                tag[i] = ""
+                continue
+            if self.include and not any(p.search(final) for p in self.include):
+                tag[i] = ""
+                continue
+            if self.ignore and any(p.search(final) for p in self.ignore):
+                tag[i] = ""
+                continue
+            tag[i] = "ok"
+            url[i] = final
+            skip_url[i] = canon
+
+        keep = np.nonzero(tag != "")[0]
+        out_url = np.where(tag == "ok", url, skip_url)[keep]
+        kept = batch.take(pa.array(keep))
+        keys = xxh64_strings(list(out_url))
+        prio = (
+            kept["source_wavepos"].to_numpy(zero_copy_only=False) * PRIO_SHIFT
+            + kept["extract_idx"].to_numpy(zero_copy_only=False)
+        )
+        hosts = U.hosts_of(out_url)
+        return pa.table(
+            {
+                "url": pa.array(out_url, type=pa.string()),
+                "url_key": pa.array(keys, type=pa.uint64()),
+                "host": pa.array(hosts, type=pa.string()),
+                "tag": pa.array(tag[keep], type=pa.string()),
+                "reason": pa.array(reason[keep], type=pa.int8()),
+                "source_uq_id": kept["source_uq_id"],
+                "source_attr": kept["source_attr"],
+                "source_seq": kept["source_seq"],
+                "priority": pa.array(prio, type=pa.int64()),
+                "depth": kept["depth"],
+            }
+        )
+
+    def _robots_allowed(self, host: str, raw_href: str) -> bool:
+        rules = self.robots.by_host.get(host)
+        if rules is None:
+            return True
+        return rules.is_allowed(raw_href)
+
+
+def extract_title_extras(batch: pa.Table) -> dict[str, np.ndarray]:
+    """title / meta-description extras from spans (crawler.rs:900-934
+    analogue) — first title/meta span per document."""
+    spans = batch["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = pc.list_flatten(spans)
+    parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+    texts = flat.field("text").to_numpy(zero_copy_only=False)
+    nrows = batch.num_rows
+    title = np.full(nrows, "", dtype=object)
+    desc = np.full(nrows, "", dtype=object)
+    for sel, out in ((kinds == "title", title), (kinds == "meta", desc)):
+        idx = np.nonzero(sel)[0]
+        if len(idx):
+            # keep the first span of each parent (idx is in span order)
+            p = parent[idx]
+            firsts = np.unique(p, return_index=True)[1]
+            out[p[firsts]] = texts[idx[firsts]]
+    return {"title": title, "description": desc}

@@ -1,0 +1,177 @@
+"""Fetch stage — actor-pool corpus lookup with per-host politeness.
+
+The reference's ``HttpClient::request`` (/root/reference/src/engine/
+http_client.rs:77-237) becomes a keyed lookup of the canonical URL in
+the bucketed interleaved-document corpus (sources/corpus.py); the
+``Fetcher`` trait (src/engine/fetcher.rs:21-95) becomes this callable
+class — constructor-injected backend, one instance per Ray actor, so
+corpus bucket caches, token buckets and compiled state are built once
+per actor and amortized across batches (``map_batches(FetchStage,
+concurrency=N, batch_size=B)``).
+
+Politeness: per-host token buckets (north rule).  The reference uses a
+single global limiter (crawler.rs:159, 553-568); here each actor holds
+buckets for the hosts it sees, and when one host's URLs spread over A
+actors each bucket gets ``rate / A`` — the budget-split scheme SURVEY
+§4.2 documents for salted hot hosts.  ``max_reqs_per_sec=None``
+disables waiting (corpus-backed bench is compute-bound).
+
+Responses are deterministic functions of (url, corpus) so the oracle
+can reproduce them exactly:
+- URL present in corpus → 200, ContentType.HTML, size = Σ span lengths
+- absent + static-asset extension → 200 synthetic asset, type by
+  extension, size = url_key % 50000
+- absent otherwise → 404 (type OTHER)
+- request_time = (url_key % 10000) / 1e5 seconds (synthetic metric
+  feeding the fastest/slowest/p90 report tables deterministically).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import urls as U
+from ..functions.hashing import uq_ids, xxh64_strings
+from ..sources.corpus import CorpusReader
+from ..types import EXTENSION_CONTENT_TYPE, ContentType
+from .extract import extract_title_extras
+
+
+def synthetic_status(in_corpus: bool, url: str) -> tuple[int, int]:
+    """→ (status_code, content_type) — shared by engine and oracle."""
+    if in_corpus:
+        return 200, ContentType.HTML
+    ext = U.extension_of(url.split("?", 1)[0])
+    if ext in EXTENSION_CONTENT_TYPE:
+        return 200, EXTENSION_CONTENT_TYPE[ext]
+    return 404, ContentType.OTHER
+
+
+def synthetic_request_time(url_key: int) -> float:
+    return (url_key % 10000) / 1e5
+
+
+def synthetic_asset_size(url_key: int) -> int:
+    return int(url_key % 50000)
+
+
+def doc_size(spans_row) -> int:
+    """Σ max(1, len(text)+len(media_ref)) over spans — the corpus page's
+    'body size' (mirrors offset construction in sources/corpus.py)."""
+    return sum(max(1, len(s["text"]) + len(s["media_ref"])) for s in spans_row)
+
+
+class TokenBucket:
+    __slots__ = ("rate", "capacity", "tokens", "last")
+
+    def __init__(self, rate: float, capacity: float):
+        self.rate = rate
+        self.capacity = capacity
+        self.tokens = capacity
+        self.last = time.monotonic()
+
+    def acquire(self, n: float = 1.0) -> None:
+        while True:
+            now = time.monotonic()
+            self.tokens = min(self.capacity, self.tokens + (now - self.last) * self.rate)
+            self.last = now
+            if self.tokens >= n:
+                self.tokens -= n
+                return
+            time.sleep(min(0.05, (n - self.tokens) / self.rate))
+
+
+class FetchStage:
+    """map_batches actor: dispatch rows → visited rows (+spans for pages)."""
+
+    def __init__(
+        self,
+        corpus_path: str,
+        max_reqs_per_sec: float | None = None,
+        budget_split: int = 1,
+    ):
+        self.corpus = CorpusReader(corpus_path)
+        self.rate = None if max_reqs_per_sec is None else max_reqs_per_sec / max(1, budget_split)
+        self.buckets: dict[str, TokenBucket] = {}
+
+    def _politeness(self, hosts: np.ndarray) -> None:
+        if self.rate is None:
+            return
+        uniq, counts = np.unique(hosts, return_counts=True)
+        for h, c in zip(uniq, counts):
+            b = self.buckets.get(h)
+            if b is None:
+                b = self.buckets[h] = TokenBucket(self.rate, max(1.0, self.rate))
+            b.acquire(float(c))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls_np = batch["url"].to_numpy(zero_copy_only=False)
+        keys = batch["url_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hosts = batch["host"].to_numpy(zero_copy_only=False)
+        self._politeness(hosts)
+
+        found, rows = self.corpus.lookup(urls_np, keys)
+        n = len(urls_np)
+        status = np.empty(n, dtype=np.int32)
+        ctype = np.empty(n, dtype=np.int8)
+        size = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            s, c = synthetic_status(bool(found[i]), urls_np[i])
+            status[i] = s
+            ctype[i] = c
+        size[:] = (keys % np.uint64(50000)).astype(np.int64)
+        req_time = (keys % np.uint64(10000)).astype(np.float64) / 1e5
+
+        # spans passthrough (zero-copy from the corpus bucket table) —
+        # the per-row span-sequence invariant rides on this column
+        spans_type = rows.schema.field("spans").type if rows.num_rows else None
+        if rows.num_rows:
+            spans_col = rows["spans"].combine_chunks() if isinstance(rows["spans"], pa.ChunkedArray) else rows["spans"]
+            # scatter found rows back into batch order
+            indices = np.full(n, -1, dtype=np.int64)
+            indices[np.nonzero(found)[0]] = np.arange(rows.num_rows)
+            spans_full = spans_col.take(pa.array(indices, mask=indices < 0))
+            assert spans_full.type == spans_type
+            # page body size = Σ span lengths
+            flat = pa.compute.list_value_length(spans_col).to_numpy(zero_copy_only=False)
+            tl = pa.compute.list_flatten(spans_col)
+            span_sz = np.maximum(
+                1,
+                pa.compute.binary_length(tl.field("text")).to_numpy(zero_copy_only=False)
+                + pa.compute.binary_length(tl.field("media_ref")).to_numpy(zero_copy_only=False),
+            )
+            doc_sizes = np.zeros(rows.num_rows, dtype=np.int64)
+            np.add.at(doc_sizes, np.repeat(np.arange(rows.num_rows), flat), span_sz)
+            size[found] = doc_sizes
+        else:
+            spans_full = pa.nulls(n, type=pa.list_(pa.struct(
+                [("kind", pa.string()), ("text", pa.string()),
+                 ("media_ref", pa.string()), ("offset", pa.int32())])))
+
+        out = pa.table(
+            {
+                "seq": batch["seq"],
+                "wavepos": batch["wavepos"],
+                "epoch": batch["epoch"],
+                "uq_id": pa.array(uq_ids(urls_np), type=pa.string()),
+                "url": batch["url"],
+                "url_key": batch["url_key"],
+                "host": batch["host"],
+                "depth": batch["depth"],
+                "source_uq_id": batch["source_uq_id"],
+                "source_attr": batch["source_attr"],
+                "status_code": pa.array(status),
+                "content_type": pa.array(ctype, type=pa.int8()),
+                "request_time": pa.array(req_time),
+                "size": pa.array(size),
+                "spans": spans_full,
+                "doc_id": pa.array(np.where(found, urls_np, None), type=pa.string()),
+            }
+        )
+        extras = extract_title_extras(out)
+        out = out.append_column("title", pa.array(extras["title"], type=pa.string()))
+        out = out.append_column("description", pa.array(extras["description"], type=pa.string()))
+        return out

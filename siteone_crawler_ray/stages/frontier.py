@@ -1,0 +1,118 @@
+"""Frontier shards — the distributed URL-seen set + sharded pending queue.
+
+The reference keeps queue ∪ visited in one in-process DashMap
+(/root/reference/src/engine/crawler.rs:96-103, 1219-1243).  Here the
+same state is a pool of shard actors, partitioned by
+``url_key % num_shards`` (url_key = xxhash64 of the canonical URL):
+
+- membership: cuckoo filter prefilter (bloom for shards flagged cold)
+  + exact sorted-uint64 authority (state/filters.py) — filters are
+  advisory because of false positives and non-idempotent inserts under
+  task retry; the exact set is what checkpoints,
+- pending queue: per-shard list of Arrow tables of frontier entries
+  (priority-ordered at dispatch by the driver's wave sort).
+
+This is the one piece of the engine that is a raw Ray actor rather than
+a Dataset op: a shared mutable index that every epoch both reads and
+writes.  All calls are batch-level (numpy arrays / Arrow tables in and
+out), never per-URL.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..state.filters import BloomFilter, CuckooFilter, ExactSeenSet
+
+
+class FrontierShardState:
+    """Plain (actor-wrappable) shard state. Unit-testable without Ray."""
+
+    def __init__(self, shard_id: int, filter_capacity: int = 1 << 20, cold: bool = False):
+        self.shard_id = shard_id
+        self.filter_capacity = filter_capacity
+        self.cold = cold
+        self.filter = BloomFilter(filter_capacity) if cold else CuckooFilter(filter_capacity)
+        self.exact = ExactSeenSet()
+        self.pending: list[pa.Table] = []
+
+    # -- membership ---------------------------------------------------------
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
+        maybe = self.filter.contains_batch(keys)
+        seen = np.zeros(len(keys), dtype=bool)
+        idx = np.nonzero(maybe)[0]
+        if len(idx):
+            seen[idx] = self.exact.contains_batch(keys[idx])
+        return seen
+
+    def add_seen(self, keys: np.ndarray) -> None:
+        keys = np.asarray(keys, dtype=np.uint64)
+        self.filter.add_batch(keys)
+        self.exact.add_batch(keys)
+
+    def seen_count(self) -> int:
+        return len(self.exact)
+
+    def snapshot_seen(self) -> np.ndarray:
+        return self.exact.snapshot()
+
+    # -- pending queue ------------------------------------------------------
+    def offer(self, entries: pa.Table) -> int:
+        """Admit new frontier entries: marks them seen + queues them."""
+        self.add_seen(entries["url_key"].to_numpy(zero_copy_only=False))
+        self.pending.append(entries)
+        return entries.num_rows
+
+    def drain(self) -> pa.Table | None:
+        if not self.pending:
+            return None
+        t = pa.concat_tables(self.pending)
+        self.pending = []
+        return t
+
+    # -- checkpoint ---------------------------------------------------------
+    def checkpoint(self, directory: str) -> dict:
+        os.makedirs(directory, exist_ok=True)
+        seen = self.exact.snapshot()
+        pq.write_table(
+            pa.table({"url_key": pa.array(seen, type=pa.uint64())}),
+            os.path.join(directory, f"seen-{self.shard_id:03d}.parquet"),
+        )
+        pend = pa.concat_tables(self.pending) if self.pending else None
+        if pend is not None and pend.num_rows:
+            pq.write_table(pend, os.path.join(directory, f"pending-{self.shard_id:03d}.parquet"))
+        return {
+            "shard": self.shard_id,
+            "seen": int(len(seen)),
+            "pending": int(pend.num_rows) if pend is not None else 0,
+            "filter": "bloom" if self.cold else "cuckoo",
+        }
+
+    def restore(self, directory: str) -> None:
+        seen_path = os.path.join(directory, f"seen-{self.shard_id:03d}.parquet")
+        self.exact = ExactSeenSet(pq.read_table(seen_path)["url_key"].to_numpy())
+        self.filter = (
+            BloomFilter(self.filter_capacity) if self.cold else CuckooFilter(self.filter_capacity)
+        )
+        base = self.exact.base
+        if len(base):
+            self.filter.add_batch(base)
+        pend_path = os.path.join(directory, f"pending-{self.shard_id:03d}.parquet")
+        self.pending = [pq.read_table(pend_path)] if os.path.exists(pend_path) else []
+
+
+def make_shard_actors(num_shards: int, filter_capacity: int = 1 << 20):
+    """num_shards Ray actors, each owning one FrontierShardState."""
+    import ray
+
+    Actor = ray.remote(num_cpus=0.25)(FrontierShardState)
+    return [Actor.remote(i, filter_capacity) for i in range(num_shards)]
+
+
+def shard_of(keys: np.ndarray, num_shards: int) -> np.ndarray:
+    return (np.asarray(keys, dtype=np.uint64) % np.uint64(num_shards)).astype(np.int32)

@@ -1,0 +1,147 @@
+"""Crawl-order, URL-seen-set, skip and span-sequence parity vs the oracle.
+
+The checks FIXTURES.md §5 requires:
+1. engine visited order == oracle visited order (crawl-order parity)
+2. engine URL-seen set == oracle seen set
+3. per-row span-sequence equality (kind, text, media_ref, order)
+4. skip reasons match (NotAllowedHost=1, RobotsTxt=2)
+5. limit configs truncate identically
+"""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from siteone_crawler_ray.pipelines.crawl import CrawlConfig, EpochCrawler
+from siteone_crawler_ray.pipelines.oracle import run_oracle
+from siteone_crawler_ray.sources.corpus import make_graph_corpus, write_corpus
+
+VISITED_COLS = ["seq", "url", "uq_id", "source_uq_id", "source_attr", "epoch", "status_code", "depth"]
+
+
+def _setup(tmp, tabs, num_buckets=4):
+    cp = os.path.join(tmp, "corpus")
+    write_corpus(tabs["documents"], cp, num_buckets=num_buckets)
+    seeds = tabs["seeds"]["url"].to_pylist()
+    robots = dict(zip(tabs["robots"]["host"].to_pylist(), tabs["robots"]["body"].to_pylist()))
+    return cp, seeds, robots
+
+
+def _assert_parity(res, oracle):
+    ev = res.visited_table(columns=VISITED_COLS)
+    ov = oracle.visited_table()
+    assert ev["url"].to_pylist() == ov["url"].to_pylist(), "crawl order mismatch"
+    for col in ["uq_id", "source_uq_id", "source_attr", "epoch", "status_code", "depth"]:
+        assert ev[col].to_pylist() == ov[col].to_pylist(), f"{col} mismatch"
+    assert set(int(k) for k in res.seen_keys) == oracle.seen_keys, "seen-set mismatch"
+    got_sk = sorted((r["url"], r["reason"]) for r in res.skipped.to_pylist())
+    want_sk = sorted((s["url"], s["reason"]) for s in oracle.skipped)
+    assert got_sk == want_sk, "skipped mismatch"
+
+
+def _run_engine(tmp, tabs, cfg, num_buckets=4):
+    cp, seeds, robots = _setup(tmp, tabs, num_buckets)
+    c = EpochCrawler(cp, seeds, robots, os.path.join(tmp, "work"), cfg)
+    return c.run(), (seeds, robots)
+
+
+def test_tiny_single_host_parity(tmp_workdir):
+    tabs = make_graph_corpus(seed=7, hosts=1, total_pages=50, out_degree=4)
+    cfg = CrawlConfig(use_ray=False, num_shards=2)
+    res, (seeds, robots) = _run_engine(tmp_workdir, tabs, cfg)
+    _assert_parity(res, run_oracle(tabs["documents"], seeds, robots, cfg))
+    assert res.metrics["visited"] > 10
+
+
+def test_small_multi_host_parity(tmp_workdir):
+    tabs = make_graph_corpus(seed=42, hosts=4, total_pages=500, out_degree=6)
+    cfg = CrawlConfig(use_ray=False, num_shards=4)
+    res, (seeds, robots) = _run_engine(tmp_workdir, tabs, cfg)
+    oracle = run_oracle(tabs["documents"], seeds, robots, cfg)
+    _assert_parity(res, oracle)
+    # robots + cross-host skips must actually occur in this corpus
+    reasons = set(r["reason"] for r in oracle.skipped)
+    assert 1 in reasons
+
+
+def test_limits_truncate_identically(tmp_workdir):
+    tabs = make_graph_corpus(seed=11, hosts=2, total_pages=300, out_degree=6)
+    for cfg in [
+        CrawlConfig(use_ray=False, num_shards=2, max_visited_urls=40),
+        CrawlConfig(use_ray=False, num_shards=2, max_queue_length=15),
+        CrawlConfig(use_ray=False, num_shards=2, max_depth=2),
+        CrawlConfig(use_ray=False, num_shards=2, max_url_length=60),
+    ]:
+        res, (seeds, robots) = _run_engine(
+            os.path.join(tmp_workdir, f"lim{cfg.max_visited_urls}-{cfg.max_queue_length}-{cfg.max_depth}-{cfg.max_url_length}"),
+            tabs,
+            cfg,
+        )
+        _assert_parity(res, run_oracle(tabs["documents"], seeds, robots, cfg))
+
+
+def test_query_param_filtering_parity(tmp_workdir):
+    tabs = make_graph_corpus(seed=13, hosts=2, total_pages=200, out_degree=5)
+    cfg = CrawlConfig(use_ray=False, num_shards=2, remove_query_params=True)
+    res, (seeds, robots) = _run_engine(tmp_workdir, tabs, cfg)
+    _assert_parity(res, run_oracle(tabs["documents"], seeds, robots, cfg))
+
+
+def test_span_sequence_equality(tmp_workdir):
+    """Per-row invariant from BASELINE.json input_hint: output spans must
+    equal corpus spans in (kind, text, media_ref, order)."""
+    tabs = make_graph_corpus(seed=7, hosts=2, total_pages=100, out_degree=4)
+    cfg = CrawlConfig(use_ray=False, num_shards=2)
+    res, _ = _run_engine(tmp_workdir, tabs, cfg)
+    vt = res.visited_table(columns=["seq", "doc_id", "spans"])
+    vt = vt.filter(pa.compute.is_valid(vt["doc_id"]))
+    corpus = {
+        d: s
+        for d, s in zip(tabs["documents"]["doc_id"].to_pylist(), tabs["documents"]["spans"].to_pylist())
+    }
+    checked = 0
+    for doc_id, spans in zip(vt["doc_id"].to_pylist(), vt["spans"].to_pylist()):
+        want = corpus[doc_id]
+        got = [(s["kind"], s["text"], s["media_ref"]) for s in spans]
+        exp = [(s["kind"], s["text"], s["media_ref"]) for s in want]
+        assert got == exp, f"span sequence mismatch for {doc_id}"
+        offs = [s["offset"] for s in spans]
+        assert offs == sorted(offs), "span offsets out of order"
+        checked += 1
+    assert checked > 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ray_path_parity(tmp_workdir):
+    """The distributed path (Ray Data fetch/extract + shard actors) must
+    produce the identical canonical order."""
+    tabs = make_graph_corpus(seed=42, hosts=4, total_pages=150, out_degree=4)
+    cfg = CrawlConfig(use_ray=True, num_shards=4, fetch_concurrency=2, gauntlet_concurrency=2)
+    res, (seeds, robots) = _run_engine(tmp_workdir, tabs, cfg)
+    _assert_parity(res, run_oracle(tabs["documents"], seeds, robots, cfg))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_reproduces_uninterrupted_run(tmp_workdir):
+    tabs = make_graph_corpus(seed=42, hosts=4, total_pages=200, out_degree=5)
+    cp, seeds, robots = _setup(tmp_workdir, tabs)
+    cfg = CrawlConfig(use_ray=False, num_shards=4)
+
+    full = EpochCrawler(cp, seeds, robots, os.path.join(tmp_workdir, "full"), cfg).run()
+
+    part_dir = os.path.join(tmp_workdir, "part")
+    c1 = EpochCrawler(cp, seeds, robots, part_dir, cfg)
+    c1.seed()
+    c1.run_epoch()
+    c1.run_epoch()  # stop mid-crawl (checkpoint written per epoch)
+
+    c2 = EpochCrawler(cp, seeds, robots, part_dir, cfg)
+    assert c2.resume()
+    res = c2.run()
+
+    a = full.visited_table(columns=VISITED_COLS)
+    b = res.visited_table(columns=VISITED_COLS)
+    assert a.equals(b), "resume did not reproduce the uninterrupted run"
+    assert (full.seen_keys == res.seen_keys).all()
+    assert sorted(full.skipped.to_pylist(), key=str) == sorted(res.skipped.to_pylist(), key=str)
