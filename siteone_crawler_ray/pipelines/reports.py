@@ -1,0 +1,283 @@
+"""Post-crawl analyzer battery — report tables as Ray Data aggregations.
+
+The reference runs 17 ``Analyzer`` impls over the in-memory Status map
+(/root/reference/src/analysis/; orchestration analysis/manager.rs:79-123).
+Here every table is a Dataset aggregation over the visited parquet —
+groupby/sort/limit shuffles over pruned columns, nothing driver-side
+except the final tiny table.  Each function takes a ``ray.data.Dataset``
+of visited rows (schema from stages/fetch.py) and returns a small
+pyarrow Table.
+
+Parity targets per table are cited on each function.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..types import ContentType
+
+
+def _to_table(ds) -> pa.Table:
+    import ray
+
+    blocks = [ray.get(r) for r in ds.to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_rows]
+    return pa.concat_tables(blocks) if blocks else None
+
+
+def reference_percentile(values: np.ndarray, p: int) -> float:
+    """basic_stats.rs:14-21 — rank = round_half_up(p/100·(n−1)), 3-decimal
+    rounding of the selected element."""
+    if len(values) == 0:
+        return 0.0
+    v = np.sort(values)
+    rank = int(math.floor((p / 100.0) * (len(v) - 1) + 0.5))
+    return round(float(v[min(rank, len(v) - 1)]) * 1000) / 1000
+
+
+def basic_stats(visited_ds) -> pa.Table:
+    """BasicStats (basic_stats.rs:70-128): totals, min/max/avg request
+    time, p90 of HTML-200 request times (nearest-rank)."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    agg = visited_ds.aggregate(
+        Count(alias_name="total_urls"),
+        Sum("size", alias_name="total_size"),
+        Sum("request_time", alias_name="total_requests_times"),
+        Min("request_time", alias_name="min_time"),
+        Max("request_time", alias_name="max_time"),
+        Mean("request_time", alias_name="avg_time"),
+    )
+    html = visited_ds.filter(
+        expr=f"content_type == {ContentType.HTML} and status_code == 200"
+    ).select_columns(["request_time"])
+    times = _to_table(html)
+    arr = times["request_time"].to_numpy() if times is not None else np.empty(0)
+    if len(arr) == 0:
+        all_t = _to_table(visited_ds.select_columns(["request_time"]))
+        arr = all_t["request_time"].to_numpy() if all_t is not None else np.empty(0)
+    p90 = reference_percentile(arr, 90)
+    return pa.table(
+        {
+            "total_urls": [int(agg["total_urls"])],
+            "total_size": [int(agg["total_size"])],
+            "total_requests_times": [round(float(agg["total_requests_times"]), 3)],
+            "avg_time": [round(float(agg["avg_time"]), 3)],
+            "min_time": [round(float(agg["min_time"]), 3)],
+            "max_time": [round(float(agg["max_time"]), 3)],
+            "p90_time": [p90],
+        }
+    )
+
+
+def count_by_status(visited_ds) -> pa.Table:
+    """count_by_status (basic_stats.rs:77-93)."""
+    from ray.data.aggregate import Count
+
+    out = visited_ds.groupby("status_code").aggregate(Count(alias_name="n"))
+    t = _to_table(out)
+    return t.take(pc.sort_indices(t, sort_keys=[("status_code", "ascending")]))
+
+
+def content_type_table(visited_ds) -> pa.Table:
+    """ContentTypeAnalyzer table (content_type_analyzer.rs:36-230):
+    per-content-type count / total size / avg request time."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    out = visited_ds.groupby("content_type").aggregate(
+        Count(alias_name="n"),
+        Sum("size", alias_name="total_size"),
+        Mean("request_time", alias_name="avg_time"),
+    )
+    t = _to_table(out)
+    return t.take(pc.sort_indices(t, sort_keys=[("content_type", "ascending")]))
+
+
+def source_domains_table(visited_ds) -> pa.Table:
+    """SourceDomainsAnalyzer (source_domains_analyzer.rs): per-host count
+    + bytes."""
+    from ray.data.aggregate import Count, Sum
+
+    out = visited_ds.groupby("host").aggregate(
+        Count(alias_name="n"), Sum("size", alias_name="total_size")
+    )
+    t = _to_table(out)
+    return t.take(pc.sort_indices(t, sort_keys=[("host", "ascending")]))
+
+
+def fastest_table(visited_ds, k: int = 20, max_time: float | None = None) -> pa.Table:
+    """FastestAnalyzer (fastest_analyzer.rs:46-64): HTML 200 rows,
+    ascending request_time, top k."""
+    ds = visited_ds.filter(expr=f"content_type == {ContentType.HTML} and status_code == 200")
+    if max_time is not None:
+        ds = ds.filter(expr=f"request_time <= {max_time}")
+    ds = ds.select_columns(["url", "request_time"]).sort(["request_time", "url"]).limit(k)
+    return _to_table(ds) or pa.table({"url": pa.array([], pa.string()), "request_time": pa.array([], pa.float64())})
+
+
+def slowest_table(visited_ds, k: int = 20) -> pa.Table:
+    """SlowestAnalyzer — descending request_time, top k."""
+    ds = (
+        visited_ds.filter(expr=f"content_type == {ContentType.HTML} and status_code == 200")
+        .select_columns(["url", "request_time"])
+        .sort(["request_time", "url"], descending=[True, False])
+        .limit(k)
+    )
+    return _to_table(ds) or pa.table({"url": pa.array([], pa.string()), "request_time": pa.array([], pa.float64())})
+
+
+def title_uniqueness_table(visited_ds, k: int = 10) -> pa.Table:
+    """BestPracticeAnalyzer title-uniqueness (best_practice_analyzer.rs:
+    615-863): non-unique titles, most-duplicated first."""
+    from ray.data.aggregate import Count
+
+    ds = visited_ds.filter(expr=f"content_type == {ContentType.HTML} and status_code == 200")
+    out = ds.groupby("title").aggregate(Count(alias_name="n"))
+    t = _to_table(out)
+    if t is None:
+        return pa.table({"title": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    t = t.filter(pc.greater(t["n"], 1))
+    t = t.take(pc.sort_indices(t, sort_keys=[("n", "descending"), ("title", "ascending")]))
+    return t.slice(0, k)
+
+
+def page404_table(visited_ds) -> pa.Table:
+    """Page404Analyzer (page404_analyzer.rs): 404 rows + the page that
+    linked them (broadcast uq_id→url lookup, no shuffle join — the
+    visited-side dict is the small side per SURVEY §2.4)."""
+    bad = _to_table(visited_ds.filter(expr="status_code == 404").select_columns(
+        ["url", "source_uq_id"]
+    ))
+    if bad is None:
+        return pa.table({"url": pa.array([], pa.string()), "found_on": pa.array([], pa.string())})
+    lookup_t = _to_table(visited_ds.select_columns(["uq_id", "url"]))
+    lut = dict(zip(lookup_t["uq_id"].to_pylist(), lookup_t["url"].to_pylist()))
+    found_on = [lut.get(s, "") for s in bad["source_uq_id"].to_pylist()]
+    t = pa.table({"url": bad["url"], "found_on": pa.array(found_on, pa.string())})
+    return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
+
+
+def skipped_by_reason_table(skipped: pa.Table) -> pa.Table:
+    """SkippedUrlsAnalyzer (skipped_urls_analyzer.rs): counts per reason."""
+    if skipped.num_rows == 0:
+        return pa.table({"reason": pa.array([], pa.int8()), "n": pa.array([], pa.int64())})
+    counts = skipped.group_by("reason").aggregate([("reason", "count")])
+    counts = counts.rename_columns(["reason", "n"])
+    return counts.take(pc.sort_indices(counts, sort_keys=[("reason", "ascending")]))
+
+
+def external_links_table(corpus_ds, seed_host: str, k_examples: int = 5) -> pa.Table:
+    """ExternalLinksAnalyzer (external_links_analyzer.rs): group external
+    link targets, occurrence count + up to 5 example source pages.
+    Runs over the corpus spans (the per-page discovery stream)."""
+    from ..functions import urls as U
+
+    def explode_external(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        refs = flat.field("media_ref").to_numpy(zero_copy_only=False)
+        kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+        docs = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_url, out_src = [], []
+        for i in range(len(refs)):
+            if kinds[i] != "link" or not refs[i]:
+                continue
+            c = U.canonicalize(U.normalize_href(refs[i]), docs[parent[i]])
+            if c is None:
+                continue
+            if not U.is_same_host(U.host_of(c), seed_host):
+                out_url.append(c)
+                out_src.append(docs[parent[i]])
+        return pa.table({"url": pa.array(out_url, pa.string()), "source": pa.array(out_src, pa.string())})
+
+    ext = corpus_ds.map_batches(explode_external, batch_format="pyarrow")
+
+    def per_group(g):
+        import pandas as pd
+
+        srcs = sorted(g["source"].unique())[:k_examples]
+        return pd.DataFrame({"url": [g["url"].iloc[0]], "n": [len(g)], "examples": [";".join(srcs)]})
+
+    out = ext.groupby("url").map_groups(per_group, batch_format="pandas")
+    t = _to_table(out)
+    if t is None:
+        return pa.table({"url": pa.array([], pa.string()), "n": pa.array([], pa.int64()),
+                         "examples": pa.array([], pa.string())})
+    return t.take(pc.sort_indices(t, sort_keys=[("n", "descending"), ("url", "ascending")]))
+
+
+def sitemap_urls(visited_ds) -> pa.Table:
+    """SitemapExporter ordering (sitemap_exporter.rs:45-63): internal
+    HTML-200 URLs sorted by slash count (trailing '/' trimmed) then
+    lexicographic; priority = clamp(base + inc·(1−path_slashes), .1, 1)."""
+    ds = visited_ds.filter(
+        expr=f"content_type == {ContentType.HTML} and status_code == 200 and is_external == False"
+        if "is_external" in visited_ds.schema().names
+        else f"content_type == {ContentType.HTML} and status_code == 200"
+    ).select_columns(["url"])
+    t = _to_table(ds)
+    if t is None:
+        return pa.table({"url": pa.array([], pa.string()), "slashes": pa.array([], pa.int64()),
+                         "priority": pa.array([], pa.float64())})
+    urls = t["url"]
+    trimmed = pc.utf8_rtrim(urls, characters="/")
+    slashes = pc.count_substring(trimmed, "/")
+    t = pa.table({"url": urls, "slashes": slashes.cast(pa.int64())})
+    t = t.take(pc.sort_indices(t, sort_keys=[("slashes", "ascending"), ("url", "ascending")]))
+    from urllib.parse import urlsplit
+
+    base, inc = 0.5, 0.1
+    prio = [
+        min(1.0, max(0.1, base + inc * (1.0 - urlsplit(u).path.count("/"))))
+        for u in t["url"].to_pylist()
+    ]
+    return t.append_column("priority", pa.array(prio, pa.float64()))
+
+
+def write_sitemap_xml(sitemap: pa.Table, path: str) -> None:
+    """XML rendering (sitemap_exporter.rs:66-110), XML-escaped locs."""
+    from xml.sax.saxutils import escape
+
+    lines = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<urlset xmlns="https://www.sitemaps.org/schemas/sitemap/0.9">',
+    ]
+    for u, p in zip(sitemap["url"].to_pylist(), sitemap["priority"].to_pylist()):
+        lines += ["  <url>", f"    <loc>{escape(u)}</loc>", f"    <priority>{p:.1f}</priority>", "  </url>"]
+    lines.append("</urlset>")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def page_findings(visited_ds) -> pa.Table:
+    """Per-page analyzer findings (SEO/best-practice span checks adapted
+    to the interleaved corpus — seo_opengraph_analyzer.rs:650-779 /
+    best_practice_analyzer.rs:173-614 class of per-row checks), then a
+    groupby summary.  Vectorized map_batches + one small shuffle."""
+    from ray.data.aggregate import Count
+
+    def check(batch: pa.Table) -> pa.Table:
+        ok = pc.is_valid(batch["spans"])
+        titles = batch["title"].to_numpy(zero_copy_only=False)
+        descs = batch["description"].to_numpy(zero_copy_only=False)
+        pages = ok.to_numpy(zero_copy_only=False)
+        finding = np.full(len(titles), "ok", dtype=object)
+        finding[pages & (titles == "")] = "missing-title"
+        finding[pages & (titles != "") & (np.char.str_len(titles.astype(str)) > 60)] = "long-title"
+        finding[pages & (descs == "")] = "missing-description"
+        finding[~pages] = "non-page"
+        return pa.table({"finding": pa.array(finding, pa.string())})
+
+    out = visited_ds.map_batches(check, batch_format="pyarrow").groupby("finding").aggregate(
+        Count(alias_name="n")
+    )
+    t = _to_table(out)
+    return t.take(pc.sort_indices(t, sort_keys=[("finding", "ascending")]))

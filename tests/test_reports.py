@@ -1,0 +1,88 @@
+"""Report-table battery over a real crawl's visited dataset."""
+
+import os
+
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@pytest.fixture(scope="module")
+def crawl(tmp_path_factory, ray_session):
+    from siteone_crawler_ray.pipelines.crawl import CrawlConfig, EpochCrawler
+    from siteone_crawler_ray.sources.corpus import make_graph_corpus, write_corpus
+
+    tmp = str(tmp_path_factory.mktemp("crawlrep"))
+    tabs = make_graph_corpus(seed=21, hosts=3, total_pages=250, out_degree=5)
+    cp = os.path.join(tmp, "corpus")
+    write_corpus(tabs["documents"], cp, num_buckets=4)
+    seeds = tabs["seeds"]["url"].to_pylist()
+    robots = dict(zip(tabs["robots"]["host"].to_pylist(), tabs["robots"]["body"].to_pylist()))
+    res = EpochCrawler(cp, seeds, robots, os.path.join(tmp, "work"),
+                       CrawlConfig(use_ray=False, num_shards=4)).run()
+    import ray.data as rd
+
+    ds = rd.read_parquet(res.visited_dir, file_extensions=["parquet"])
+    return res, ds, tabs
+
+
+def test_basic_stats_and_counts(crawl):
+    from siteone_crawler_ray.pipelines import reports
+
+    res, ds, _ = crawl
+    bs = reports.basic_stats(ds)
+    assert bs["total_urls"][0].as_py() == res.metrics["visited"]
+    assert bs["min_time"][0].as_py() <= bs["p90_time"][0].as_py() <= bs["max_time"][0].as_py()
+    cbs = reports.count_by_status(ds)
+    assert sum(cbs["n"].to_pylist()) == res.metrics["visited"]
+    ct = reports.content_type_table(ds)
+    assert ct.num_rows >= 2  # html + assets
+
+
+def test_topk_and_uniqueness(crawl):
+    from siteone_crawler_ray.pipelines import reports
+
+    _, ds, _ = crawl
+    fast = reports.fastest_table(ds, k=5)
+    slow = reports.slowest_table(ds, k=5)
+    assert fast.num_rows == 5 and slow.num_rows == 5
+    ft = fast["request_time"].to_pylist()
+    st = slow["request_time"].to_pylist()
+    assert ft == sorted(ft) and st == sorted(st, reverse=True)
+    assert min(ft) <= max(st)
+    tu = reports.title_uniqueness_table(ds)
+    assert all(n > 1 for n in tu["n"].to_pylist())
+
+
+def test_domains_404_skips_sitemap(crawl):
+    from siteone_crawler_ray.pipelines import reports
+
+    res, ds, tabs = crawl
+    sd = reports.source_domains_table(ds)
+    assert sd.num_rows >= 1
+    p404 = reports.page404_table(ds)
+    assert p404.num_rows >= 0
+    sk = reports.skipped_by_reason_table(res.skipped)
+    assert sum(sk["n"].to_pylist()) == res.skipped.num_rows
+    sm = reports.sitemap_urls(ds)
+    sl = sm["slashes"].to_pylist()
+    assert sl == sorted(sl)
+    assert all(0.1 <= p <= 1.0 for p in sm["priority"].to_pylist())
+    out = os.path.join(res.workdir, "sitemap.xml")
+    reports.write_sitemap_xml(sm, out)
+    txt = open(out).read()
+    assert txt.startswith('<?xml version="1.0"') and "<urlset" in txt
+
+
+def test_external_links_and_findings(crawl):
+    import ray.data as rd
+
+    from siteone_crawler_ray.pipelines import reports
+
+    res, ds, tabs = crawl
+    corpus_ds = rd.from_arrow(tabs["documents"])
+    ext = reports.external_links_table(corpus_ds, "site-000.test")
+    assert ext.num_rows > 0
+    assert all(";" not in e or len(e.split(";")) <= 5 for e in ext["examples"].to_pylist())
+    pf = reports.page_findings(ds)
+    assert sum(pf["n"].to_pylist()) == res.metrics["visited"]

@@ -1,0 +1,134 @@
+"""Dedup / similarity / text-analysis / multimodal stage tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _docs_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                                   "text": pa.array([r[1] for r in rows], pa.string())}))
+
+
+def test_exact_dedup():
+    from siteone_crawler_ray.stages.dedup import exact_dedup
+
+    ds = _docs_ds([(1, "aaa bbb"), (2, "ccc"), (5, "aaa bbb"), (3, "ccc"), (9, "unique")])
+    out = exact_dedup(ds).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 9]
+
+
+def test_minhash_near_dup_pairs():
+    from siteone_crawler_ray.stages.dedup import minhash_dedup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about ray data pipelines and arrow batches for scale"
+    ds = _docs_ds([(1, base), (2, near), (3, other), (4, base)])
+    t = minhash_dedup_pairs(ds, threshold=0.5)
+    pairs = set(zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
+    assert (1, 4) in pairs  # identical
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_pairs():
+    from siteone_crawler_ray.stages.dedup import simhash_dedup_pairs
+
+    words = ["w%02d" % i for i in range(60)]
+    base = " ".join(words)
+    edit1 = " ".join(words[:-1] + ["zzz"])  # hamming 2 from base
+    other = " ".join("q%02d" % i for i in range(60))  # hamming ~35
+    ds = _docs_ds([(1, base), (2, edit1), (3, other)])
+    t = simhash_dedup_pairs(ds, max_hamming=6)
+    pairs = set(zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_embedding_dup_and_knn():
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.dedup import embedding_dup_pairs
+    from siteone_crawler_ray.stages.similarity import knn_bruteforce, knn_ivf
+
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(50, 16))
+    vecs[7] = vecs[3] + rng.normal(scale=1e-3, size=16)  # near-dup pair
+    t = pa.table({"vec_id": pa.array(np.arange(50), pa.int64()),
+                  "embedding": pa.array(list(vecs), pa.list_(pa.float64()))})
+    ds = rd.from_arrow(t)
+
+    dups = embedding_dup_pairs(ds, threshold=0.999)
+    assert (3, 7) in set(zip(dups["id_a"].to_pylist(), dups["id_b"].to_pylist()))
+
+    out = knn_bruteforce(ds, vecs[3], k=5)
+    assert out["vec_id"].to_pylist()[0] in (3, 7)
+    assert out.num_rows == 5
+    # exact brute force vs numpy reference
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    q = m[3]
+    want = np.lexsort((np.arange(50), -(m @ q)))[:5]
+    assert out["vec_id"].to_pylist() == list(want)
+
+    # IVF with full probe == exact
+    ivf = knn_ivf(ds, vecs[3], k=5, nlist=4, nprobe=4)
+    assert ivf["vec_id"].to_pylist() == out["vec_id"].to_pylist()
+
+
+def test_textstats():
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.textstats import (
+        fingerprints,
+        langid,
+        quality_scores,
+        token_counts,
+    )
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["the cat and the dog", "der hund ist nicht da"], pa.string())})
+    tc = token_counts(t)
+    assert tc["n_tokens"].to_pylist() == [5, 5]
+    q = quality_scores(t)
+    assert q["n_tokens"].to_pylist() == [5, 5]
+    assert abs(q["avg_tok_len"][0].as_py() - 19 / 5) < 1e-9
+    lg = langid(t)
+    assert lg["lang_pred"].to_pylist() == ["en", "de"]
+    fp = fingerprints(t)
+    assert len(set(fp["fingerprint"].to_pylist())) == 2
+    # deterministic across calls
+    assert fp.equals(fingerprints(t))
+    # and usable as a Dataset stage
+    out = rd.from_arrow(t).map_batches(token_counts, batch_format="pyarrow").to_pandas()
+    assert sorted(out["n_tokens"]) == [5, 5]
+
+
+def test_multimodal_plumbing():
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.multimodal import (
+        AudioFrameSampleStage,
+        ImageDecodeStage,
+        decode_pipeline,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(32)
+    ds = rd.from_arrow(media)
+    imgs = decode_pipeline(ds, "image", ImageDecodeStage, concurrency=1).to_pandas()
+    assert (imgs["width"] >= 16).all() and (imgs["n_bytes"] > 0).all()
+    assert all(len(f) == 8 for f in imgs["features"])
+    auds = decode_pipeline(ds, "audio", AudioFrameSampleStage, concurrency=1).to_pandas()
+    assert (auds["duration_sec"] > 0).all()
+    # real decoder is an explicit stub
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStage(decoder="real")(media.slice(0, 1))
+    # deterministic fake decode
+    a = ImageDecodeStage()(media.slice(0, 4))
+    b = ImageDecodeStage()(media.slice(0, 4))
+    assert a.equals(b)
