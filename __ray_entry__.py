@@ -1,44 +1,328 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline over the interleaved-span
+corpus derived deterministically from ``/root/testdata/sf0.001``;
+``queries()`` exposes every implemented operator/pipeline from
+SURVEY.md §2 plus the training-data additions; ``oracle_sql()`` gives
+the DuckDB-checkable subset (same column names; rounded floats use
+round-half-away on both sides; top-k queries carry deterministic
+tie-breaks).  Crawl/minhash/simhash/IVF/fingerprint/langid entries are
+not SQL-expressible → rows-only checks.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver — nothing here calls ray.init().
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+_CORPUS_CACHE: dict[str, str] = {}
+
+
+def _corpus_for(sf_dir: str) -> tuple[str, list[str], dict[str, str]]:
+    """Build (once per sf_dir) the interleaved corpus + seeds derived from
+    the testdata documents table; cache under /tmp."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join("/tmp", f"graft_corpus_{key}")
+    from siteone_crawler_ray.sources.corpus import interleaved_from_testdata, write_corpus
+
+    tabs = interleaved_from_testdata(sf_dir)
+    if key not in _CORPUS_CACHE:
+        if not os.path.exists(os.path.join(path, "_meta.json")):
+            write_corpus(tabs["documents"], path, num_buckets=16)
+        _CORPUS_CACHE[key] = path
+    seeds = tabs["seeds"]["url"].to_pylist()
+    return path, seeds, {}
+
+
+def _run_crawl(sf_dir: str):
+    from siteone_crawler_ray.pipelines.crawl import CrawlConfig, EpochCrawler
+
+    path, seeds, robots = _corpus_for(sf_dir)
+    key = os.path.basename(path)
+    workdir = os.path.join("/tmp", f"graft_crawl_{key}")
+    import shutil
+
+    if os.path.exists(workdir):
+        shutil.rmtree(workdir)
+    # multi-host corpus: allow all hosts via the reference's
+    # --allowed-domain wildcard semantics (crawler.rs:1871-1880)
+    cfg = CrawlConfig(num_shards=8, fetch_concurrency=4, gauntlet_concurrency=4,
+                      allowed_domains_crawl=("*",), allowed_domains_static=("*",),
+                      max_visited_urls=10_000_000, max_queue_length=10_000_000)
+    return EpochCrawler(path, seeds, robots, workdir, cfg).run()
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: epoch crawl over the sf0.001-derived interleaved corpus →
+    visited dataset (ordered by canonical crawl seq)."""
+    import ray.data as rd
+
+    res = _run_crawl("/root/testdata/sf0.001")
+    t = res.visited_table(
+        columns=["seq", "uq_id", "url", "url_key", "host", "depth", "source_uq_id",
+                 "source_attr", "status_code", "content_type", "request_time", "size",
+                 "epoch", "title"]
+    )
+    return rd.from_arrow(t)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from siteone_crawler_ray.pipelines import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def crawl_visited(sf_dir: str):
+        res = _run_crawl(sf_dir)
+        return res.visited_table(
+            columns=["seq", "uq_id", "url", "depth", "source_attr", "status_code",
+                     "content_type", "epoch"]
+        )
+
+    def crawl_span_kinds(sf_dir: str):
+        """span-explosion operator: count exploded link/asset spans by kind."""
+        import ray.data as rd
+        import pyarrow.compute as pc
+        import pyarrow as pa
+
+        from siteone_crawler_ray.sources.corpus import interleaved_from_testdata
+
+        tabs = interleaved_from_testdata(sf_dir)
+
+        def kinds(batch: pa.Table) -> pa.Table:
+            spans = batch["spans"]
+            if isinstance(spans, pa.ChunkedArray):
+                spans = spans.combine_chunks()
+            flat = pc.list_flatten(spans)
+            return pa.table({"kind": flat.field("kind")})
+
+        from ray.data.aggregate import Count
+
+        ds = rd.from_arrow(tabs["documents"]).map_batches(kinds, batch_format="pyarrow")
+        return ds.groupby("kind").aggregate(Count(alias_name="n"))
+
+    def minhash_pairs(sf_dir: str):
+        import ray.data as rd
+        import os as _os
+
+        from siteone_crawler_ray.stages.dedup import minhash_dedup_pairs
+
+        ds = rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        return minhash_dedup_pairs(ds, threshold=0.5)
+
+    def simhash_table(sf_dir: str):
+        import ray.data as rd
+        import os as _os
+
+        from siteone_crawler_ray.stages.dedup import simhash_batch
+
+        import pyarrow as pa
+
+        def signed(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "simhash": pa.array(b["simhash"].to_numpy(zero_copy_only=False).view("int64")),
+                }
+            )
+
+        return rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]).map_batches(
+            simhash_batch, batch_format="pyarrow"
+        ).map_batches(signed, batch_format="pyarrow")
+
+    def fingerprint_table(sf_dir: str):
+        import ray.data as rd
+        import os as _os
+        import pyarrow as pa
+
+        from siteone_crawler_ray.stages.textstats import fingerprints
+
+        def signed(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "fingerprint": pa.array(b["fingerprint"].to_numpy(zero_copy_only=False).view("int64")),
+                    "winnow_min": pa.array(b["winnow_min"].to_numpy(zero_copy_only=False).view("int64")),
+                }
+            )
+
+        return rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]).map_batches(
+            fingerprints, batch_format="pyarrow"
+        ).map_batches(signed, batch_format="pyarrow")
+
+    def langid_table(sf_dir: str):
+        import ray.data as rd
+        import os as _os
+
+        from siteone_crawler_ray.stages.textstats import langid
+
+        return rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]).map_batches(
+            langid, batch_format="pyarrow"
+        )
+
+    def ivf_knn(sf_dir: str):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        import os as _os
+
+        from siteone_crawler_ray.stages.similarity import knn_ivf
+
+        q = (
+            pq.read_table(_os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+            .filter(pc.equal(pc.field("vec_id"), 0))["embedding"]
+            .to_pylist()[0]
+        )
+        t = knn_ivf(
+            rd.read_parquet(_os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]),
+            np.array(q),
+            k=10,
+        )
+        return pa.table({"vec_id": t["vec_id"], "rank": t["rank"].cast(pa.int64())})
+
+    def media_decode(sf_dir: str):
+        import ray.data as rd
+
+        from siteone_crawler_ray.stages.multimodal import (
+            ImageDecodeStage,
+            decode_pipeline,
+            synthesize_media_table,
+        )
+
+        return decode_pipeline(rd.from_arrow(synthesize_media_table(128)), "image", ImageDecodeStage,
+                               concurrency=2).drop_columns(["features"])
+
+    return {
+        # groupby-agg report shapes (SURVEY §2.5)
+        "pricing_summary": R.pricing_summary,
+        "global_stats": R.global_stats,
+        "count_by_type": R.count_by_type,
+        "lang_counts": R.lang_counts,
+        "source_stats": R.source_stats,
+        "returned_by_supplier": R.returned_by_supplier,
+        "label_counts": R.label_counts,
+        # sort / top-k / percentile shapes (SURVEY §2.6)
+        "fastest_topk": R.fastest_topk,
+        "slowest_topk": R.slowest_topk,
+        "p90_by_type": R.p90_by_type,
+        # join / lookup shapes (SURVEY §2.4)
+        "segment_join": R.segment_join,
+        "range_join_count": R.range_join_count,
+        # distinct / window / parse shapes (SURVEY §2.5, §2.9)
+        "distinct_users_by_type": R.distinct_users_by_type,
+        "hourly_window": R.hourly_window,
+        "props_bucket": R.props_bucket,
+        # training-data ops over documents/embeddings
+        "exact_dedup": R.exact_dedup_table,
+        "token_counts": R.token_count_table,
+        "quality_scores": R.quality_table,
+        "knn_top10": R.knn_top10,
+        "embedding_norms": R.embedding_norms,
+        "embedding_dup_pairs": R.embedding_dup_pairs_table,
+        # non-SQL-expressible (rows-only checks)
+        "minhash_pairs": minhash_pairs,
+        "simhash_table": simhash_table,
+        "fingerprint_table": fingerprint_table,
+        "langid_table": langid_table,
+        "ivf_knn": ivf_knn,
+        "media_decode": media_decode,
+        "crawl_visited": crawl_visited,
+        "crawl_span_kinds": crawl_span_kinds,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "global_stats": """
+            SELECT count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(min(l_extendedprice), 3) AS min_price,
+                   round(max(l_extendedprice), 3) AS max_price,
+                   round(avg(l_extendedprice), 6) AS avg_price
+            FROM lineitem
+        """,
+        "count_by_type": "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+        "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "source_stats": """
+            SELECT source, count(*) AS n, round(avg(n_chars), 6) AS avg_chars
+            FROM documents GROUP BY source
+        """,
+        "returned_by_supplier": """
+            SELECT l_suppkey, count(*) AS n FROM lineitem
+            WHERE l_returnflag = 'R' GROUP BY l_suppkey
+        """,
+        "label_counts": "SELECT label, count(*) AS n FROM embeddings GROUP BY label",
+        "fastest_topk": "SELECT event_id, value FROM events ORDER BY value, event_id LIMIT 20",
+        "slowest_topk": "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 20",
+        "p90_by_type": """
+            WITH s AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS r,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events)
+            SELECT event_type, round(value, 3) AS p90
+            FROM s WHERE r = CAST(floor(0.9 * (n - 1) + 0.5) AS BIGINT)
+        """,
+        "segment_join": """
+            SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "range_join_count": """
+            SELECT e.event_id, count(o.o_orderkey) AS n_before
+            FROM events e LEFT JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            GROUP BY e.event_id
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "hourly_window": """
+            SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+                   round(sum(value), 2) AS total, count(*) AS n
+            FROM events GROUP BY user_id, hour
+        """,
+        "props_bucket": """
+            SELECT CAST(regexp_extract(props, '[0-9]+') AS INTEGER) % 10 AS k_mod,
+                   count(*) AS n
+            FROM events GROUP BY k_mod
+        """,
+        "exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "token_counts": "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents",
+        "quality_scores": """
+            SELECT doc_id,
+                   round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_tok_len,
+                   round(CAST(length(text)
+                         - length(replace(replace(replace(replace(text, '.', ''), ',', ''), '!', ''), '?', ''))
+                         AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio
+            FROM documents
+        """,
+        "knn_top10": """
+            SELECT vec_id, rank FROM (
+              SELECT vec_id, row_number() OVER (
+                ORDER BY list_cosine_similarity(embedding,
+                  (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id) AS rank
+              FROM embeddings) WHERE rank <= 10
+        """,
+        "embedding_norms": """
+            SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 4) AS l2
+            FROM embeddings
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+    }

@@ -46,15 +46,20 @@ def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality heuristics (length / punctuation / stopword ratios),
     all Arrow/numpy kernels.  round(·,6) so a DuckDB oracle can match
     bit-for-bit on the hashed values."""
+    from ..functions.numeric import round_away
+
     t = batch[text_col]
-    nchars = pc.binary_length(t).cast(pa.float64())
+    # utf8_length = characters, matching DuckDB length()
+    nchars = pc.utf8_length(t).cast(pa.float64())
     ntok = pc.add(pc.count_substring(t, " "), 1).cast(pa.float64())
     npunct = pc.add(
         pc.add(pc.count_substring(t, "."), pc.count_substring(t, ",")),
         pc.add(pc.count_substring(t, "!"), pc.count_substring(t, "?")),
     ).cast(pa.float64())
-    avg_tok_len = pc.round(pc.divide(nchars, ntok), ndigits=6)
-    punct_ratio = pc.round(pc.divide(npunct, pc.max_element_wise(nchars, 1.0)), ndigits=6)
+    avg_tok_len = pa.array(round_away(pc.divide(nchars, ntok).to_numpy(), 6))
+    punct_ratio = pa.array(
+        round_away(pc.divide(npunct, pc.max_element_wise(nchars, 1.0)).to_numpy(), 6)
+    )
     texts = t.to_numpy(zero_copy_only=False)
     stop_all = set().union(*STOPWORDS.values())
     stop_ratio = np.empty(len(texts))
