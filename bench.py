@@ -1,0 +1,154 @@
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N}
+
+``--scaling`` mode (north rule evidence, BASELINE.md protocol): runs
+the flagship epoch-crawl twice in FRESH subprocesses at num_cpus=8 and
+num_cpus=32 over the same corpus, reports pages/s + frontier ops/s at
+both levels and scaling efficiency = (T_8 / T_32) / 4, and appends the
+result to BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # crawl flagship + representative operators from each SURVEY §2 family
+    "crawl_visited",
+    "pricing_summary",
+    "segment_join",
+    "hourly_window",
+    "p90_by_type",
+    "distinct_users_by_type",
+    "exact_dedup",
+    "minhash_pairs",
+    "knn_top10",
+    "token_counts",
+]
+
+
+def _consume(obj) -> int:
+    """Force execution; return row count without pulling data to driver."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(obj, pa.Table):
+        return obj.num_rows
+    if isinstance(obj, pd.DataFrame):
+        return len(obj)
+    return obj.count()  # ray Dataset
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _consume(qs[name](sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return {
+        "metric": "headline_pipelines_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "num_cpus": num_cpus,
+    }
+
+
+def run_crawl_child(sf_dir: str, num_cpus: int) -> dict:
+    """One flagship crawl in this process; emits crawl metrics JSON."""
+    _init_ray(num_cpus)
+    import __ray_entry__ as entrymod
+
+    t0 = time.perf_counter()
+    res = entrymod._run_crawl(sf_dir)
+    wall = time.perf_counter() - t0
+    m = res.metrics
+    return {
+        "wall_sec": round(wall, 3),
+        "crawl_sec": m["total_sec"],
+        "visited": m["visited"],
+        "candidates": m["candidates"],
+        "pages_per_sec": m["pages_per_sec"],
+        "frontier_ops_per_sec": m["frontier_ops_per_sec"],
+        "num_cpus": num_cpus,
+    }
+
+
+def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
+    """Fresh-process runs at two parallelism levels (N and 4N CPUs)."""
+    results = {}
+    for n in levels:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_crawl-child"],
+            env=env, capture_output=True, text=True, check=True, cwd="/tmp",
+        )
+        results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+    lo, hi = min(levels), max(levels)
+    t_lo, t_hi = results[lo]["crawl_sec"], results[hi]["crawl_sec"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    report = {
+        "metric": "crawl_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": f"(T{lo}/T{hi})/{hi // lo}",
+        "levels": {str(n): results[n] for n in levels},
+        "sf": sf_dir,
+    }
+    return report
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--_crawl-child", dest="crawl_child", action="store_true")
+    ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.crawl_child:
+        print(json.dumps(run_crawl_child(args.sf_dir, num_cpus)))
+    elif args.scaling:
+        report = run_scaling(args.sf_dir)
+        print(json.dumps(report))
+    else:
+        print(json.dumps(run_bench(args.sf_dir, num_cpus)))
+
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
