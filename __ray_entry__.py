@@ -108,7 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from siteone_crawler_ray.stages.dedup import minhash_dedup_pairs
 
-        ds = rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        ds = rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"], override_num_blocks=32)
         return minhash_dedup_pairs(ds, threshold=0.5)
 
     def simhash_table(sf_dir: str):
@@ -127,7 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
-        return rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]).map_batches(
+        return rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"], override_num_blocks=32).map_batches(
             simhash_batch, batch_format="pyarrow"
         ).map_batches(signed, batch_format="pyarrow")
 
@@ -149,7 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
-        return rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]).map_batches(
+        return rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"], override_num_blocks=32).map_batches(
             fingerprints, batch_format="pyarrow"
         ).map_batches(signed, batch_format="pyarrow")
 
@@ -159,7 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from siteone_crawler_ray.stages.textstats import langid
 
-        return rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]).map_batches(
+        return rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"], override_num_blocks=32).map_batches(
             langid, batch_format="pyarrow"
         )
 
@@ -179,7 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .to_pylist()[0]
         )
         t = knn_ivf(
-            rd.read_parquet(_os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]),
+            rd.read_parquet(_os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"], override_num_blocks=16),
             np.array(q),
             k=10,
         )

@@ -1,0 +1,113 @@
+"""Partial (combiner-style) grouped aggregation over a Ray Dataset.
+
+The reference's report tables are all low-cardinality groupbys (status
+code, content type, host, reason — SURVEY.md §2.5).  A naive
+``ds.groupby(k).aggregate(...)`` is an all-to-all shuffle of every row;
+the scale-correct plan is the classic combiner: each block is reduced to
+``≤ num_groups`` rows by pyarrow's C++ hash aggregation inside
+``map_batches``, and only those tiny partials move.  At 100 TB this
+turns the wide shuffle into a broadcast-sized final combine (partials
+are ``num_blocks × num_groups`` rows); the final combine happens on the
+driver for report-sized cardinalities (the only consumer is a report
+table) — for high-cardinality keys keep ``ds.groupby`` instead.
+
+Supported kinds: count, sum, min, max, mean (sum+count decomposition).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_PARTIAL_KIND = {"sum": "sum", "mean": "sum", "min": "min", "max": "max"}
+# how to merge a partial column at the final combine
+_MERGE_KIND = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
+
+
+def _partial_aggs(specs) -> list:
+    aggs: set[tuple] = set()
+    need_count = False
+    for _, col, kind in specs:
+        if kind in _PARTIAL_KIND:
+            aggs.add((col, _PARTIAL_KIND[kind]))
+        if kind in ("count", "mean"):
+            need_count = True
+    out = sorted(aggs)
+    if need_count:
+        out.append(([], "count_all"))
+    return out
+
+
+def make_partial_fn(keys: list[str], specs):
+    """Batch fn reducing a block to one row per group present in it."""
+    aggs = _partial_aggs(specs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(keys, use_threads=False).aggregate(aggs)
+
+    return partial
+
+
+def combine_partials(parts: pa.Table, keys: list[str], specs) -> pa.Table:
+    """Merge per-block partials into the final grouped result."""
+    merge = []
+    for col, kind in _partial_aggs(specs):
+        pname = "count_all" if kind == "count_all" else f"{col}_{kind}"
+        merge.append((pname, _MERGE_KIND.get(kind, "sum") if kind != "count_all" else "sum"))
+    merged = parts.group_by(keys, use_threads=False).aggregate(merge)
+
+    cols = {k: merged[k] for k in keys}
+    for name, col, kind in specs:
+        if kind == "count":
+            cols[name] = merged["count_all_sum"]
+        elif kind == "mean":
+            cols[name] = pc.divide(
+                pc.cast(merged[f"{col}_sum_sum"], pa.float64()),
+                pc.cast(merged["count_all_sum"], pa.float64()),
+            )
+        else:
+            pk = _PARTIAL_KIND[kind]
+            cols[name] = merged[f"{col}_{pk}_{_MERGE_KIND[pk]}"]
+    return pa.table(cols)
+
+
+def grouped_agg(ds, keys: list[str], specs) -> pa.Table:
+    """ds → partial per block → driver combine.  specs: (out, col, kind)."""
+    import ray
+
+    partial = make_partial_fn(keys, specs)
+    blocks = [ray.get(r) for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_rows]
+    parts = pa.concat_tables(blocks, promote_options="permissive")
+    return combine_partials(parts, keys, specs)
+
+
+def global_agg(ds, specs) -> dict:
+    """Keyless version: one scalar row.  specs: (out, col, kind)."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        row = {"__n": pa.array([batch.num_rows], pa.int64())}
+        for _, col, kind in specs:
+            if kind == "count":
+                continue
+            pk = _PARTIAL_KIND[kind]
+            row[f"{col}_{pk}"] = pa.array(
+                [getattr(pc, pk if pk != "sum" else "sum")(batch[col]).as_py()]
+            )
+        return pa.table(row)
+
+    blocks = [ray.get(r) for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()]
+    parts = pa.concat_tables([b for b in blocks if b.num_rows], promote_options="permissive")
+    n = pc.sum(parts["__n"]).as_py()
+    out = {}
+    for name, col, kind in specs:
+        if kind == "count":
+            out[name] = n
+        elif kind == "mean":
+            out[name] = pc.sum(parts[f"{col}_sum"]).as_py() / n
+        else:
+            pk = _PARTIAL_KIND[kind]
+            fn = {"sum": pc.sum, "min": pc.min, "max": pc.max}[pk]
+            out[name] = fn(parts[f"{col}_{pk}"]).as_py()
+    return out

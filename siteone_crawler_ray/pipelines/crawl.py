@@ -76,6 +76,11 @@ class CrawlConfig:
     gauntlet_concurrency: int = 4
     filter_capacity: int = 1 << 20
     use_ray: bool = True  # False → in-process loop (unit tests / oracle-speed runs)
+    # waves smaller than this run in-process (identical code path/output):
+    # Ray Data execution has ~1s fixed cost per Dataset run, which dominates
+    # BFS tail epochs with a handful of URLs.  At 100 TB waves are millions
+    # of rows and always take the Ray path.
+    ray_wave_threshold: int = 512
 
     def fingerprint(self) -> str:
         from ..functions.hashing import xxh64
@@ -215,12 +220,13 @@ class EpochCrawler:
         wave = wave.append_column("epoch", pa.array(np.full(W, self.epoch), type=pa.int32()))
 
         vdir = os.path.join(self.workdir, "visited", f"epoch={self.epoch}")
+        ray_epoch = self._use_ray and W >= self.cfg.ray_wave_threshold
         t_fetch = time.perf_counter()
-        self._run_fetch(wave, vdir)
+        self._run_fetch(wave, vdir, ray_epoch)
         t_fetch = time.perf_counter() - t_fetch
 
         t_cand = time.perf_counter()
-        cands = self._run_extract(vdir)
+        cands = self._run_extract(vdir, ray_epoch)
         n_cands = cands.num_rows
         self._record_skips(cands)
         self._admit(cands, W)
@@ -242,17 +248,19 @@ class EpochCrawler:
         self._checkpoint()
         return W
 
-    def _run_fetch(self, wave: pa.Table, vdir: str) -> None:
+    def _run_fetch(self, wave: pa.Table, vdir: str, ray_epoch: bool) -> None:
         fetch_kwargs = dict(
             corpus_path=self.corpus_path,
             max_reqs_per_sec=self.cfg.max_reqs_per_sec,
             budget_split=self.cfg.fetch_concurrency,
         )
-        if self._use_ray:
+        if ray_epoch:
             import ray.data as rd
 
             nblocks = max(1, min(self.cfg.fetch_concurrency * 2, -(-wave.num_rows // self.cfg.fetch_batch_size)))
-            ds = rd.from_arrow(wave).repartition(nblocks)
+            # driver-side slicing (zero-copy) instead of a repartition shuffle
+            step = -(-wave.num_rows // nblocks)
+            ds = rd.from_arrow([wave.slice(i, step) for i in range(0, wave.num_rows, step)])
             ds = ds.map_batches(
                 FetchStage,
                 fn_constructor_kwargs=fetch_kwargs,
@@ -286,8 +294,8 @@ class EpochCrawler:
 
     EXTRACT_COLUMNS = ["doc_id", "spans", "seq", "wavepos", "depth", "uq_id"]
 
-    def _run_extract(self, vdir: str) -> pa.Table:
-        if self._use_ray:
+    def _run_extract(self, vdir: str, ray_epoch: bool) -> pa.Table:
+        if ray_epoch:
             import ray
             import ray.data as rd
 

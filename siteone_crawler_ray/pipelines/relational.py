@@ -27,10 +27,17 @@ import pyarrow.compute as pc
 from ..functions.numeric import round_away
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, blocks: int = 32):
+    """Column-pruned read.  The testdata tables are single small parquet
+    files → Ray's size-based splitting yields ONE block, serializing every
+    downstream map_batches onto one core; override_num_blocks restores
+    fan-out.  (At production scale the many-file layout provides natural
+    blocks and the override is a no-op safety net.)"""
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns, override_num_blocks=blocks
+    )
 
 
 def _collect(ds) -> pa.Table:
@@ -45,16 +52,16 @@ def _collect(ds) -> pa.Table:
 
 
 def pricing_summary(sf_dir: str) -> pa.Table:
-    """content-type-table shape: groupby flag → count/sum/avg."""
-    from ray.data.aggregate import Count, Mean, Sum
+    """content-type-table shape: groupby flag → count/sum/avg.
+    Low-cardinality key → combiner partial agg, no all-to-all shuffle."""
+    from ..functions.agg import grouped_agg
 
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
-    out = ds.groupby("l_returnflag").aggregate(
-        Count(alias_name="n"),
-        Sum("l_quantity", alias_name="sum_qty"),
-        Mean("l_extendedprice", alias_name="avg_price"),
+    t = grouped_agg(
+        ds,
+        ["l_returnflag"],
+        [("n", None, "count"), ("sum_qty", "l_quantity", "sum"), ("avg_price", "l_extendedprice", "mean")],
     )
-    t = _collect(out)
     return pa.table(
         {
             "l_returnflag": t["l_returnflag"],
@@ -67,15 +74,18 @@ def pricing_summary(sf_dir: str) -> pa.Table:
 
 def global_stats(sf_dir: str) -> pa.Table:
     """BasicStats shape: single-row totals/min/max/avg."""
-    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+    from ..functions.agg import global_agg
 
     ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
-    agg = ds.aggregate(
-        Count(alias_name="n"),
-        Sum("l_quantity", alias_name="sum_qty"),
-        Min("l_extendedprice", alias_name="min_price"),
-        Max("l_extendedprice", alias_name="max_price"),
-        Mean("l_extendedprice", alias_name="avg_price"),
+    agg = global_agg(
+        ds,
+        [
+            ("n", None, "count"),
+            ("sum_qty", "l_quantity", "sum"),
+            ("min_price", "l_extendedprice", "min"),
+            ("max_price", "l_extendedprice", "max"),
+            ("avg_price", "l_extendedprice", "mean"),
+        ],
     )
     return pa.table(
         {
@@ -89,25 +99,25 @@ def global_stats(sf_dir: str) -> pa.Table:
 
 
 def count_by_type(sf_dir: str) -> pa.Table:
-    """count_by_status shape."""
-    from ray.data.aggregate import Count
+    """count_by_status shape (combiner partial agg)."""
+    from ..functions.agg import grouped_agg
 
-    return _collect(_read(sf_dir, "events", ["event_type"]).groupby("event_type").aggregate(Count(alias_name="n")))
+    return grouped_agg(_read(sf_dir, "events", ["event_type"]), ["event_type"], [("n", None, "count")])
 
 
 def lang_counts(sf_dir: str) -> pa.Table:
-    from ray.data.aggregate import Count
+    from ..functions.agg import grouped_agg
 
-    return _collect(_read(sf_dir, "documents", ["lang"]).groupby("lang").aggregate(Count(alias_name="n")))
+    return grouped_agg(_read(sf_dir, "documents", ["lang"]), ["lang"], [("n", None, "count")])
 
 
 def source_stats(sf_dir: str) -> pa.Table:
-    from ray.data.aggregate import Count, Mean
+    from ..functions.agg import grouped_agg
 
-    t = _collect(
-        _read(sf_dir, "documents", ["source", "n_chars"])
-        .groupby("source")
-        .aggregate(Count(alias_name="n"), Mean("n_chars", alias_name="avg_chars"))
+    t = grouped_agg(
+        _read(sf_dir, "documents", ["source", "n_chars"]),
+        ["source"],
+        [("n", None, "count"), ("avg_chars", "n_chars", "mean")],
     )
     return pa.table(
         {"source": t["source"], "n": t["n"], "avg_chars": pa.array(round_away(t["avg_chars"].to_numpy(), 6))}
@@ -115,21 +125,22 @@ def source_stats(sf_dir: str) -> pa.Table:
 
 
 def returned_by_supplier(sf_dir: str) -> pa.Table:
-    """404-table shape: filter + groupby."""
-    from ray.data.aggregate import Count
+    """404-table shape: filter + groupby (combiner; ~10k supplier groups
+    still partial-aggregates well below block size)."""
+    from ..functions.agg import grouped_agg
 
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_suppkey"])
     ds = ds.map_batches(
         lambda b: b.filter(pc.equal(b["l_returnflag"], "R")).select(["l_suppkey"]),
         batch_format="pyarrow",
     )
-    return _collect(ds.groupby("l_suppkey").aggregate(Count(alias_name="n")))
+    return grouped_agg(ds, ["l_suppkey"], [("n", None, "count")])
 
 
 def label_counts(sf_dir: str) -> pa.Table:
-    from ray.data.aggregate import Count
+    from ..functions.agg import grouped_agg
 
-    return _collect(_read(sf_dir, "embeddings", ["label"]).groupby("label").aggregate(Count(alias_name="n")))
+    return grouped_agg(_read(sf_dir, "embeddings", ["label"]), ["label"], [("n", None, "count")])
 
 
 # -- top-k / percentile shapes ----------------------------------------------
@@ -151,20 +162,29 @@ def slowest_topk(sf_dir: str, k: int = 20) -> pa.Table:
 
 
 def p90_by_type(sf_dir: str) -> pa.Table:
-    """reference nearest-rank p90 per group (basic_stats.rs:14-21)."""
+    """reference nearest-rank p90 per group (basic_stats.rs:14-21).
+
+    Exact percentiles need every value of a group together; with a
+    handful of groups the cheapest exchange is collecting the two
+    pruned columns and a numpy grouped sort on the driver.  Scale path
+    (values no longer driver-sized): ds.sort(["event_type","value"])
+    + per-partition rank selection, or a t-digest sketch when approx
+    is acceptable."""
     from .reports import reference_percentile
 
-    def per_group(g):
-        import pandas as pd
-
-        return pd.DataFrame(
-            {"event_type": [g["event_type"].iloc[0]], "p90": [reference_percentile(g["value"].to_numpy(), 90)]}
-        )
-
-    out = _read(sf_dir, "events", ["event_type", "value"]).groupby("event_type").map_groups(
-        per_group, batch_format="pandas"
+    t = _collect(_read(sf_dir, "events", ["event_type", "value"]))
+    et = t["event_type"].to_numpy(zero_copy_only=False).astype(str)
+    val = t["value"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((val, et))
+    et, val = et[order], val[order]
+    starts = np.nonzero(np.concatenate([[True], et[1:] != et[:-1]]))[0]
+    ends = np.append(starts[1:], len(et))
+    return pa.table(
+        {
+            "event_type": pa.array(et[starts], pa.string()),
+            "p90": pa.array([reference_percentile(val[s:e], 90) for s, e in zip(starts, ends)]),
+        }
     )
-    return _collect(out)
 
 
 # -- join / lookup shapes ----------------------------------------------------
@@ -174,9 +194,10 @@ def segment_join(sf_dir: str) -> pa.Table:
     """source-join shape: broadcast small side (customer) into map_batches,
     then groupby — no shuffle join (SURVEY.md §2.4)."""
     import ray
-    from ray.data.aggregate import Count, Sum
 
     import pyarrow.parquet as pq
+
+    from ..functions.agg import grouped_agg
 
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"])
     lut_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
@@ -187,13 +208,10 @@ def segment_join(sf_dir: str) -> pa.Table:
         seg = np.array([lut.get(int(kk), "") for kk in keys], dtype=object)
         return pa.table({"c_mktsegment": pa.array(seg, pa.string()), "o_totalprice": batch["o_totalprice"]})
 
-    out = (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(attach, batch_format="pyarrow")
-        .groupby("c_mktsegment")
-        .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="total"))
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(attach, batch_format="pyarrow")
+    t = grouped_agg(
+        ds, ["c_mktsegment"], [("n", None, "count"), ("total", "o_totalprice", "sum")]
     )
-    t = _collect(out)
     return pa.table(
         {"c_mktsegment": t["c_mktsegment"], "n": t["n"], "total": pa.array(round_away(t["total"].to_numpy(), 2))}
     )
@@ -250,27 +268,38 @@ def distinct_users_by_type(sf_dir: str) -> pa.Table:
         )
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"]).map_batches(pair_dedup, batch_format="pyarrow")
-    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="c"))
-    out = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
-    return _collect(out).select(["event_type", "n_users"])
+    # per-block dedup shrinks each block to its distinct pairs; the
+    # residue (bounded by global pair cardinality) combines on the
+    # driver.  Scale path: hash-partition by user_id so each partition
+    # dedups and counts independently, then sum per type.
+    t = _collect(ds)
+    et = t["event_type"].to_numpy(zero_copy_only=False).astype(str)
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    key = np.char.add(np.char.add(et, "\x00"), uid.astype(str))
+    _, idx = np.unique(key, return_index=True)
+    types, counts = np.unique(et[idx], return_counts=True)
+    return pa.table({"event_type": pa.array(types, pa.string()), "n_users": pa.array(counts.astype(np.int64))})
 
 
 def hourly_window(sf_dir: str) -> pa.Table:
-    """tumbling-window shape: (user, hour-bucket) aggregate."""
-    from ray.data.aggregate import Count, Sum
+    """tumbling-window shape: (user, hour-bucket) aggregate.
+
+    Combiner partials per block (pyarrow hash agg), final combine over
+    the partial residue.  Event streams are roughly time-ordered so a
+    block covers few hours and partials shrink well; at 100 TB the
+    final combine becomes a hash-partition exchange on user_id instead
+    of a driver merge."""
+    from ..functions.agg import grouped_agg
 
     def add_hour(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         hour = ts // 3_600_000_000
         return pa.table({"user_id": batch["user_id"], "hour": pa.array(hour), "value": batch["value"]})
 
-    out = (
-        _read(sf_dir, "events", ["user_id", "ts", "value"])
-        .map_batches(add_hour, batch_format="pyarrow")
-        .groupby(["user_id", "hour"])
-        .aggregate(Sum("value", alias_name="total"), Count(alias_name="n"))
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(add_hour, batch_format="pyarrow")
+    t = grouped_agg(
+        ds, ["user_id", "hour"], [("total", "value", "sum"), ("n", None, "count")]
     )
-    t = _collect(out)
     return pa.table(
         {
             "user_id": t["user_id"],
