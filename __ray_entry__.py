@@ -26,13 +26,13 @@ def _corpus_for(sf_dir: str) -> tuple[str, list[str], dict[str, str]]:
     """Build (once per sf_dir) the interleaved corpus + seeds derived from
     the testdata documents table; cache under /tmp."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join("/tmp", f"graft_corpus_{key}")
+    path = os.path.join("/tmp", f"graft_corpus_{key}_b128")
     from siteone_crawler_ray.sources.corpus import interleaved_from_testdata, write_corpus
 
     tabs = interleaved_from_testdata(sf_dir)
     if key not in _CORPUS_CACHE:
         if not os.path.exists(os.path.join(path, "_meta.json")):
-            write_corpus(tabs["documents"], path, num_buckets=16)
+            write_corpus(tabs["documents"], path, num_buckets=128)
         _CORPUS_CACHE[key] = path
     seeds = tabs["seeds"]["url"].to_pylist()
     return path, seeds, {}
@@ -50,7 +50,7 @@ def _run_crawl(sf_dir: str):
         shutil.rmtree(workdir)
     # multi-host corpus: allow all hosts via the reference's
     # --allowed-domain wildcard semantics (crawler.rs:1871-1880)
-    cfg = CrawlConfig(num_shards=8, fetch_concurrency=4, gauntlet_concurrency=4,
+    cfg = CrawlConfig(num_shards=8,
                       allowed_domains_crawl=("*",), allowed_domains_static=("*",),
                       max_visited_urls=10_000_000, max_queue_length=10_000_000)
     return EpochCrawler(path, seeds, robots, workdir, cfg).run()

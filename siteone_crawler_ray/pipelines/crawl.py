@@ -6,10 +6,10 @@ output under the canonical (workers=1-equivalent) ordering contract of
 SURVEY.md §3.2:
 
     wave e = drain(shards) sorted by priority
-    fetch  = Ray Data: from_arrow(wave) → map_batches(FetchStage actors)
-             → write_parquet(ckpt/visited/epoch=e)      # checkpoint IS lineage
-    extract= read_parquet(spans columns) → explode_spans
-             → map_batches(CandidateGauntlet actors)    # canonicalize+filters
+    fused  = persistent CrawlWorker actors (stages/worker.py), one call
+             per wave chunk: fetch → write visited parquet part (the
+             checkpointed lineage) → explode_spans → candidate gauntlet;
+             pools are created once per run, not per wave
     admit  = dedup first-wins by priority → shard contains → caps → offer
 
 Priority packs (source wave position, span extraction index); visited
@@ -47,9 +47,9 @@ import pyarrow.parquet as pq
 from ..functions import urls as U
 from ..functions.hashing import uq_ids, xxh64_strings
 from ..functions.robots import RobotsIndex
-from ..stages.extract import PRIO_SHIFT, CandidateGauntlet, explode_spans
-from ..stages.fetch import FetchStage
+from ..stages.extract import PRIO_SHIFT
 from ..stages.frontier import FrontierShardState, shard_of
+from ..stages.worker import CrawlWorker, adaptive_worker_count, make_crawl_workers
 from ..types import UrlSource
 
 
@@ -71,15 +71,15 @@ class CrawlConfig:
     max_reqs_per_sec: float | None = None  # None → politeness off (corpus mode)
     # physical execution
     num_shards: int = 8
-    fetch_concurrency: int = 4
+    fetch_concurrency: int | None = None  # None → adaptive to cluster CPUs
     fetch_batch_size: int = 2048
-    gauntlet_concurrency: int = 4
+    gauntlet_concurrency: int = 4  # kept for config compat; gauntlet runs fused in workers
     filter_capacity: int = 1 << 20
     use_ray: bool = True  # False → in-process loop (unit tests / oracle-speed runs)
-    # waves smaller than this run in-process (identical code path/output):
-    # Ray Data execution has ~1s fixed cost per Dataset run, which dominates
-    # BFS tail epochs with a handful of URLs.  At 100 TB waves are millions
-    # of rows and always take the Ray path.
+    # waves smaller than this are processed by the driver-local worker
+    # (identical code path/output): dispatching a handful of URLs to
+    # remote actors costs more than the work.  At 100 TB waves are
+    # millions of rows and always fan out.
     ray_wave_threshold: int = 512
 
     def fingerprint(self) -> str:
@@ -124,6 +124,8 @@ class EpochCrawler:
         config: CrawlConfig | None = None,
     ):
         self.corpus_path = corpus_path
+        with open(os.path.join(corpus_path, "_meta.json")) as f:
+            self.num_buckets = json.load(f)["num_buckets"]
         self.cfg = config or CrawlConfig()
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
@@ -138,6 +140,10 @@ class EpochCrawler:
         self.metrics: dict = {"epochs": []}
         self._shards: list = []
         self._use_ray = self.cfg.use_ray
+        self._workers: list = []
+        self._local_worker: CrawlWorker | None = None
+        self._blocklist: frozenset = frozenset()
+        self._epoch_workers_used = None
 
     # -- shard plumbing (works with or without Ray) -------------------------
     def _make_shards(self):
@@ -145,10 +151,25 @@ class EpochCrawler:
             from ..stages.frontier import make_shard_actors
 
             self._shards = make_shard_actors(self.cfg.num_shards, self.cfg.filter_capacity)
+            k = self.cfg.fetch_concurrency or adaptive_worker_count(self.cfg.num_shards)
+            self._workers = make_crawl_workers(
+                k,
+                corpus_path=self.corpus_path,
+                gauntlet_kwargs=self._gauntlet_kwargs(),
+                max_reqs_per_sec=self.cfg.max_reqs_per_sec,
+                budget_split=k,
+            )
         else:
             self._shards = [
                 FrontierShardState(i, self.cfg.filter_capacity) for i in range(self.cfg.num_shards)
             ]
+        self._local_worker = CrawlWorker(
+            corpus_path=self.corpus_path,
+            gauntlet_kwargs=self._gauntlet_kwargs(),
+            max_reqs_per_sec=self.cfg.max_reqs_per_sec,
+            budget_split=max(1, len(self._workers)),
+            arrow_threads=None,  # don't clamp the driver's Arrow pool
+        )
 
     def _shard_call(self, method: str, per_shard_args: list[tuple] | None = None) -> list:
         if self._use_ray:
@@ -210,6 +231,7 @@ class EpochCrawler:
         """Process one wave; returns number of pages visited (0 → done)."""
         t0 = time.perf_counter()
         parts = [p for p in self._shard_call("drain") if p is not None and p.num_rows]
+        t_drain = time.perf_counter() - t0
         if not parts:
             return 0
         wave = pa.concat_tables(parts)
@@ -220,19 +242,54 @@ class EpochCrawler:
         wave = wave.append_column("epoch", pa.array(np.full(W, self.epoch), type=pa.int32()))
 
         vdir = os.path.join(self.workdir, "visited", f"epoch={self.epoch}")
-        ray_epoch = self._use_ray and W >= self.cfg.ray_wave_threshold
+        bl = frozenset(
+            b for b, c in self.basename_counts.items() if c >= self.cfg.max_non200_per_basename
+        )
+        if bl != self._blocklist:  # re-broadcast only on change (rare)
+            self._blocklist = bl
+            self._local_worker.set_blocklist(bl)
+            if self._workers:
+                import ray
+
+                ray.get([w.set_blocklist.remote(bl) for w in self._workers])
+
         t_fetch = time.perf_counter()
-        self._run_fetch(wave, vdir, ray_epoch)
+        if self._use_ray and W >= self.cfg.ray_wave_threshold:
+            import ray
+
+            K = len(self._workers)
+            # bucket-affine routing: worker (url_key % NB) % K — each
+            # worker's corpus-bucket cache stays a fixed 1/K subset
+            # instead of every worker faulting in every bucket.  The
+            # wave ships once via ray.put; workers self-select rows.
+            wave_ref = ray.put(wave)
+            results = ray.get(
+                [
+                    w.process_shared.remote(wave_ref, i, K, self.num_buckets, vdir)
+                    for i, w in enumerate(self._workers)
+                ]
+            )
+            self._epoch_workers_used = list(self._workers)
+        else:
+            results = [self._local_worker.process(wave, vdir, 0)]
+            self._epoch_workers_used = None
         t_fetch = time.perf_counter() - t_fetch
 
         t_cand = time.perf_counter()
-        cands = self._run_extract(vdir, ray_epoch)
-        n_cands = cands.num_rows
+        cand_parts = [c for c, _, _ in results if c is not None and c.num_rows]
+        cands = pa.concat_tables(cand_parts) if cand_parts else _empty_cand_table()
+        # frontier-ops metric counts every gauntlet-emitted candidate
+        # (pre chunk-dedup) so the number is partition-invariant
+        n_cands = sum(t[2].get("cands_raw", 0) for t in results)
         self._record_skips(cands)
         self._admit(cands, W)
         t_cand = time.perf_counter() - t_cand
 
-        self._update_basename_guard(vdir)
+        for _, non200, _ in results:  # epoch-consistent basename guard counts
+            for u in non200:
+                b = U.basename_of(u)
+                if b is not None:
+                    self.basename_counts[b] = self.basename_counts.get(b, 0) + 1
         self.visited_count += W
         self.epoch += 1
         self.metrics["epochs"].append(
@@ -241,38 +298,24 @@ class EpochCrawler:
                 "wave": W,
                 "candidates": int(n_cands),
                 "fetch_sec": round(t_fetch, 4),
+                "worker_max": {
+                    k: round(max((t[2][k] for t in results), default=0.0), 4)
+                    for k in ("fetch", "write", "extract")
+                },
+                "worker_top": sorted(
+                    ((t[2]["rows"], t[2]["extract"]) for t in results),
+                    key=lambda x: -x[1],
+                )[:5],
+                "worker_sum_rows": int(sum(t[2]["rows"] for t in results)),
                 "frontier_sec": round(t_cand, 4),
+                "drain_sec": round(t_drain, 4),
                 "total_sec": round(time.perf_counter() - t0, 4),
             }
         )
+        t_ck = time.perf_counter()
         self._checkpoint()
+        self.metrics["epochs"][-1]["ckpt_sec"] = round(time.perf_counter() - t_ck, 4)
         return W
-
-    def _run_fetch(self, wave: pa.Table, vdir: str, ray_epoch: bool) -> None:
-        fetch_kwargs = dict(
-            corpus_path=self.corpus_path,
-            max_reqs_per_sec=self.cfg.max_reqs_per_sec,
-            budget_split=self.cfg.fetch_concurrency,
-        )
-        if ray_epoch:
-            import ray.data as rd
-
-            nblocks = max(1, min(self.cfg.fetch_concurrency * 2, -(-wave.num_rows // self.cfg.fetch_batch_size)))
-            # driver-side slicing (zero-copy) instead of a repartition shuffle
-            step = -(-wave.num_rows // nblocks)
-            ds = rd.from_arrow([wave.slice(i, step) for i in range(0, wave.num_rows, step)])
-            ds = ds.map_batches(
-                FetchStage,
-                fn_constructor_kwargs=fetch_kwargs,
-                batch_format="pyarrow",
-                batch_size=self.cfg.fetch_batch_size,
-                concurrency=min(self.cfg.fetch_concurrency, nblocks),
-            )
-            ds.write_parquet(vdir)
-        else:
-            os.makedirs(vdir, exist_ok=True)
-            out = FetchStage(**fetch_kwargs)(wave)
-            pq.write_table(out, os.path.join(vdir, "part-0.parquet"))
 
     def _gauntlet_kwargs(self) -> dict:
         return dict(
@@ -291,33 +334,6 @@ class EpochCrawler:
                 b for b, c in self.basename_counts.items() if c >= self.cfg.max_non200_per_basename
             ),
         )
-
-    EXTRACT_COLUMNS = ["doc_id", "spans", "seq", "wavepos", "depth", "uq_id"]
-
-    def _run_extract(self, vdir: str, ray_epoch: bool) -> pa.Table:
-        if ray_epoch:
-            import ray
-            import ray.data as rd
-
-            ds = rd.read_parquet(vdir, columns=self.EXTRACT_COLUMNS)
-            ds = ds.map_batches(_parsed_pages_only, batch_format="pyarrow")
-            ds = ds.map_batches(explode_spans, batch_format="pyarrow")
-            ds = ds.map_batches(
-                CandidateGauntlet,
-                fn_constructor_kwargs=self._gauntlet_kwargs(),
-                batch_format="pyarrow",
-                batch_size=8192,
-                concurrency=self.cfg.gauntlet_concurrency,
-            )
-            blocks = [ray.get(ref) for ref in ds.to_arrow_refs()]
-            blocks = [b for b in blocks if b.num_rows]
-            return pa.concat_tables(blocks) if blocks else _empty_cand_table()
-        t = pq.read_table(vdir, columns=self.EXTRACT_COLUMNS)
-        t = _parsed_pages_only(t)
-        if not t.num_rows:
-            return _empty_cand_table()
-        found = explode_spans(t)
-        return CandidateGauntlet(**self._gauntlet_kwargs())(found)
 
     def _record_skips(self, cands: pa.Table) -> None:
         """First-wins (priority order) dedup of skip records — the
@@ -365,7 +381,13 @@ class EpochCrawler:
         else:
             # exact sequential enqueue simulation (caps bind) — see module
             # docstring; iterates ALL candidates in priority order because a
-            # dropped first occurrence lets a later duplicate win
+            # dropped first occurrence lets a later duplicate win.  The
+            # chunk-deduped table lacks those duplicates, so pull the full
+            # pre-dedup candidates back from the workers (rare: caps bind
+            # only in the final wave or two).
+            ok = self._full_ok_candidates()
+            keys = ok["url_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            prios = ok["priority"].to_numpy(zero_copy_only=False)
             wavepos = (prios // PRIO_SHIFT).astype(np.int64)
             seen_any = self._contains(keys)
             accepted: dict[int, int] = {}
@@ -397,13 +419,19 @@ class EpochCrawler:
         )
         self._offer(entries)
 
-    def _update_basename_guard(self, vdir: str) -> None:
-        t = pq.read_table(vdir, columns=["url", "status_code"])
-        bad = t.filter(pc.not_equal(t["status_code"], 200))
-        for u in bad["url"].to_pylist():
-            b = U.basename_of(u)
-            if b is not None:
-                self.basename_counts[b] = self.basename_counts.get(b, 0) + 1
+    def _full_ok_candidates(self) -> pa.Table:
+        """Gather this epoch's pre-dedup ok-tagged candidates, priority
+        sorted (for the caps-binding exact simulation)."""
+        if self._epoch_workers_used is None:
+            parts = [self._local_worker.full_candidates()]
+        else:
+            import ray
+
+            parts = ray.get([w.full_candidates.remote() for w in self._epoch_workers_used])
+        parts = [p for p in parts if p is not None and p.num_rows]
+        full = pa.concat_tables(parts) if parts else _empty_cand_table()
+        ok = full.filter(pc.equal(full["tag"], "ok"))
+        return ok.take(pc.sort_indices(ok, sort_keys=[("priority", "ascending")]))
 
     # -- checkpoint / resume -------------------------------------------------
     def _checkpoint(self) -> None:
@@ -464,9 +492,30 @@ class EpochCrawler:
         return True
 
     # -- full run ------------------------------------------------------------
+    def warmup(self) -> float:
+        """Readiness barrier on the worker pool (actor processes import +
+        construct their corpus reader).  Separates one-time cluster
+        spin-up from the sustained-throughput measurement — the north
+        rule's metric is *sustained* pages/s."""
+        t0 = time.perf_counter()
+        if self._workers:
+            import ray
+
+            K = len(self._workers)
+            ray.get(
+                [
+                    w.preload_buckets.remote([b for b in range(self.num_buckets) if b % K == i])
+                    for i, w in enumerate(self._workers)
+                ]
+            )
+        dt = time.perf_counter() - t0
+        self.metrics["startup_sec"] = round(dt, 4)
+        return dt
+
     def run(self, max_epochs: int = 10_000) -> CrawlResult:
         if not self._shards:
             self.seed()
+            self.warmup()
         t0 = time.perf_counter()
         while self.epoch < max_epochs:
             if self.run_epoch() == 0:
@@ -490,10 +539,6 @@ class EpochCrawler:
             seen_keys=seen,
             metrics=self.metrics,
         )
-
-
-def _parsed_pages_only(batch: pa.Table) -> pa.Table:
-    return batch.filter(pc.is_valid(batch["spans"]))
 
 
 def _dispatch_table(rows: list[tuple]) -> pa.Table:

@@ -356,6 +356,8 @@ class CorpusReader:
         for b in np.unique(buckets):
             sel = np.nonzero(buckets == b)[0]
             bkeys, _ = self._bucket(int(b))
+            if not len(bkeys):  # empty bucket (sparse corpus)
+                continue
             idx = np.searchsorted(bkeys, keys[sel])
             ok = (idx < len(bkeys)) & (bkeys[np.minimum(idx, len(bkeys) - 1)] == keys[sel])
             found[sel] = ok

@@ -84,14 +84,24 @@ def explode_spans(batch: pa.Table) -> pa.Table:
 
     # per-page dedup on the *normalized* href, first occurrence (span
     # order) wins — the reference's per-page FoundUrls MD5 dedup
+    # (found_urls.rs:29-32).  Dedup key = (parent page, xxh64(norm));
+    # hashing keeps the sort on fixed 8-byte keys — a numpy unicode
+    # array would be padded to the longest href (2 KB+) and the sort
+    # would move gigabytes.
     norm = np.array([U.normalize_href(h) for h in out["href"].to_numpy(zero_copy_only=False)], dtype=object)
     out = out.append_column("norm_href", pa.array(norm, type=pa.string()))
-    df_keys = np.char.add(
-        np.char.add(out["source_url"].to_numpy(zero_copy_only=False).astype(str), "\x00"),
-        norm.astype(str),
-    )
-    _, first_idx = np.unique(df_keys, return_index=True)
-    return out.take(pa.array(np.sort(first_idx)))
+    m = out.num_rows
+    if m:
+        hh = xxh64_strings(norm)
+        parent_ids = par.astype(np.uint64)
+        order = np.lexsort((np.arange(m), hh, parent_ids))
+        ps, hs = parent_ids[order], hh[order]
+        first = np.ones(m, dtype=bool)
+        first[1:] = (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])
+        keep_idx = np.sort(order[first])
+        if len(keep_idx) != m:
+            out = out.take(pa.array(keep_idx))
+    return out
 
 
 class CandidateGauntlet:

@@ -1,0 +1,163 @@
+"""Persistent crawl workers — fetch + span-explode + gauntlet fused.
+
+The epoch loop re-enters the same stages every BFS wave; building a
+fresh Ray Data actor pool per stage per wave pays actor-startup and
+executor fixed costs hundreds of times per crawl and caps scaling
+efficiency (the fixed costs don't shrink with more CPUs).  A crawl
+worker is therefore a long-lived actor created ONCE per run — the
+"stateful stages are actor pools" rule applied across waves, which the
+Dataset API cannot express today (pools die with each execution).
+
+Each ``process`` call handles one wave chunk end-to-end:
+
+    fetch (corpus lookup, politeness buckets)      stages/fetch.py
+    → write its visited parquet part               (deterministic name
+      per (epoch, chunk) → idempotent under re-execution; the file IS
+      the per-partition lineage the checkpoint manifest records)
+    → explode spans → candidate gauntlet           stages/extract.py
+    → return the (small) candidate table + non-200 URLs
+
+Only candidates and non-200 URL lists travel back to the driver; page
+bodies/spans stay in the parquet partition.  The basename blocklist is
+re-broadcast only when it changes (rare).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .extract import CandidateGauntlet, explode_spans
+from .fetch import FetchStage
+
+EXTRACT_COLUMNS = ["doc_id", "spans", "seq", "wavepos", "depth", "uq_id"]
+
+
+class CrawlWorker:
+    """One fused fetch→extract→gauntlet pipeline instance.
+
+    Used directly on the driver for small waves (identical output) and
+    wrapped in Ray actors for large ones."""
+
+    def __init__(
+        self,
+        corpus_path: str,
+        gauntlet_kwargs: dict,
+        max_reqs_per_sec: float | None = None,
+        budget_split: int = 1,
+        arrow_threads: int | None = 1,
+    ):
+        if arrow_threads is not None:
+            # each worker actor owns ONE logical CPU; Arrow's default
+            # per-process pool is os.cpu_count() threads, so K workers
+            # spawn K×ncpu threads and thrash under concurrent waves
+            pa.set_cpu_count(arrow_threads)
+            pa.set_io_thread_count(max(2, arrow_threads))
+        self.fetch = FetchStage(corpus_path, max_reqs_per_sec, budget_split)
+        self.gauntlet = CandidateGauntlet(**gauntlet_kwargs)
+        self._last_full: pa.Table | None = None
+
+    def set_blocklist(self, blocklist: frozenset) -> None:
+        self.gauntlet.basename_blocklist = blocklist
+
+    def full_candidates(self) -> pa.Table | None:
+        """Pre-dedup candidates of the most recent process() call."""
+        return self._last_full
+
+    def preload_buckets(self, bucket_ids: list[int]) -> int:
+        """Fault in this worker's assigned corpus buckets during warmup
+        (bucket-affine routing keeps them the only ones it ever needs)."""
+        for b in bucket_ids:
+            self.fetch.corpus._bucket(int(b))
+        return len(bucket_ids)
+
+    def process_shared(
+        self, wave: pa.Table, worker_id: int, num_workers: int, num_buckets: int, vdir: str
+    ) -> tuple[pa.Table | None, list[str], dict]:
+        """Bucket-affine self-selection from the shared wave table.
+
+        The driver ``ray.put``s the wave ONCE (zero-copy Arrow in the
+        object store); each worker takes only its rows here, in
+        parallel, instead of the driver cutting and pickling K chunks
+        serially."""
+        keys = wave["url_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mask = (keys % np.uint64(num_buckets)).astype(np.int64) % num_workers == worker_id
+        idx = np.nonzero(mask)[0]
+        if not len(idx):
+            self._last_full = None
+            return None, [], {"rows": 0, "cands_raw": 0, "fetch": 0.0, "write": 0.0, "extract": 0.0}
+        return self.process(wave.take(pa.array(idx)), vdir, worker_id)
+
+    def process(
+        self, chunk: pa.Table, vdir: str, part: int
+    ) -> tuple[pa.Table | None, list[str], dict]:
+        """→ (candidates, non-200 urls, per-phase seconds) for one chunk."""
+        import time
+
+        t0 = time.perf_counter()
+        out = self.fetch(chunk)
+        t1 = time.perf_counter()
+        os.makedirs(vdir, exist_ok=True)
+        pq.write_table(out, os.path.join(vdir, f"part-{part:05d}.parquet"))
+        t2 = time.perf_counter()
+        non200 = out.filter(pc.not_equal(out["status_code"], 200))["url"].to_pylist()
+        pages = out.select(EXTRACT_COLUMNS)
+        pages = pages.filter(pc.is_valid(pages["spans"]))
+        cands = self.gauntlet(explode_spans(pages)) if pages.num_rows else None
+        cands_raw = cands.num_rows if cands is not None else 0
+        # keep the full table: when enqueue caps may bind, the driver's
+        # exact sequential simulation needs every occurrence (a dropped
+        # first occurrence lets a later duplicate win) and re-requests
+        # it via full_candidates()
+        self._last_full = cands
+        if cands is not None and cands.num_rows:
+            cands = _chunk_dedup(cands)
+        t3 = time.perf_counter()
+        timing = {
+            "rows": chunk.num_rows,
+            "cands_raw": cands_raw,
+            "fetch": round(t1 - t0, 4),
+            "write": round(t2 - t1, 4),
+            "extract": round(t3 - t2, 4),
+        }
+        return cands, non200, timing
+
+
+def _chunk_dedup(cands: pa.Table) -> pa.Table:
+    """Within-chunk first-wins dedup per (tag, url_key), min priority.
+
+    Equivalent to global first-wins (the driver still merges across
+    chunks): keeping only each chunk's min-priority occurrence per key
+    cannot change which global occurrence wins.  Shrinks the candidate
+    table the driver must concat/sort — the admit path is the serial
+    Amdahl term of the epoch loop."""
+    prio = cands["priority"].to_numpy(zero_copy_only=False)
+    keys = cands["url_key"].to_numpy(zero_copy_only=False)
+    tag_bit = (cands["tag"].to_numpy(zero_copy_only=False) == "skip").astype(np.uint8)
+    m = len(keys)
+    order = np.lexsort((prio, keys, tag_bit))
+    ks, tb = keys[order], tag_bit[order]
+    first = np.ones(m, dtype=bool)
+    first[1:] = (ks[1:] != ks[:-1]) | (tb[1:] != tb[:-1])
+    keep = np.sort(order[first])
+    return cands.take(pa.array(keep)) if len(keep) != m else cands
+
+
+def make_crawl_workers(num_workers: int, **kwargs):
+    import ray
+
+    Actor = ray.remote(num_cpus=1)(CrawlWorker)
+    return [Actor.remote(**kwargs) for _ in range(num_workers)]
+
+
+def adaptive_worker_count(num_shards: int, cap: int = 64) -> int:
+    """Size the pool to the cluster: leave headroom for the driver and
+    the (fractional-CPU) frontier shard actors."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(1, min(cap, cpus - max(1, num_shards // 4) - 1))
