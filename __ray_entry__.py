@@ -38,6 +38,25 @@ def _corpus_for(sf_dir: str) -> tuple[str, list[str], dict[str, str]]:
     return path, seeds, {}
 
 
+_CRAWL_RESULTS: dict[str, Any] = {}
+
+
+def _crawl_for(sf_dir: str):
+    """Crawl once per sf_dir per process; report queries share the result."""
+    if sf_dir not in _CRAWL_RESULTS:
+        _CRAWL_RESULTS[sf_dir] = _run_crawl(sf_dir)
+    return _CRAWL_RESULTS[sf_dir]
+
+
+def _visited_ds(res, columns=None):
+    """Visited table as a multi-block Dataset for the report stages."""
+    import ray.data as rd
+
+    t = res.visited_table(columns=columns)
+    step = max(1, -(-t.num_rows // 16))
+    return rd.from_arrow([t.slice(i, step) for i in range(0, t.num_rows, step)])
+
+
 def _run_crawl(sf_dir: str):
     from siteone_crawler_ray.pipelines.crawl import CrawlConfig, EpochCrawler
 
@@ -74,7 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from siteone_crawler_ray.pipelines import relational as R
 
     def crawl_visited(sf_dir: str):
-        res = _run_crawl(sf_dir)
+        res = _crawl_for(sf_dir)
         return res.visited_table(
             columns=["seq", "uq_id", "url", "depth", "source_attr", "status_code",
                      "content_type", "epoch"]
@@ -197,7 +216,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return decode_pipeline(rd.from_arrow(synthesize_media_table(128)), "image", ImageDecodeStage,
                                concurrency=2).drop_columns(["features"])
 
+    from siteone_crawler_ray.pipelines import reports as RP
+
+    def _rq(fn, columns=None, **kw):
+        def q(sf_dir: str):
+            res = _crawl_for(sf_dir)
+            return fn(_visited_ds(res, columns=columns), **kw)
+        return q
+
+    def report_skipped(sf_dir: str):
+        return RP.skipped_by_reason_table(_crawl_for(sf_dir).skipped)
+
+    def report_basic_stats(sf_dir: str):
+        return RP.basic_stats(_visited_ds(_crawl_for(sf_dir)))
+
+    def markdown_pages(sf_dir: str):
+        import ray.data as rd
+        from siteone_crawler_ray.stages.export import spans_to_markdown
+
+        res = _crawl_for(sf_dir)
+        return _visited_ds(res, columns=["url", "spans"]).map_batches(
+            spans_to_markdown, batch_format="pyarrow"
+        )
+
+    def offline_paths(sf_dir: str):
+        from siteone_crawler_ray.stages.export import add_offline_paths
+
+        res = _crawl_for(sf_dir)
+        return _visited_ds(res, columns=["url"]).map_batches(
+            add_offline_paths, batch_format="pyarrow"
+        )
+
+    def quality_score_gate(sf_dir: str):
+        import pyarrow as pa
+        from siteone_crawler_ray.pipelines import scoring as SC
+
+        res = _crawl_for(sf_dir)
+        findings = SC.findings_from_reports(
+            RP.page_findings(_visited_ds(res)),
+            RP.count_by_status(_visited_ds(res)),
+        )
+        rep = SC.score(findings)
+        code, violations = SC.ci_gate(rep, findings, n_404=0, cfg=SC.CiGateConfig(min_quality_score=0.0))
+        return pa.table({
+            "category": pa.array(sorted(rep.scores) + ["total", "exit_code"]),
+            "value": pa.array([rep.scores[k] for k in sorted(rep.scores)] + [rep.total, float(code)]),
+        })
+
     return {
+        # post-crawl analyzer battery (SURVEY §2.5, §2.10) — rows-only
+        "report_basic_stats": report_basic_stats,
+        "report_status_counts": _rq(RP.count_by_status),
+        "report_content_types": _rq(RP.content_type_table),
+        "report_source_domains": _rq(RP.source_domains_table),
+        "report_fastest": _rq(RP.fastest_table),
+        "report_slowest": _rq(RP.slowest_table),
+        "report_title_dups": _rq(RP.title_uniqueness_table),
+        "report_404": _rq(RP.page404_table),
+        "report_redirects": _rq(RP.redirects_table),
+        "report_headers": _rq(RP.headers_inventory_table),
+        "report_caching": _rq(RP.caching_table),
+        "report_sitemap": _rq(RP.sitemap_urls),
+        "report_findings": _rq(RP.page_findings),
+        "report_skipped": report_skipped,
+        "markdown_pages": markdown_pages,
+        "offline_paths": offline_paths,
+        "quality_score_gate": quality_score_gate,
         # groupby-agg report shapes (SURVEY §2.5)
         "pricing_summary": R.pricing_summary,
         "global_stats": R.global_stats,

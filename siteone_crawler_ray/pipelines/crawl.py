@@ -97,8 +97,10 @@ class CrawlResult:
     metrics: dict = field(default_factory=dict)
 
     def visited_table(self, columns: list[str] | None = None) -> pa.Table:
-        t = pq.read_table(self.visited_dir, columns=columns, partitioning=None)
-        return t.take(pc.sort_indices(t, sort_keys=[("seq", "ascending")]))
+        read_cols = columns if columns is None or "seq" in columns else ["seq", *columns]
+        t = pq.read_table(self.visited_dir, columns=read_cols, partitioning=None)
+        t = t.take(pc.sort_indices(t, sort_keys=[("seq", "ascending")]))
+        return t if columns is None else t.select(columns)
 
 
 _DISPATCH_FIELDS = [

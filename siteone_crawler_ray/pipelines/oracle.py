@@ -117,7 +117,8 @@ def run_oracle(
             basename_pending.clear()
         url = e["url"]
         in_corpus = url in docs
-        status, ctype = synthetic_status(in_corpus, url)
+        is_redirect = bool(in_corpus and docs[url] and docs[url][0]["kind"] == "redirect")
+        status, ctype = synthetic_status(in_corpus, url, is_redirect)
         res.visited.append(
             dict(
                 seq=len(res.visited),

@@ -162,6 +162,120 @@ def page404_table(visited_ds) -> pa.Table:
     return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
 
 
+def redirects_table(visited_ds) -> pa.Table:
+    """RedirectsAnalyzer (redirects_analyzer.rs): 3xx rows with their
+    redirect target (first span's media_ref — the Location analogue) and
+    the page that linked them (broadcast uq_id→url lookup)."""
+    red = _to_table(
+        visited_ds.filter(expr="status_code >= 300 and status_code < 400").select_columns(
+            ["url", "source_uq_id", "spans"]
+        )
+    )
+    empty = pa.table(
+        {"url": pa.array([], pa.string()), "target": pa.array([], pa.string()),
+         "found_on": pa.array([], pa.string())}
+    )
+    if red is None:
+        return empty
+    spans = red["spans"].combine_chunks() if isinstance(red["spans"], pa.ChunkedArray) else red["spans"]
+    targets = []
+    for row in spans.to_pylist():
+        targets.append(row[0]["media_ref"] if row else "")
+    lookup_t = _to_table(visited_ds.select_columns(["uq_id", "url"]))
+    lut = dict(zip(lookup_t["uq_id"].to_pylist(), lookup_t["url"].to_pylist()))
+    found_on = [lut.get(s, "") for s in red["source_uq_id"].to_pylist()]
+    t = pa.table(
+        {"url": red["url"], "target": pa.array(targets, pa.string()),
+         "found_on": pa.array(found_on, pa.string())}
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
+
+
+def headers_inventory_table(visited_ds) -> pa.Table:
+    """HeadersAnalyzer (headers_analyzer.rs:41-288): per-header
+    occurrence count + distinct-value count.  Explode the header columns
+    into (header, value) rows inside map_batches, then combiner partial
+    agg (headers repeat heavily — tiny residue)."""
+    HEADERS = ["content_type_header", "cache_control", "etag", "content_encoding"]
+
+    def explode(batch: pa.Table) -> pa.Table:
+        names, values = [], []
+        for h in HEADERS:
+            vals = batch[h].to_numpy(zero_copy_only=False)
+            for v in vals:
+                if v is not None and v != "":
+                    names.append(h)
+                    values.append(v)
+        t = pa.table({"header": pa.array(names, pa.string()), "value": pa.array(values, pa.string())})
+        # per-block partial: (header, value) → count
+        return t.group_by(["header", "value"], use_threads=False).aggregate([([], "count_all")])
+
+    parts = _to_table(visited_ds.select_columns(HEADERS).map_batches(explode, batch_format="pyarrow"))
+    if parts is None:
+        return pa.table({"header": pa.array([], pa.string()), "occurrences": pa.array([], pa.int64()),
+                         "distinct_values": pa.array([], pa.int64())})
+    merged = parts.group_by(["header", "value"], use_threads=False).aggregate([("count_all", "sum")])
+    out = merged.group_by("header", use_threads=False).aggregate(
+        [("count_all_sum", "sum"), ("value", "count")]
+    )
+    t = pa.table(
+        {
+            "header": out["header"],
+            "occurrences": out["count_all_sum_sum"],
+            "distinct_values": out["value_count"].cast(pa.int64()),
+        }
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("header", "ascending")]))
+
+
+def caching_table(visited_ds) -> pa.Table:
+    """CachingAnalyzer (caching_analyzer.rs:33-385): cache classes per
+    content type — parse headers → flags/lifetime (functions/cache.py)
+    → groupby(content_type): counts of cacheable / no-store / with-etag
+    + avg lifetime."""
+    from ..functions.cache import add_cache_columns
+    from ..types import CacheFlag
+
+    def classify(batch: pa.Table) -> pa.Table:
+        b = add_cache_columns(batch)
+        flags = b["cache_type_flags"].to_numpy(zero_copy_only=False)
+        life = b["cache_lifetime"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "content_type": b["content_type"],
+                "cacheable": pa.array((flags & (CacheFlag.MAX_AGE | CacheFlag.S_MAXAGE)) > 0),
+                "no_store": pa.array((flags & CacheFlag.NO_STORE) > 0),
+                "has_etag": pa.array((flags & CacheFlag.HAS_ETAG) > 0),
+                "lifetime": pa.array(np.nan_to_num(life.astype(np.float64), nan=0.0)),
+            }
+        )
+        return t.group_by("content_type", use_threads=False).aggregate(
+            [("cacheable", "sum"), ("no_store", "sum"), ("has_etag", "sum"),
+             ("lifetime", "sum"), ([], "count_all")]
+        )
+
+    ds = visited_ds.select_columns(["content_type", "cache_control", "etag"])
+    parts = _to_table(ds.map_batches(classify, batch_format="pyarrow"))
+    merged = parts.group_by("content_type", use_threads=False).aggregate(
+        [("cacheable_sum", "sum"), ("no_store_sum", "sum"), ("has_etag_sum", "sum"),
+         ("lifetime_sum", "sum"), ("count_all", "sum")]
+    )
+    n = merged["count_all_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    t = pa.table(
+        {
+            "content_type": merged["content_type"],
+            "n": merged["count_all_sum"],
+            "cacheable": merged["cacheable_sum_sum"],
+            "no_store": merged["no_store_sum_sum"],
+            "has_etag": merged["has_etag_sum_sum"],
+            "avg_lifetime": pa.array(
+                np.round(merged["lifetime_sum_sum"].to_numpy(zero_copy_only=False) / np.maximum(n, 1), 3)
+            ),
+        }
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("content_type", "ascending")]))
+
+
 def skipped_by_reason_table(skipped: pa.Table) -> pa.Table:
     """SkippedUrlsAnalyzer (skipped_urls_analyzer.rs): counts per reason."""
     if skipped.num_rows == 0:

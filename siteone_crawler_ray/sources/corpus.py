@@ -133,6 +133,17 @@ def make_graph_corpus(
             span_off.append(off)
             off += max(1, len(text) + len(ref))
 
+        # redirect pages: single Location-style span (crawler.rs:733-755;
+        # the reference enqueues the target with source_attr=80)
+        if p % 43 == 11 and counts[h] > 1:
+            tgt = int((p * 7 + 1) % counts[h])
+            if tgt == p:
+                tgt = (tgt + 1) % int(counts[h])
+            add("redirect", "", page_url(h, tgt))
+            span_counts.append(len(span_kind) - k0)
+            li += int(degs[j])  # keep the pre-drawn randomness aligned
+            continue
+
         add("title", f"Page {p} of {host_name(h)}", "")
         add("meta", f"description of page {p}", "")
         add("text", " ".join(_WORDS[(p + i) % len(_WORDS)] for i in range(12)), "")
@@ -260,6 +271,14 @@ def interleaved_from_testdata(sf_dir: str, hosts: int = 8, out_degree: int = 6) 
             span_ref.append(ref)
             span_off.append(off)
             off += max(1, len(text) + len(ref))
+
+        if i % 43 == 11 and n > 1:  # redirect docs (as in make_graph_corpus)
+            ti = int(ids[(j * 31 + 7) % n])
+            if ti == i:
+                ti = int(ids[(j + 1) % n])
+            add("redirect", "", page_url(ti % hosts, ti // hosts))
+            span_counts.append(len(span_kind) - k0)
+            continue
 
         add("title", f"Doc {i}", "")
         add("text", texts[j], "")

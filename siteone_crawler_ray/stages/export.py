@@ -1,0 +1,128 @@
+"""Export stages — markdown rendering, offline path derivation, URL
+transforms.  All pure per-row ``map_batches`` functions.
+
+- spans→markdown re-expresses the reference's HTML→Markdown converter
+  (/root/reference/src/export/utils/html_to_markdown.rs:42-760) for the
+  interleaved-span corpus: title→heading, meta→blockquote, text→
+  paragraph, link→[text](href), img/script/css/media→reference lines.
+- offline path derivation mirrors offline_url_converter.rs:104-520
+  (host dir, index.html for directory URLs, query → _q<hash> suffix,
+  extension-preserving).
+- URL transforms mirror --transform-url (crawler.rs:1680-1724):
+  ``from -> to`` literal or regex rewrites applied before fetch.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlsplit
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import xxh64
+
+
+def spans_to_markdown(batch: pa.Table) -> pa.Table:
+    """visited page rows → (url, markdown) — per-page conversion
+    (markdown_exporter.rs:147-300 per-page path)."""
+    spans = batch["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    urls = batch["url"].to_numpy(zero_copy_only=False)
+    out_url, out_md = [], []
+    for i, row in enumerate(spans.to_pylist()):
+        if row is None:
+            continue
+        lines: list[str] = []
+        for s in row:
+            k, text, ref = s["kind"], s["text"], s["media_ref"]
+            if k == "title":
+                lines.append(f"# {text}")
+            elif k == "meta":
+                lines.append(f"> {text}")
+            elif k == "text":
+                lines.append(text)
+            elif k == "link":
+                lines.append(f"[{text or ref}]({ref})")
+            elif k == "img":
+                lines.append(f"![]({ref})")
+            elif k == "redirect":
+                lines.append(f"→ {ref}")
+            elif k in ("script", "css", "media"):
+                continue  # stripped assets (html_processor.rs:397-416)
+        out_url.append(urls[i])
+        out_md.append("\n\n".join(lines) + "\n")
+    return pa.table({"url": pa.array(out_url, pa.string()), "markdown": pa.array(out_md, pa.string())})
+
+
+def aggregate_markdown(md_table: pa.Table, max_pages: int | None = None) -> str:
+    """Single-file aggregation ordered by URL (markdown_site_aggregator.rs:
+    14-40; the 80%-similar header/footer dedup degenerates to plain
+    concatenation for span corpora — spans carry no boilerplate)."""
+    t = md_table.take(pc.sort_indices(md_table, sort_keys=[("url", "ascending")]))
+    if max_pages is not None:
+        t = t.slice(0, max_pages)
+    parts = [
+        f"<!-- {u} -->\n\n{m}"
+        for u, m in zip(t["url"].to_pylist(), t["markdown"].to_pylist())
+    ]
+    return "\n---\n\n".join(parts)
+
+
+def offline_path_for(url: str, lowercase: bool = True) -> str:
+    """One URL → relative export path (offline_url_converter.rs:104-520):
+    <host>/<path>[_q<hash8>][.html|index.html]."""
+    s = urlsplit(url)
+    host = s.hostname or "unknown"
+    path = s.path or "/"
+    if lowercase:
+        path = path.lower()
+    qsuffix = f"_q{xxh64(s.query) & 0xFFFFFFFF:08x}" if s.query else ""
+    if path.endswith("/"):
+        return f"{host}{path}index{qsuffix}.html"
+    last = path.rsplit("/", 1)[-1]
+    if "." in last:
+        stem, ext = path.rsplit(".", 1)
+        return f"{host}{stem}{qsuffix}.{ext}"
+    return f"{host}{path}{qsuffix}.html"
+
+
+def add_offline_paths(batch: pa.Table) -> pa.Table:
+    urls = batch["url"].to_numpy(zero_copy_only=False)
+    paths = np.array([offline_path_for(u) for u in urls], dtype=object)
+    return batch.append_column("offline_path", pa.array(paths, pa.string()))
+
+
+class UrlTransforms:
+    """Compiled --transform-url rules (crawler.rs:1680-1724): each rule is
+    ``from -> to`` with literal or ``regex:`` prefix forms; applied in
+    order to scheme-stripped host+path."""
+
+    def __init__(self, rules: tuple[str, ...] = ()):
+        self.rules: list[tuple] = []
+        for r in rules:
+            if "->" not in r:
+                raise ValueError(f"transform rule missing '->': {r!r}")
+            frm, to = (p.strip() for p in r.split("->", 1))
+            if frm.startswith("regex:"):
+                self.rules.append((re.compile(frm[len("regex:"):]), to, True))
+            else:
+                self.rules.append((frm, to, False))
+
+    def apply_one(self, url: str) -> str:
+        for frm, to, is_re in self.rules:
+            if is_re:
+                url = frm.sub(to, url)
+            elif frm in url:
+                url = url.replace(frm, to)
+        return url
+
+    def __call__(self, batch: pa.Table, column: str = "url") -> pa.Table:
+        if not self.rules:
+            return batch
+        urls = batch[column].to_numpy(zero_copy_only=False)
+        out = np.array([self.apply_one(u) for u in urls], dtype=object)
+        idx = batch.schema.get_field_index(column)
+        return batch.set_column(idx, column, pa.array(out, pa.string()))

@@ -40,14 +40,52 @@ from ..types import EXTENSION_CONTENT_TYPE, ContentType
 from .extract import extract_title_extras
 
 
-def synthetic_status(in_corpus: bool, url: str) -> tuple[int, int]:
-    """→ (status_code, content_type) — shared by engine and oracle."""
+def synthetic_status(in_corpus: bool, url: str, is_redirect: bool = False) -> tuple[int, int]:
+    """→ (status_code, content_type) — shared by engine and oracle.
+
+    Redirect docs (single ``redirect`` span) → 301 + ContentType.REDIRECT
+    (the 301<status<320 override, crawler.rs:666-673)."""
     if in_corpus:
+        if is_redirect:
+            return 301, ContentType.REDIRECT
         return 200, ContentType.HTML
     ext = U.extension_of(url.split("?", 1)[0])
     if ext in EXTENSION_CONTENT_TYPE:
         return 200, EXTENSION_CONTENT_TYPE[ext]
     return 404, ContentType.OTHER
+
+
+_CONTENT_TYPE_HEADER = {
+    ContentType.HTML: "text/html; charset=utf-8",
+    ContentType.SCRIPT: "application/javascript",
+    ContentType.STYLESHEET: "text/css",
+    ContentType.IMAGE: "image/png",
+    ContentType.VIDEO: "video/mp4",
+    ContentType.FONT: "font/woff2",
+    ContentType.DOCUMENT: "application/pdf",
+    ContentType.JSON: "application/json",
+    ContentType.REDIRECT: "text/html",
+    ContentType.OTHER: "application/octet-stream",
+    ContentType.AUDIO: "audio/mpeg",
+    ContentType.XML: "application/xml",
+}
+
+
+def synthetic_cache_control(url_key: int, ctype: int) -> str:
+    """Deterministic Cache-Control header: assets long-lived public,
+    HTML a rotating policy — feeds the cache-flag parser + caching
+    tables (crawler.rs:1743-1818 input shapes)."""
+    if ctype in (ContentType.SCRIPT, ContentType.STYLESHEET, ContentType.IMAGE,
+                 ContentType.FONT, ContentType.VIDEO, ContentType.AUDIO):
+        return "public, max-age=604800, immutable"
+    r = url_key % 4
+    if r == 0:
+        return "no-cache, no-store, must-revalidate"
+    if r == 1:
+        return f"public, max-age={3600 * (1 + url_key % 24)}"
+    if r == 2:
+        return "private, max-age=0"
+    return ""
 
 
 def synthetic_request_time(url_key: int) -> float:
@@ -92,10 +130,12 @@ class FetchStage:
         corpus_path: str,
         max_reqs_per_sec: float | None = None,
         budget_split: int = 1,
+        seed_host: str = "",
     ):
         self.corpus = CorpusReader(corpus_path)
         self.rate = None if max_reqs_per_sec is None else max_reqs_per_sec / max(1, budget_split)
         self.buckets: dict[str, TokenBucket] = {}
+        self.seed_host = seed_host
 
     def _politeness(self, hosts: np.ndarray) -> None:
         if self.rate is None:
@@ -115,11 +155,20 @@ class FetchStage:
 
         found, rows = self.corpus.lookup(urls_np, keys)
         n = len(urls_np)
+        # redirect docs: first span kind == "redirect" (vectorized)
+        is_red = np.zeros(n, dtype=bool)
+        if rows.num_rows:
+            sp = rows["spans"].combine_chunks() if isinstance(rows["spans"], pa.ChunkedArray) else rows["spans"]
+            lens = pa.compute.list_value_length(sp).to_numpy(zero_copy_only=False)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            fk = pa.compute.list_flatten(sp).field("kind").to_numpy(zero_copy_only=False)
+            first_kind = np.where(lens > 0, fk[np.minimum(starts, max(0, len(fk) - 1))], "")
+            is_red[np.nonzero(found)[0]] = first_kind == "redirect"
         status = np.empty(n, dtype=np.int32)
         ctype = np.empty(n, dtype=np.int8)
         size = np.empty(n, dtype=np.int64)
         for i in range(n):
-            s, c = synthetic_status(bool(found[i]), urls_np[i])
+            s, c = synthetic_status(bool(found[i]), urls_np[i], bool(is_red[i]))
             status[i] = s
             ctype[i] = c
         size[:] = (keys % np.uint64(50000)).astype(np.int64)
@@ -169,6 +218,29 @@ class FetchStage:
                 "size": pa.array(size),
                 "spans": spans_full,
                 "doc_id": pa.array(np.where(found, urls_np, None), type=pa.string()),
+                # synthetic response headers (deterministic fn of key/type)
+                # feeding the headers-inventory + caching analyzers
+                "content_type_header": pa.array(
+                    [_CONTENT_TYPE_HEADER.get(int(c), "") for c in ctype], pa.string()
+                ),
+                "cache_control": pa.array(
+                    [synthetic_cache_control(int(k), int(c)) for k, c in zip(keys, ctype)],
+                    pa.string(),
+                ),
+                "etag": pa.array(
+                    [f'W/"{int(k):x}"' if k % np.uint64(2) == 0 else None for k in keys],
+                    pa.string(),
+                ),
+                "content_encoding": pa.array(
+                    [
+                        "gzip" if k % np.uint64(4) == 0 and c in (1, 2, 3, 8, 12) else None
+                        for k, c in zip(keys, ctype)
+                    ],
+                    pa.string(),
+                ),
+                "is_external": pa.array(
+                    [not U.is_same_host(h, self.seed_host) for h in hosts], pa.bool_()
+                ),
             }
         )
         extras = extract_title_extras(out)

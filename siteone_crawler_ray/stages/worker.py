@@ -57,7 +57,10 @@ class CrawlWorker:
             # spawn K×ncpu threads and thrash under concurrent waves
             pa.set_cpu_count(arrow_threads)
             pa.set_io_thread_count(max(2, arrow_threads))
-        self.fetch = FetchStage(corpus_path, max_reqs_per_sec, budget_split)
+        self.fetch = FetchStage(
+            corpus_path, max_reqs_per_sec, budget_split,
+            seed_host=gauntlet_kwargs.get("seed_host", ""),
+        )
         self.gauntlet = CandidateGauntlet(**gauntlet_kwargs)
         self._last_full: pa.Table | None = None
 

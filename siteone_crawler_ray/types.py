@@ -56,7 +56,31 @@ SPAN_KIND_TO_SOURCE = {
     "script": UrlSource.SCRIPT_SRC,
     "css": UrlSource.LINK_HREF,
     "media": UrlSource.VIDEO_SRC,
+    "redirect": UrlSource.REDIRECT,  # Location header → crawler.rs:733-755
 }
+
+
+class CacheFlag:
+    """Cache-header bitmask, /root/reference/src/result/visited_url.rs:20-36
+    (17 flags over Cache-Control / Expires / ETag / Last-Modified)."""
+
+    HAS_CACHE_CONTROL = 1 << 0
+    PUBLIC = 1 << 1
+    PRIVATE = 1 << 2
+    NO_CACHE = 1 << 3
+    NO_STORE = 1 << 4
+    MAX_AGE = 1 << 5
+    S_MAXAGE = 1 << 6
+    MUST_REVALIDATE = 1 << 7
+    PROXY_REVALIDATE = 1 << 8
+    IMMUTABLE = 1 << 9
+    STALE_WHILE_REVALIDATE = 1 << 10
+    STALE_IF_ERROR = 1 << 11
+    NO_TRANSFORM = 1 << 12
+    HAS_EXPIRES = 1 << 13
+    HAS_ETAG = 1 << 14
+    HAS_LAST_MODIFIED = 1 << 15
+    HAS_VARY = 1 << 16
 
 # extension → ContentType for synthetic asset responses
 EXTENSION_CONTENT_TYPE = {

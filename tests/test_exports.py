@@ -1,0 +1,249 @@
+"""Exporters, cache parsing, scoring, seed sources (SURVEY §2.1/§2.5/§2.8)."""
+
+from __future__ import annotations
+
+import gzip
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from siteone_crawler_ray.functions.cache import add_cache_columns, parse_cache_control
+from siteone_crawler_ray.pipelines import scoring as SC
+from siteone_crawler_ray.sources.seeds import parse_sitemap, parse_url_list_text, sitemap_seeds
+from siteone_crawler_ray.stages.export import (
+    UrlTransforms,
+    aggregate_markdown,
+    offline_path_for,
+    spans_to_markdown,
+)
+from siteone_crawler_ray.types import CacheFlag
+
+
+# -- cache-header parsing (crawler.rs:1743-1818) -----------------------------
+
+
+def test_parse_cache_control_flags_and_lifetime():
+    f, life = parse_cache_control("public, max-age=604800, immutable")
+    assert f & CacheFlag.HAS_CACHE_CONTROL and f & CacheFlag.PUBLIC
+    assert f & CacheFlag.MAX_AGE and f & CacheFlag.IMMUTABLE
+    assert life == 604800
+    f, life = parse_cache_control("no-cache, no-store, must-revalidate")
+    assert f & CacheFlag.NO_CACHE and f & CacheFlag.NO_STORE and f & CacheFlag.MUST_REVALIDATE
+    assert life is None
+    assert parse_cache_control(None) == (0, None)
+    assert parse_cache_control("") == (0, None)
+    # s-maxage provides lifetime when max-age is absent
+    f, life = parse_cache_control("s-maxage=60")
+    assert f & CacheFlag.S_MAXAGE and life == 60
+
+
+def test_add_cache_columns_batch():
+    batch = pa.table(
+        {
+            "cache_control": ["public, max-age=100", "", None, "private, max-age=0"],
+            "etag": ['W/"abc"', None, "", 'W/"d"'],
+        }
+    )
+    out = add_cache_columns(batch)
+    flags = out["cache_type_flags"].to_pylist()
+    assert flags[0] & CacheFlag.MAX_AGE and flags[0] & CacheFlag.HAS_ETAG
+    assert flags[1] == 0 and flags[2] == 0
+    assert flags[3] & CacheFlag.PRIVATE
+    assert out["cache_lifetime"].to_pylist() == [100, None, None, 0]
+
+
+# -- markdown / offline / transforms -----------------------------------------
+
+
+def _spans(rows):
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows]),
+            "spans": pa.array(
+                [r[1] for r in rows],
+                type=pa.list_(
+                    pa.struct(
+                        [("kind", pa.string()), ("text", pa.string()),
+                         ("media_ref", pa.string()), ("offset", pa.int32())]
+                    )
+                ),
+            ),
+        }
+    )
+    return t
+
+
+def test_spans_to_markdown_and_aggregate():
+    t = _spans(
+        [
+            ("https://a.test/x", [
+                {"kind": "title", "text": "T", "media_ref": "", "offset": 0},
+                {"kind": "text", "text": "hello", "media_ref": "", "offset": 1},
+                {"kind": "link", "text": "go", "media_ref": "/y", "offset": 2},
+                {"kind": "script", "text": "", "media_ref": "/s.js", "offset": 3},
+            ]),
+            ("https://a.test/skip", None),
+        ]
+    )
+    md = spans_to_markdown(t)
+    assert md.num_rows == 1  # asset-only/null span rows dropped
+    body = md["markdown"].to_pylist()[0]
+    assert "# T" in body and "[go](/y)" in body and "/s.js" not in body
+    agg = aggregate_markdown(md)
+    assert "<!-- https://a.test/x -->" in agg
+
+
+def test_offline_path_rules():
+    assert offline_path_for("https://w.test/") == "w.test/index.html"
+    assert offline_path_for("https://w.test/a/b/") == "w.test/a/b/index.html"
+    assert offline_path_for("https://w.test/a/p.png") == "w.test/a/p.png"
+    assert offline_path_for("https://w.test/page") == "w.test/page.html"
+    q1 = offline_path_for("https://w.test/p?a=1")
+    q2 = offline_path_for("https://w.test/p?a=2")
+    assert q1 != q2 and q1.startswith("w.test/p_q") and q1.endswith(".html")
+
+
+def test_url_transforms():
+    tr = UrlTransforms(("old.test -> new.test", r"regex:/v(\d+)/ -> /ver\1/"))
+    batch = pa.table({"url": ["https://old.test/v2/a", "https://keep.test/x"]})
+    out = tr(batch)
+    assert out["url"].to_pylist() == ["https://new.test/ver2/a", "https://keep.test/x"]
+    with pytest.raises(ValueError):
+        UrlTransforms(("no-arrow",))
+
+
+# -- scoring + ci gate --------------------------------------------------------
+
+
+def test_score_deductions_and_caps():
+    findings = [
+        SC.Finding("seo", "WARNING", count=2, rule="missing-title"),   # 4.0 → capped 2.5
+        SC.Finding("best_practice", "CRITICAL", count=1, rule="x"),    # 5.0
+        SC.Finding("security", "INFO", count=9, rule="i"),             # ignored
+    ]
+    rep = SC.score(findings)
+    assert rep.scores["seo"] == 7.5  # capped at 2.5 deduction
+    assert rep.scores["best_practice"] == 5.0
+    assert rep.scores["security"] == 10.0
+    assert 0 < rep.total <= 10
+
+
+def test_ci_gate_exit_code():
+    rep = SC.score([])
+    code, v = SC.ci_gate(rep, [], n_404=0, cfg=SC.CiGateConfig(min_quality_score=5.0))
+    assert code == 0 and not v
+    code, v = SC.ci_gate(rep, [], n_404=7, cfg=SC.CiGateConfig(max_404s=5))
+    assert code == 10 and v
+
+
+# -- seed sources -------------------------------------------------------------
+
+
+def test_parse_url_list_text():
+    good, bad = parse_url_list_text(
+        "# comment\n\nhttps://a.test/x\nnot a url\nhttps://b.test/y?q=1#frag\n"
+    )
+    assert good == ["https://a.test/x", "https://b.test/y?q=1"]
+    assert bad == ["not a url"]
+
+
+def test_sitemap_parse_and_tree():
+    leaf = b'<?xml version="1.0"?><urlset><url><loc>https://s.test/a</loc></url><url><loc> https://s.test/b </loc></url></urlset>'
+    idx = (
+        b'<?xml version="1.0"?><sitemapindex>'
+        b"<sitemap><loc>https://s.test/leaf.xml</loc></sitemap>"
+        b"<sitemap><loc>https://s.test/skip.txt</loc></sitemap>"
+        b"</sitemapindex>"
+    )
+    pages, nested = parse_sitemap(idx)
+    assert pages == [] and nested == ["https://s.test/leaf.xml"]
+    # gzip round-trip (crawler.rs:607-624)
+    pages, nested = parse_sitemap(gzip.compress(leaf), url="https://s.test/leaf.xml.gz")
+    assert pages == ["https://s.test/a", "https://s.test/b"]
+    out = sitemap_seeds(
+        {"https://s.test/root.xml": idx, "https://s.test/leaf.xml": leaf},
+        "https://s.test/root.xml",
+    )
+    assert out == ["https://s.test/a", "https://s.test/b"]
+
+
+# -- redirect + header battery over a real crawl ------------------------------
+
+
+@pytest.fixture(scope="module")
+def crawl_result(ray_session, tmp_path_factory):
+    import os
+
+    from siteone_crawler_ray.pipelines.crawl import CrawlConfig, EpochCrawler
+    from siteone_crawler_ray.sources.corpus import make_graph_corpus, write_corpus
+
+    tmp = str(tmp_path_factory.mktemp("exp"))
+    tabs = make_graph_corpus(seed=5, hosts=3, total_pages=400)
+    cp = os.path.join(tmp, "corpus")
+    write_corpus(tabs["documents"], cp, num_buckets=8)
+    cfg = CrawlConfig(num_shards=4, fetch_concurrency=2,
+                      allowed_domains_crawl=("*",), allowed_domains_static=("*",))
+    res = EpochCrawler(
+        cp,
+        tabs["seeds"]["url"].to_pylist(),
+        dict(zip(tabs["robots"]["host"].to_pylist(), tabs["robots"]["body"].to_pylist())),
+        os.path.join(tmp, "work"),
+        cfg,
+    ).run()
+    return res, tabs
+
+
+def _ds(res, columns=None):
+    import ray.data as rd
+
+    t = res.visited_table(columns=columns)
+    return rd.from_arrow(t)
+
+
+def test_redirects_in_crawl(crawl_result):
+    from siteone_crawler_ray.pipelines.reports import redirects_table
+
+    res, tabs = crawl_result
+    t = res.visited_table(columns=["url", "status_code", "content_type"])
+    codes = set(t["status_code"].to_pylist())
+    assert 301 in codes, "corpus should contain redirect docs"
+    red = redirects_table(_ds(res))
+    assert red.num_rows > 0
+    assert all(tr.startswith("https://") or tr.startswith("/") for tr in red["target"].to_pylist())
+
+
+def test_headers_and_caching_tables(crawl_result):
+    from siteone_crawler_ray.pipelines.reports import caching_table, headers_inventory_table
+
+    res, _ = crawl_result
+    hdr = headers_inventory_table(_ds(res))
+    names = hdr["header"].to_pylist()
+    assert "content_type_header" in names and "cache_control" in names
+    cache = caching_table(_ds(res))
+    assert cache.num_rows > 0
+    # long-lived public assets must show as cacheable
+    by_type = {r["content_type"]: r for r in cache.to_pylist()}
+    from siteone_crawler_ray.types import ContentType
+
+    if ContentType.IMAGE in by_type:
+        assert by_type[ContentType.IMAGE]["cacheable"] > 0
+
+
+def test_redirect_parity_with_oracle(crawl_result):
+    from siteone_crawler_ray.pipelines.crawl import CrawlConfig
+    from siteone_crawler_ray.pipelines.oracle import run_oracle
+
+    res, tabs = crawl_result
+    cfg = CrawlConfig(num_shards=4, fetch_concurrency=2,
+                      allowed_domains_crawl=("*",), allowed_domains_static=("*",))
+    orc = run_oracle(
+        tabs["documents"],
+        tabs["seeds"]["url"].to_pylist(),
+        dict(zip(tabs["robots"]["host"].to_pylist(), tabs["robots"]["body"].to_pylist())),
+        cfg,
+    )
+    ev = res.visited_table(columns=["url", "status_code"])
+    ov = orc.visited_table()
+    assert ev["url"].to_pylist() == ov["url"].to_pylist()
+    assert ev["status_code"].to_pylist() == ov["status_code"].to_pylist()
