@@ -67,6 +67,7 @@ class CrawlConfig:
     allowed_domains_static: tuple = ()
     include_regex: tuple = ()
     ignore_regex: tuple = ()
+    transform_url: tuple = ()  # "from -> to" / "regex:pat -> repl" (crawler.rs:1680-1724)
     ignore_robots_txt: bool = False
     max_reqs_per_sec: float | None = None  # None → politeness off (corpus mode)
     # physical execution
@@ -329,6 +330,7 @@ class EpochCrawler:
             allowed_domains_static=self.cfg.allowed_domains_static,
             include_regex=self.cfg.include_regex,
             ignore_regex=self.cfg.ignore_regex,
+            transform_url=self.cfg.transform_url,
             max_url_length=self.cfg.max_url_length,
             max_depth=self.cfg.max_depth,
             ignore_robots_txt=self.cfg.ignore_robots_txt,

@@ -74,6 +74,9 @@ def run_oracle(
 
     include = [re.compile(p) for p in cfg.include_regex]
     ignore = [re.compile(p) for p in cfg.ignore_regex]
+    from ..stages.export import UrlTransforms
+
+    transforms = UrlTransforms(cfg.transform_url)
     allowed_crawl = [U.compile_wildcard_domain(p) for p in cfg.allowed_domains_crawl]
     allowed_static = [U.compile_wildcard_domain(p) for p in cfg.allowed_domains_static]
     basename_active: dict[str, int] = {}
@@ -205,6 +208,8 @@ def run_oracle(
                 continue
             if ignore and any(p.search(final) for p in ignore):
                 continue
+            if transforms.rules:
+                final = transforms.apply_one(final)
             # suitability + enqueue caps (crawler.rs:1219-1306)
             k = xxh64(final)
             if k in res.seen_keys:

@@ -119,6 +119,7 @@ class CandidateGauntlet:
         allowed_domains_static: tuple[str, ...] = (),
         include_regex: tuple[str, ...] = (),
         ignore_regex: tuple[str, ...] = (),
+        transform_url: tuple[str, ...] = (),
         max_url_length: int = U.DEFAULT_MAX_URL_LENGTH,
         max_depth: int | None = None,
         ignore_robots_txt: bool = False,
@@ -134,6 +135,9 @@ class CandidateGauntlet:
         self.allowed_static = [U.compile_wildcard_domain(p) for p in allowed_domains_static]
         self.include = [re.compile(p) for p in include_regex]
         self.ignore = [re.compile(p) for p in ignore_regex]
+        from .export import UrlTransforms
+
+        self.transforms = UrlTransforms(transform_url)
         self.max_url_length = max_url_length
         self.max_depth = max_depth
         self.ignore_robots = ignore_robots_txt
@@ -206,6 +210,8 @@ class CandidateGauntlet:
             if self.ignore and any(p.search(final) for p in self.ignore):
                 tag[i] = ""
                 continue
+            if self.transforms.rules:
+                final = self.transforms.apply_one(final)
             tag[i] = "ok"
             url[i] = final
             skip_url[i] = canon

@@ -112,14 +112,19 @@ class TokenBucket:
         self.last = time.monotonic()
 
     def acquire(self, n: float = 1.0) -> None:
-        while True:
-            now = time.monotonic()
-            self.tokens = min(self.capacity, self.tokens + (now - self.last) * self.rate)
-            self.last = now
-            if self.tokens >= n:
-                self.tokens -= n
-                return
-            time.sleep(min(0.05, (n - self.tokens) / self.rate))
+        """Block until n tokens accrue.  Requests larger than capacity
+        sleep for the full deficit (a capacity-capped wait loop would
+        never terminate for n > capacity)."""
+        now = time.monotonic()
+        self.tokens = min(self.capacity, self.tokens + (now - self.last) * self.rate)
+        self.last = now
+        if self.tokens >= n:
+            self.tokens -= n
+            return
+        wait = (n - self.tokens) / self.rate
+        time.sleep(wait)
+        self.last = time.monotonic()
+        self.tokens = 0.0
 
 
 class FetchStage:

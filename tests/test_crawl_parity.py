@@ -145,3 +145,51 @@ def test_resume_reproduces_uninterrupted_run(tmp_workdir):
     assert a.equals(b), "resume did not reproduce the uninterrupted run"
     assert (full.seen_keys == res.seen_keys).all()
     assert sorted(full.skipped.to_pylist(), key=str) == sorted(res.skipped.to_pylist(), key=str)
+
+
+def test_depth_include_ignore_transform_parity(tmp_workdir):
+    """--max-depth, --include/--ignore regex, --transform-url parity
+    (crawler.rs:1146-1338, 1680-1724)."""
+    tabs = make_graph_corpus(seed=13, hosts=3, total_pages=300)
+    cfg = CrawlConfig(
+        use_ray=False, num_shards=4,
+        allowed_domains_crawl=("*",), allowed_domains_static=("*",),
+        max_depth=3,
+        include_regex=(r"site-00[012]\.test",),
+        ignore_regex=(r"\?a=3",),
+        transform_url=(r"regex:/p/000(\d\d) -> /p/000\1",),
+    )
+    res, (seeds, robots) = _run_engine(tmp_workdir, tabs, cfg)
+    _assert_parity(res, run_oracle(tabs["documents"], seeds, robots, cfg))
+    # depth cap respected and produced EXCEEDS_MAX_DEPTH skips
+    depths = res.visited_table(columns=["depth"])["depth"].to_pylist()
+    assert max(depths) <= 3
+    assert 3 in set(res.skipped["reason"].to_pylist())
+
+
+def test_redirect_pages_parity(tmp_workdir):
+    """Redirect docs (single Location span) visit as 301 and enqueue the
+    target with source_attr=80 (crawler.rs:733-755)."""
+    tabs = make_graph_corpus(seed=21, hosts=2, total_pages=400)
+    cfg = CrawlConfig(use_ray=False, num_shards=4,
+                      allowed_domains_crawl=("*",), allowed_domains_static=("*",))
+    res, (seeds, robots) = _run_engine(tmp_workdir, tabs, cfg)
+    _assert_parity(res, run_oracle(tabs["documents"], seeds, robots, cfg))
+    t = res.visited_table(columns=["status_code", "source_attr"])
+    assert 301 in set(t["status_code"].to_pylist())
+    assert 80 in set(t["source_attr"].to_pylist())
+
+
+def test_politeness_token_bucket_rate():
+    """Per-host token buckets bound the fetch rate (north rule;
+    reference global limiter crawler.rs:553-568)."""
+    import time
+
+    import numpy as np
+
+    from siteone_crawler_ray.stages.fetch import TokenBucket
+
+    b = TokenBucket(rate=20.0, capacity=20.0)
+    t0 = time.monotonic()
+    b.acquire(30.0)  # 20 burst + 10 refill → ≥ ~0.5 s
+    assert time.monotonic() - t0 >= 0.4
