@@ -263,7 +263,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "value": pa.array([rep.scores[k] for k in sorted(rep.scores)] + [rep.total, float(code)]),
         })
 
+    def html_link_extract(sf_dir: str):
+        """live-HTML mode: render corpus docs to HTML, run the regex
+        battery (functions/html_extract.py), count per source_attr."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from siteone_crawler_ray.functions.html_extract import html_extract_batch, spans_to_html
+        from siteone_crawler_ray.sources.corpus import interleaved_from_testdata
+
+        tabs = interleaved_from_testdata(sf_dir)
+
+        def render(batch: pa.Table) -> pa.Table:
+            spans = batch["spans"].to_pylist()
+            return pa.table({
+                "url": batch["doc_id"],
+                "body": pa.array([spans_to_html(r) for r in spans], pa.string()),
+            })
+
+        from ray.data.aggregate import Count
+
+        docs = tabs["documents"]
+        step = max(1, -(-docs.num_rows // 16))
+        ds = rd.from_arrow([docs.slice(i, step) for i in range(0, docs.num_rows, step)])
+        return (
+            ds.map_batches(render, batch_format="pyarrow")
+            .map_batches(html_extract_batch, batch_format="pyarrow")
+            .groupby("source_attr")
+            .aggregate(Count(alias_name="n"))
+        )
+
     return {
+        # live-HTML regex battery (SURVEY §2.2) — rows-only
+        "html_link_extract": html_link_extract,
         # post-crawl analyzer battery (SURVEY §2.5, §2.10) — rows-only
         "report_basic_stats": report_basic_stats,
         "report_status_counts": _rq(RP.count_by_status),
