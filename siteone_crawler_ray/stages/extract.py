@@ -31,6 +31,12 @@ from ..types import SPAN_KIND_TO_SOURCE, SkippedReason
 PRIO_SHIFT = 1 << 20
 
 
+def _origin_of(b: str) -> str:
+    """scheme://host[:port] prefix — cache key for base-independent hrefs."""
+    p = b.find("/", 8)  # past "https://"
+    return b if p < 0 else b[:p]
+
+
 def explode_spans(batch: pa.Table) -> pa.Table:
     """documents(doc_id, spans, seq) → found hrefs, one row per link/asset
     span, deduplicated per page on the normalized href (first span wins —
@@ -142,6 +148,42 @@ class CandidateGauntlet:
         self.max_depth = max_depth
         self.ignore_robots = ignore_robots_txt
         self.basename_blocklist = basename_blocklist
+        self._cache: dict = {}
+
+    CACHE_CAP = 1 << 18  # entries; cleared wholesale when exceeded
+
+    def _derive(self, h: str, b: str) -> tuple:
+        """All per-(href, base) derivations, cached: canonical URL, host,
+        same-host, allowed-domain matches, basename, robots verdict, and
+        the final (query-filtered, length/include/ignore/transform
+        checked) URL or None."""
+        canon = U.canonicalize(h, b)
+        if canon is None:
+            return (None,) * 8
+        host = U.host_of(canon)
+        same = U.is_same_host(host, self.seed_host)
+        allowed_s = allowed_c = False
+        if not same:
+            allowed_s = any(p.match(host) for p in self.allowed_static)
+            allowed_c = any(p.match(host) for p in self.allowed_crawl)
+        basename = U.basename_of(canon)
+        # robots on the RAW normalized href (crawler.rs:1113-1124);
+        # static files bypass robots (robots_txt.rs:8-10,107)
+        robots_ok = (
+            self.ignore_robots or U.is_static_file(canon) or self._robots_allowed(host, h)
+        )
+        final = U.canonicalize(
+            h, b, remove_query_params=self.remove_query, keep_query_params=self.keep_query
+        )
+        if final is None or len(final) > self.max_url_length:
+            final = None
+        elif self.include and not any(p.search(final) for p in self.include):
+            final = None
+        elif self.ignore and any(p.search(final) for p in self.ignore):
+            final = None
+        elif self.transforms.rules:
+            final = self.transforms.apply_one(final)
+        return (canon, host, same, allowed_s, allowed_c, basename, robots_ok, final)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """→ rows tagged ``ok`` (enqueue candidates) or ``skip`` (recorded
@@ -158,60 +200,52 @@ class CandidateGauntlet:
         tag = np.empty(n, dtype=object)
         reason = np.zeros(n, dtype=np.int8)
 
+        # Memoized per-(href, base) derivation.  Absolute / path-absolute
+        # / protocol-relative hrefs resolve identically for every page of
+        # an origin, and asset hrefs repeat on every page — the cache
+        # collapses the per-row canonicalize+robots work to a dict get.
+        cache = self._cache
         for i in range(n):
             h, b = hrefs[i], sources[i]
             if not U.is_requestable_resource(raw[i]):
                 tag[i] = ""
                 continue
-            canon = U.canonicalize(h, b)
+            if h[:1] == "/" or U.HTTP_URL_RE.match(h):
+                key = (h, _origin_of(b))
+            else:
+                key = (h, b)
+            ent = cache.get(key)
+            if ent is None:
+                ent = self._derive(h, b)
+                if len(cache) >= self.CACHE_CAP:
+                    cache.clear()
+                cache[key] = ent
+            canon, host, same, allowed_s, allowed_c, basename, robots_ok, final = ent
             if canon is None:
                 tag[i] = ""
                 continue
-            host = U.host_of(canon)
-            same = U.is_same_host(host, self.seed_host)
-            allowed = False
-            if not same and host != self.seed_host:
-                is_asset = kinds[i] != "link"
-                if is_asset and any(p.match(host) for p in self.allowed_static):
-                    allowed = True
-                if any(p.match(host) for p in self.allowed_crawl):
-                    allowed = True
-            basename = U.basename_of(canon)
             if basename is not None and basename in self.basename_blocklist:
                 tag[i] = ""
                 continue
+            allowed = allowed_c or (allowed_s and kinds[i] != "link")
             if not same and not allowed:
                 tag[i] = "skip"
                 reason[i] = SkippedReason.NOT_ALLOWED_HOST
                 skip_url[i] = canon
                 continue
-            # robots: checked on the RAW normalized href (reference quirk,
-            # crawler.rs:1113-1124) and skipped for static files
-            if not self.ignore_robots and not U.is_static_file(canon):
-                if not self._robots_allowed(host, h):
-                    tag[i] = "skip"
-                    reason[i] = SkippedReason.ROBOTS_TXT
-                    skip_url[i] = canon
-                    continue
+            if not robots_ok:
+                tag[i] = "skip"
+                reason[i] = SkippedReason.ROBOTS_TXT
+                skip_url[i] = canon
+                continue
             if self.max_depth is not None and int(depths[i]) > self.max_depth:
                 tag[i] = "skip"
                 reason[i] = SkippedReason.EXCEEDS_MAX_DEPTH
                 skip_url[i] = canon
                 continue
-            final = U.canonicalize(
-                h, b, remove_query_params=self.remove_query, keep_query_params=self.keep_query
-            )
-            if final is None or len(final) > self.max_url_length:
+            if final is None:
                 tag[i] = ""
                 continue
-            if self.include and not any(p.search(final) for p in self.include):
-                tag[i] = ""
-                continue
-            if self.ignore and any(p.search(final) for p in self.ignore):
-                tag[i] = ""
-                continue
-            if self.transforms.rules:
-                final = self.transforms.apply_one(final)
             tag[i] = "ok"
             url[i] = final
             skip_url[i] = canon
