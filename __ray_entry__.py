@@ -204,6 +204,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pa.table({"vec_id": t["vec_id"], "rank": t["rank"].cast(pa.int64())})
 
+    def media_audio_energy(sf_dir: str):
+        import ray.data as rd
+
+        from siteone_crawler_ray.stages.multimodal import (
+            AudioFrameSampleStage,
+            decode_pipeline,
+            synthesize_media_table,
+        )
+
+        return decode_pipeline(rd.from_arrow(synthesize_media_table(128)), "audio",
+                               AudioFrameSampleStage, concurrency=2)
+
+    def media_video_frames(sf_dir: str):
+        import ray.data as rd
+
+        from siteone_crawler_ray.stages.multimodal import (
+            VideoFrameSampleStage,
+            decode_pipeline,
+            synthesize_media_table,
+        )
+
+        return decode_pipeline(rd.from_arrow(synthesize_media_table(128)), "video",
+                               VideoFrameSampleStage, concurrency=2).drop_columns(["frame"])
+
     def media_decode(sf_dir: str):
         import ray.data as rd
 
@@ -347,6 +371,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_table": langid_table,
         "ivf_knn": ivf_knn,
         "media_decode": media_decode,
+        "media_audio_energy": media_audio_energy,
+        "media_video_frames": media_video_frames,
         "crawl_visited": crawl_visited,
         "crawl_span_kinds": crawl_span_kinds,
     }

@@ -109,6 +109,66 @@ class AudioFrameSampleStage:
         )
 
 
+class ImageResizeStage:
+    """Actor stage: (payload, target size) → resized payload stub +
+    output dims.  Real resize raises (PIL absent); fake truncates/pads
+    the payload to the target pixel budget so the wide-binary output
+    layout is exercised."""
+
+    def __init__(self, decoder: str = "fake", target: tuple[int, int] = (224, 224)):
+        self.decoder = decoder
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decoder == "real":
+            raise NotImplementedError("image codec libraries are not available in this environment")
+        tw, th = self.target
+        budget = tw * th // 256
+        payloads = batch["payload"].to_numpy(zero_copy_only=False)
+        out = [p[:budget].ljust(budget, b"\0") for p in payloads]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "width": pa.array(np.full(len(out), tw, np.int32)),
+                "height": pa.array(np.full(len(out), th, np.int32)),
+                "payload": pa.array(out, pa.binary()),
+            }
+        )
+
+
+class VideoFrameSampleStage:
+    """Actor stage: sample N evenly-spaced frames → per-frame byte
+    slices + timestamps (fake decode; real raises)."""
+
+    def __init__(self, decoder: str = "fake", frames: int = 3, fps: float = 25.0):
+        self.decoder = decoder
+        self.frames = frames
+        self.fps = fps
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decoder == "real":
+            raise NotImplementedError("video codec libraries are not available in this environment")
+        payloads = batch["payload"].to_numpy(zero_copy_only=False)
+        ids, fidx, ts, frames = [], [], [], []
+        mids = batch["media_id"].to_pylist()
+        for mid, p in zip(mids, payloads):
+            n_frames_total = max(1, len(p) // 256)  # fake: 256 B per frame
+            step = max(1, n_frames_total // self.frames)
+            for k, f in enumerate(range(0, n_frames_total, step)[: self.frames]):
+                ids.append(mid)
+                fidx.append(k)
+                ts.append(round(f / self.fps, 6))
+                frames.append(p[f * 256 : (f + 1) * 256])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "frame_index": pa.array(fidx, pa.int32()),
+                "timestamp_sec": pa.array(ts, pa.float64()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
 def decode_pipeline(media_ds, kind: str, stage_cls, concurrency: int = 2, batch_size: int = 16):
     """Wire a decode stage the scale-correct way: filter to the modality,
     small batches (wide binary rows), actor pool."""

@@ -132,3 +132,25 @@ def test_multimodal_plumbing():
     a = ImageDecodeStage()(media.slice(0, 4))
     b = ImageDecodeStage()(media.slice(0, 4))
     assert a.equals(b)
+
+
+def test_image_resize_and_video_frames(ray_session):
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.multimodal import (
+        ImageResizeStage,
+        VideoFrameSampleStage,
+        decode_pipeline,
+        synthesize_media_table,
+    )
+
+    t = synthesize_media_table(48)
+    rs = decode_pipeline(rd.from_arrow(t), "image", ImageResizeStage, concurrency=2).take_all()
+    assert rs and all(r["width"] == 224 and len(r["payload"]) == 224 * 224 // 256 for r in rs)
+    vf = decode_pipeline(rd.from_arrow(t), "video", VideoFrameSampleStage, concurrency=2).take_all()
+    assert vf and all(len(r["frame"]) <= 256 for r in vf)
+    assert {r["frame_index"] for r in vf} <= {0, 1, 2}
+    import pytest
+
+    with pytest.raises(Exception):
+        ImageResizeStage(decoder="real")(t)
