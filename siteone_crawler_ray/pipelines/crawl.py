@@ -71,6 +71,9 @@ class CrawlConfig:
     ignore_robots_txt: bool = False
     max_reqs_per_sec: float | None = None  # None → politeness off (corpus mode)
     # physical execution
+    # routing="bucket": corpus-cache affine (politeness budget split);
+    # routing="host": host-affine (politeness exact; hot hosts salted)
+    routing: str = "bucket"
     num_shards: int = 8
     fetch_concurrency: int | None = None  # None → adaptive to cluster CPUs
     fetch_batch_size: int = 2048
@@ -160,7 +163,7 @@ class EpochCrawler:
                 corpus_path=self.corpus_path,
                 gauntlet_kwargs=self._gauntlet_kwargs(),
                 max_reqs_per_sec=self.cfg.max_reqs_per_sec,
-                budget_split=k,
+                budget_split=1 if self.cfg.routing == "host" else k,
             )
         else:
             self._shards = [
@@ -266,9 +269,24 @@ class EpochCrawler:
             # instead of every worker faulting in every bucket.  The
             # wave ships once via ray.put; workers self-select rows.
             wave_ref = ray.put(wave)
+            salt_map = None
+            if self.cfg.routing == "host":
+                # hot-host salting: a host holding more than 2 fair
+                # shares of the wave spreads across S workers (rate/S
+                # per bucket — SURVEY §7.5)
+                hosts_np = wave["host"].to_numpy(zero_copy_only=False)
+                uniq, cnt = np.unique(hosts_np, return_counts=True)
+                fair = max(1, -(-W // K))
+                salt_map = {
+                    str(h): int(min(K, -(-c // fair)))
+                    for h, c in zip(uniq, cnt)
+                    if c > 2 * fair
+                }
             results = ray.get(
                 [
-                    w.process_shared.remote(wave_ref, i, K, self.num_buckets, vdir)
+                    w.process_shared.remote(
+                        wave_ref, i, K, self.num_buckets, vdir, self.cfg.routing, salt_map
+                    )
                     for i, w in enumerate(self._workers)
                 ]
             )

@@ -141,15 +141,21 @@ class FetchStage:
         self.rate = None if max_reqs_per_sec is None else max_reqs_per_sec / max(1, budget_split)
         self.buckets: dict[str, TokenBucket] = {}
         self.seed_host = seed_host
+        # host → salt factor S for this wave: a salted host's URLs spread
+        # over S workers, so each worker's bucket gets rate/S (SURVEY
+        # §7.5 hot-host budget split); set per epoch by the driver
+        self.salt_map: dict[str, int] = {}
 
     def _politeness(self, hosts: np.ndarray) -> None:
         if self.rate is None:
             return
         uniq, counts = np.unique(hosts, return_counts=True)
         for h, c in zip(uniq, counts):
+            s = self.salt_map.get(h, 1)
+            rate = self.rate / s
             b = self.buckets.get(h)
-            if b is None:
-                b = self.buckets[h] = TokenBucket(self.rate, max(1.0, self.rate))
+            if b is None or abs(b.rate - rate) > 1e-12:
+                b = self.buckets[h] = TokenBucket(rate, max(1.0, rate))
             b.acquire(float(c))
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -79,17 +79,43 @@ class CrawlWorker:
         return len(bucket_ids)
 
     def process_shared(
-        self, wave: pa.Table, worker_id: int, num_workers: int, num_buckets: int, vdir: str
+        self,
+        wave: pa.Table,
+        worker_id: int,
+        num_workers: int,
+        num_buckets: int,
+        vdir: str,
+        routing: str = "bucket",
+        salt_map: dict | None = None,
     ) -> tuple[pa.Table | None, list[str], dict]:
-        """Bucket-affine self-selection from the shared wave table.
+        """Self-selection from the shared wave table.
 
         The driver ``ray.put``s the wave ONCE (zero-copy Arrow in the
         object store); each worker takes only its rows here, in
         parallel, instead of the driver cutting and pickling K chunks
-        serially."""
+        serially.
+
+        routing="bucket": worker = (url_key % num_buckets) % K —
+        corpus-cache affine, politeness budget split across workers.
+        routing="host": worker = (xxh64(host) + url_key % S_host) % K —
+        a host's URLs land on ONE worker (politeness exact per host),
+        except hot hosts salted across S workers with rate/S buckets
+        (salt_map from the driver)."""
         keys = wave["url_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        mask = (keys % np.uint64(num_buckets)).astype(np.int64) % num_workers == worker_id
-        idx = np.nonzero(mask)[0]
+        if routing == "host":
+            from ..functions.hashing import xxh64_strings
+
+            hosts = wave["host"].to_numpy(zero_copy_only=False)
+            hh = xxh64_strings(hosts)
+            salt = np.ones(len(keys), dtype=np.uint64)
+            if salt_map:
+                for h, s in salt_map.items():
+                    salt[hosts == h] = s
+            wid = ((hh + keys % salt) % np.uint64(num_workers)).astype(np.int64)
+            self.fetch.salt_map = dict(salt_map or {})
+        else:
+            wid = (keys % np.uint64(num_buckets)).astype(np.int64) % num_workers
+        idx = np.nonzero(wid == worker_id)[0]
         if not len(idx):
             self._last_full = None
             return None, [], {"rows": 0, "cands_raw": 0, "fetch": 0.0, "write": 0.0, "extract": 0.0}

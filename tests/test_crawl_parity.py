@@ -193,3 +193,36 @@ def test_politeness_token_bucket_rate():
     t0 = time.monotonic()
     b.acquire(30.0)  # 20 burst + 10 refill → ≥ ~0.5 s
     assert time.monotonic() - t0 >= 0.4
+
+
+def test_host_routing_output_invariance(tmp_workdir):
+    """routing='host' (politeness-exact, salted hot hosts) must produce
+    the identical visited order/seen set as bucket routing."""
+    tabs = make_graph_corpus(seed=31, hosts=3, total_pages=600)
+    cfg = CrawlConfig(use_ray=True, num_shards=4, fetch_concurrency=3, routing="host",
+                      ray_wave_threshold=16,
+                      allowed_domains_crawl=("*",), allowed_domains_static=("*",))
+    res, (seeds, robots) = _run_engine(tmp_workdir, tabs, cfg)
+    _assert_parity(res, run_oracle(tabs["documents"], seeds, robots, cfg))
+
+
+def test_host_routing_politeness_rate_bound(tmp_workdir):
+    """With routing='host' and a per-host rate cap, wall time is bounded
+    below by busiest_host_pages / rate (exact per-host politeness)."""
+    import time
+
+    tabs = make_graph_corpus(seed=11, hosts=2, total_pages=60)
+    rate = 40.0
+    cfg = CrawlConfig(use_ray=False, num_shards=2, routing="host", max_reqs_per_sec=rate,
+                      allowed_domains_crawl=("*",), allowed_domains_static=("*",))
+    t0 = time.monotonic()
+    res, _ = _run_engine(tmp_workdir, tabs, cfg)
+    elapsed = time.monotonic() - t0
+    hosts = res.visited_table(columns=["host"])["host"].to_pylist()
+    from collections import Counter
+
+    busiest = max(Counter(hosts).values())
+    # bucket starts full (capacity == rate) → expected wait ≥ (busiest - rate)/rate
+    expected_min = max(0.0, (busiest - rate) / rate) * 0.8
+    assert elapsed >= expected_min
+    assert res.metrics["visited"] == len(hosts)
