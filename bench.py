@@ -37,6 +37,8 @@ HEADLINE = [
     "minhash_pairs",
     "knn_top10",
     "token_counts",
+    "html_link_extract",
+    "report_content_types",
 ]
 
 
