@@ -37,16 +37,39 @@ def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _shingle_hashes(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
-    """Character k-shingle xxh64 hashes for a batch → (hashes, doc_offsets).
+    """Character k-shingle hashes for a batch → (per-doc sorted-unique
+    hashes concatenated, doc_offsets).
 
-    Shingling is vectorized per document via numpy byte windows."""
+    Fully vectorized: all texts concatenate into one byte buffer and a
+    degree-k polynomial hash evaluates over every window at once
+    (Python substring construction was the MinHash pipeline's hottest
+    loop).  Docs shorter than k get one shingle = the whole string,
+    matching ``jaccard``'s ``max(1, len-k+1)`` window count."""
+    P = np.uint64(0x100000001B3)
+    enc = [(t if isinstance(t, str) else str(t)).encode("utf-8", "replace") for t in texts]
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+    starts = np.concatenate([[0], np.cumsum(lens)])
+    N = len(buf)
+    with np.errstate(over="ignore"):
+        if N >= k:
+            H = np.zeros(N - k + 1, dtype=np.uint64)
+            for j in range(k):
+                H = H * P + buf[j : N - k + 1 + j]
+            # avalanche the polynomial value (xorshift-multiply)
+            H ^= H >> np.uint64(33)
+            H *= np.uint64(0xFF51AFD7ED558CCD)
+            H ^= H >> np.uint64(29)
+        else:
+            H = np.empty(0, dtype=np.uint64)
     hashes = []
-    counts = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        s = t if isinstance(t, str) else str(t)
-        n = max(1, len(s) - k + 1)
-        sh = [s[j : j + k] for j in range(n)]
-        h = np.unique(xxh64_strings(sh))
+    counts = np.empty(len(enc), dtype=np.int64)
+    for i in range(len(enc)):
+        s, ln = starts[i], lens[i]
+        if ln >= k:
+            h = np.unique(H[s : s + ln - k + 1])
+        else:  # whole-string shingle for short docs
+            h = xxh64_strings([enc[i].decode("utf-8", "replace")])
         hashes.append(h)
         counts[i] = len(h)
     offsets = np.concatenate([[0], np.cumsum(counts)])
@@ -201,43 +224,73 @@ def minhash_dedup_pairs(ds, *, id_col="doc_id", text_col="text", num_perm=64,
     need = pa.array(sorted(set(cand["id_a"]) | set(cand["id_b"])))
     need_ref = ray.put(need)
 
-    def prune(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch[id_col], value_set=ray.get(need_ref)))
+    def prune_and_hash(batch: pa.Table) -> pa.Table:
+        """Filter to candidate docs and shingle-hash them in the same
+        distributed pass — the driver only assembles arrays."""
+        b = batch.filter(pc.is_in(batch[id_col], value_set=ray.get(need_ref)))
+        if not b.num_rows:
+            return pa.table({id_col: pa.array([], batch[id_col].type),
+                             "sh": pa.array([], pa.list_(pa.uint64()))})
+        h, o = _shingle_hashes(b[text_col].to_numpy(zero_copy_only=False), shingle_k)
+        sh = pa.ListArray.from_arrays(pa.array(o, pa.int32()), pa.array(h, pa.uint64()))
+        return pa.table({id_col: b[id_col], "sh": sh})
 
     tbl = pa.concat_tables(
         [
             ray.get(r)
             for r in ds.select_columns([id_col, text_col])
-            .map_batches(prune, batch_format="pyarrow")
+            .map_batches(prune_and_hash, batch_format="pyarrow")
             .to_arrow_refs()
         ]
+    ).combine_chunks()
+    # exact Jaccard on hashed shingle sets — identical semantics to
+    # string-set Jaccard.  The shingle index (one sorted-unique uint64
+    # array per candidate doc) is broadcast once via ray.put and the
+    # pair verification fans out over map_batches (the pair count can
+    # reach O(docs²·dup-rate) — driver-side verification was the
+    # pipeline's long pole).
+    sh_col = tbl["sh"].combine_chunks() if isinstance(tbl["sh"], pa.ChunkedArray) else tbl["sh"]
+    hashes = pc.list_flatten(sh_col).to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(sh_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    ids_sorted_idx = np.argsort(tbl[id_col].to_numpy(zero_copy_only=False), kind="stable")
+    ids_sorted = tbl[id_col].to_numpy(zero_copy_only=False)[ids_sorted_idx]
+    index_ref = ray.put((ids_sorted, ids_sorted_idx, hashes, offs))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        idx_ids, idx_pos, hs, of = ray.get(index_ref)
+        ia = batch["id_a"].to_numpy(zero_copy_only=False)
+        ib = batch["id_b"].to_numpy(zero_copy_only=False)
+        ja = np.empty(len(ia))
+        ra = idx_pos[np.searchsorted(idx_ids, ia)]
+        rb = idx_pos[np.searchsorted(idx_ids, ib)]
+        for i in range(len(ia)):
+            A = hs[of[ra[i]] : of[ra[i] + 1]]
+            B = hs[of[rb[i]] : of[rb[i] + 1]]
+            if len(A) > len(B):
+                A, B = B, A
+            pos = np.searchsorted(B, A)
+            pos[pos == len(B)] = len(B) - 1
+            inter = int(np.count_nonzero(B[pos] == A))
+            union = len(A) + len(B) - inter
+            ja[i] = 1.0 if union == 0 else inter / union
+        return pa.table(
+            {"id_a": batch["id_a"], "id_b": batch["id_b"], "jaccard": pa.array(np.round(ja, 6))}
+        )
+
+    import ray.data as rd
+    import pandas as pd
+
+    cand_t = pa.Table.from_pandas(
+        pd.DataFrame({"id_a": cand["id_a"].to_numpy(), "id_b": cand["id_b"].to_numpy()}),
+        preserve_index=False,
     )
-    # exact Jaccard on hashed shingle sets: one sorted-unique uint64
-    # array per doc (computed once), pair intersections via vectorized
-    # searchsorted — identical semantics to string-set Jaccard, ~100×
-    # cheaper than per-pair Python set construction
-    hashes, offs = _shingle_hashes(tbl[text_col].to_numpy(zero_copy_only=False), shingle_k)
-    ids_arr = tbl[id_col].to_numpy(zero_copy_only=False)
-    sets = {int(i): hashes[offs[j] : offs[j + 1]] for j, i in enumerate(ids_arr)}
-    ia, ib = cand["id_a"].to_numpy(), cand["id_b"].to_numpy()
-    ja = np.empty(len(ia))
-    for i in range(len(ia)):
-        A, B = sets[int(ia[i])], sets[int(ib[i])]
-        if len(A) > len(B):
-            A, B = B, A
-        pos = np.searchsorted(B, A)
-        pos[pos == len(B)] = len(B) - 1
-        inter = int(np.count_nonzero(B[pos] == A))
-        union = len(A) + len(B) - inter
-        ja[i] = 1.0 if union == 0 else inter / union
-    keep = ja >= threshold
-    out = pa.table(
-        {
-            "id_a": pa.array(cand["id_a"].to_numpy()[keep]),
-            "id_b": pa.array(cand["id_b"].to_numpy()[keep]),
-            "jaccard": pa.array(np.round(ja[keep], 6)),
-        }
+    step = max(1, -(-cand_t.num_rows // 32))
+    vds = rd.from_arrow([cand_t.slice(i, step) for i in range(0, cand_t.num_rows, step)])
+    verified = pa.concat_tables(
+        [ray.get(r) for r in vds.map_batches(verify, batch_format="pyarrow").to_arrow_refs()]
     )
+    out = verified.filter(pc.greater_equal(verified["jaccard"], threshold))
     return out.take(pc.sort_indices(out, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))
 
 
