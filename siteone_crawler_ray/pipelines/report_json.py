@@ -1,0 +1,82 @@
+"""Machine-readable JSON report — the reference's 8-top-level-key shape.
+
+/root/reference/src/output/json_output.rs (512 LoC), schema documented
+in docs/JSON-OUTPUT.md:101-205: ``crawler``, ``options``, ``results``
+(per-URL rows, docs/JSON-OUTPUT.md:149-167), ``stats``, ``summary``,
+``tables`` (SuperTable analogue — apl_code + columns + STRING-valued
+rows, docs/JSON-OUTPUT.md:191-205), ``qualityScores``,
+``extraColumnsFromAnalysis``.
+
+All table content comes from the distributed report aggregations
+(pipelines/reports.py); this module only assembles the (small) final
+dict on the driver — like the reference's post-crawl output pass.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict
+
+import pyarrow as pa
+
+from . import reports as RP
+from . import scoring as SC
+
+ENGINE = {"name": "siteone-crawler-ray", "version": "0.1", "executor": "ray-data"}
+
+RESULT_COLUMNS = [
+    "seq", "uq_id", "url", "status_code", "content_type", "request_time",
+    "size", "source_uq_id", "source_attr", "depth", "epoch", "title",
+]
+
+
+def _table_block(apl_code: str, t: pa.Table) -> dict:
+    """SuperTable JSON: stringly-typed rows (docs/JSON-OUTPUT.md:204)."""
+    return {
+        "aplCode": apl_code,
+        "columns": t.schema.names,
+        "rows": [
+            {k: ("" if v is None else str(v)) for k, v in row.items()} for row in t.to_pylist()
+        ],
+    }
+
+
+def build_report(res, visited_ds, config=None) -> dict:
+    findings_t = RP.page_findings(visited_ds)
+    status_t = RP.count_by_status(visited_ds)
+    findings = SC.findings_from_reports(findings_t, status_t)
+    quality = SC.score(findings)
+    tables = {
+        "content-types": RP.content_type_table(visited_ds),
+        "source-domains": RP.source_domains_table(visited_ds),
+        "fastest-urls": RP.fastest_table(visited_ds),
+        "slowest-urls": RP.slowest_table(visited_ds),
+        "non-unique-titles": RP.title_uniqueness_table(visited_ds),
+        "404-pages": RP.page404_table(visited_ds),
+        "redirects": RP.redirects_table(visited_ds),
+        "http-headers": RP.headers_inventory_table(visited_ds),
+        "caching": RP.caching_table(visited_ds),
+        "skipped-urls": RP.skipped_by_reason_table(res.skipped),
+    }
+    stats = RP.basic_stats(visited_ds).to_pylist()[0]
+    results = res.visited_table(columns=RESULT_COLUMNS).to_pylist()
+    return {
+        "crawler": ENGINE,
+        "options": (asdict(config) if config is not None else {}),
+        "results": results,
+        "stats": stats,
+        "summary": [
+            {"aplCode": f.rule or f.category, "severity": f.severity, "count": f.count}
+            for f in findings
+        ],
+        "tables": [_table_block(k, t) for k, t in tables.items()],
+        "qualityScores": {"categories": quality.scores, "total": quality.total},
+        "extraColumnsFromAnalysis": ["Title", "Description"],
+    }
+
+
+def write_report_json(res, visited_ds, path: str, config=None) -> dict:
+    report = build_report(res, visited_ds, config)
+    with open(path, "w") as f:
+        json.dump(report, f, default=str)
+    return report

@@ -247,3 +247,52 @@ def test_redirect_parity_with_oracle(crawl_result):
     ov = orc.visited_table()
     assert ev["url"].to_pylist() == ov["url"].to_pylist()
     assert ev["status_code"].to_pylist() == ov["status_code"].to_pylist()
+
+
+def test_extra_columns_specs_and_stage(crawl_result):
+    from siteone_crawler_ray.functions.extra_columns import ExtraColumnsStage, parse_extra_columns
+
+    cols = parse_extra_columns(["Title(10)", "X-Cache", "Desc=description",
+                                "Num=regexp:/page (\\d+)/#1", "DOM"])
+    assert [c.kind for c in cols] == ["predefined", "header", "predefined", "regexp", "predefined"]
+    assert cols[0].max_len == 10
+
+    res, _ = crawl_result
+    t = res.visited_table(columns=["url", "title", "description", "spans",
+                                   "content_type_header", "cache_control", "etag",
+                                   "content_encoding"])
+    out = ExtraColumnsStage(["Short=Title", "Short10(10)=Title", "CT=Content-Type",
+                             "PageNum=regexp:/page (\\d+)/#1"])(t)
+    assert {"Short", "Short10", "CT", "PageNum"} <= set(out.schema.names)
+    shorts = out["Short10"].to_pylist()
+    assert all(len(s) <= 10 for s in shorts)
+    cts = [c for c in out["CT"].to_pylist() if c]
+    assert any("text/html" in c for c in cts)
+    nums = [v for v in out["PageNum"].to_pylist() if v]
+    assert nums and all(v.isdigit() for v in nums)
+
+
+def test_json_report_shape(crawl_result, tmp_path):
+    import json
+
+    import ray.data as rd
+
+    from siteone_crawler_ray.pipelines.report_json import write_report_json
+
+    res, _ = crawl_result
+    ds = rd.from_arrow(res.visited_table())
+    path = str(tmp_path / "report.json")
+    report = write_report_json(res, ds, path)
+    with open(path) as f:
+        loaded = json.load(f)
+    assert set(loaded) == {
+        "crawler", "options", "results", "stats", "summary", "tables",
+        "qualityScores", "extraColumnsFromAnalysis",
+    }
+    assert len(loaded["results"]) == res.metrics["visited"]
+    assert loaded["stats"]["total_urls"] == res.metrics["visited"]
+    # table rows are stringly typed (docs/JSON-OUTPUT.md:204)
+    for tbl in loaded["tables"]:
+        for row in tbl["rows"]:
+            assert all(isinstance(v, str) for v in row.values())
+    assert 0 <= loaded["qualityScores"]["total"] <= 10
