@@ -248,6 +248,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return fn(_visited_ds(res, columns=columns), **kw)
         return q
 
+    def report_external_links(sf_dir: str):
+        import ray.data as rd
+
+        from siteone_crawler_ray.pipelines.reports import external_links_table
+        from siteone_crawler_ray.sources.corpus import interleaved_from_testdata
+
+        tabs = interleaved_from_testdata(sf_dir)
+        docs = tabs["documents"]
+        step = max(1, -(-docs.num_rows // 16))
+        ds = rd.from_arrow([docs.slice(i, step) for i in range(0, docs.num_rows, step)])
+        seed_host = tabs["seeds"]["url"].to_pylist()[0].split("/")[2]
+        return external_links_table(ds, seed_host)
+
+    def json_report(sf_dir: str):
+        """full 8-key JSON report → (key, size) summary table."""
+        import os as _os
+
+        import pyarrow as pa
+
+        from siteone_crawler_ray.pipelines.report_json import write_report_json
+
+        res = _crawl_for(sf_dir)
+        path = _os.path.join("/tmp", f"graft_report_{_os.path.basename(sf_dir)}.json")
+        rep = write_report_json(res, _visited_ds(res), path)
+        return pa.table({
+            "key": pa.array(sorted(rep)),
+            "n": pa.array([len(rep[k]) if hasattr(rep[k], "__len__") else 1 for k in sorted(rep)],
+                          pa.int64()),
+        })
+
     def report_skipped(sf_dir: str):
         return RP.skipped_by_reason_table(_crawl_for(sf_dir).skipped)
 
@@ -335,6 +365,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "report_sitemap": _rq(RP.sitemap_urls),
         "report_findings": _rq(RP.page_findings),
         "report_skipped": report_skipped,
+        "report_external_links": report_external_links,
+        "json_report": json_report,
         "markdown_pages": markdown_pages,
         "offline_paths": offline_paths,
         "quality_score_gate": quality_score_gate,
