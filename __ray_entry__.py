@@ -385,6 +385,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # join / lookup shapes (SURVEY §2.4)
         "segment_join": R.segment_join,
         "range_join_count": R.range_join_count,
+        "top_order_per_segment": R.top_order_per_segment,
+        "customers_without_events": R.customers_without_events,
+        "supplier_part_stats": R.supplier_part_stats,
         # distinct / window / parse shapes (SURVEY §2.5, §2.9)
         "distinct_users_by_type": R.distinct_users_by_type,
         "hourly_window": R.hourly_window,
@@ -452,6 +455,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "top_order_per_segment": """
+            SELECT c_mktsegment, o_orderkey, total FROM (
+              SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS total,
+                     row_number() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rn <= 3
+        """,
+        "customers_without_events": """
+            SELECT DISTINCT o_custkey FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = o.o_custkey)
+        """,
+        "supplier_part_stats": """
+            SELECT s_nationkey, p_brand, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                          JOIN part ON l_partkey = p_partkey
+            GROUP BY s_nationkey, p_brand
         """,
         "range_join_count": """
             SELECT e.event_id, count(o.o_orderkey) AS n_before

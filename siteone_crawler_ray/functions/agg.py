@@ -82,6 +82,27 @@ def grouped_agg(ds, keys: list[str], specs) -> pa.Table:
     return combine_partials(parts, keys, specs)
 
 
+def partial_topk(ds, k: int, sort_cols: list[str], descending=None) -> pa.Table:
+    """Scale-correct top-k: each block reduces to its own top-k inside
+    map_batches, the tiny partials merge on the driver — no global
+    sort shuffle for a k-row answer."""
+    import ray
+
+    descending = descending or [False] * len(sort_cols)
+    keys = [(c, "descending" if d else "ascending") for c, d in zip(sort_cols, descending)]
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=keys)
+        return batch.take(idx.slice(0, k))
+
+    parts = [
+        ray.get(r) for r in ds.map_batches(block_topk, batch_format="pyarrow").to_arrow_refs()
+    ]
+    merged = pa.concat_tables([p for p in parts if p.num_rows], promote_options="permissive")
+    idx = pc.sort_indices(merged, sort_keys=keys)
+    return merged.take(idx.slice(0, k))
+
+
 def global_agg(ds, specs) -> dict:
     """Keyless version: one scalar row.  specs: (out, col, kind)."""
     import ray

@@ -147,18 +147,128 @@ def label_counts(sf_dir: str) -> pa.Table:
 
 
 def fastest_topk(sf_dir: str, k: int = 20) -> pa.Table:
-    """fastest-URLs shape: asc sort + deterministic tie-break + limit."""
-    ds = _read(sf_dir, "events", ["event_id", "value"]).sort(["value", "event_id"]).limit(k)
-    return _collect(ds).select(["event_id", "value"])
+    """fastest-URLs shape: top-k via per-block partial top-k + tiny
+    driver merge (no global sort shuffle for a k-row answer)."""
+    from ..functions.agg import partial_topk
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return partial_topk(ds, k, ["value", "event_id"]).select(["event_id", "value"])
 
 
 def slowest_topk(sf_dir: str, k: int = 20) -> pa.Table:
-    ds = (
-        _read(sf_dir, "events", ["event_id", "value"])
-        .sort(["value", "event_id"], descending=[True, False])
-        .limit(k)
-    )
-    return _collect(ds).select(["event_id", "value"])
+    from ..functions.agg import partial_topk
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return partial_topk(ds, k, ["value", "event_id"], [True, False]).select(["event_id", "value"])
+
+
+def top_order_per_segment(sf_dir: str, k: int = 3) -> pa.Table:
+    """top-N-per-group (window row_number) shape: per-batch partial
+    per-group top-k (pyarrow group-aware sort) → driver final per-group
+    top-k.  Broadcast c_custkey→segment like segment_join."""
+    import ray
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"])
+    lut_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
+
+    def attach_and_topk(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        seg = np.array([lut.get(int(x), "") for x in batch["o_custkey"].to_numpy(zero_copy_only=False)],
+                       dtype=object)
+        t = pa.table({"c_mktsegment": pa.array(seg, pa.string()),
+                      "o_orderkey": batch["o_orderkey"], "o_totalprice": batch["o_totalprice"]})
+        # per-group partial top-k within the block
+        idx = pc.sort_indices(t, sort_keys=[("c_mktsegment", "ascending"),
+                                            ("o_totalprice", "descending"),
+                                            ("o_orderkey", "ascending")])
+        t = t.take(idx)
+        segs = t["c_mktsegment"].to_numpy(zero_copy_only=False)
+        keep = []
+        count = 0
+        prev = None
+        for i, s in enumerate(segs):
+            if s != prev:
+                prev, count = s, 0
+            if count < k:
+                keep.append(i)
+                count += 1
+        return t.take(pa.array(keep))
+
+    parts = _collect(_read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]).map_batches(
+        attach_and_topk, batch_format="pyarrow"))
+    idx = pc.sort_indices(parts, sort_keys=[("c_mktsegment", "ascending"),
+                                            ("o_totalprice", "descending"),
+                                            ("o_orderkey", "ascending")])
+    parts = parts.take(idx)
+    segs = parts["c_mktsegment"].to_numpy(zero_copy_only=False)
+    keep, count, prev = [], 0, None
+    for i, s in enumerate(segs):
+        if s != prev:
+            prev, count = s, 0
+        if count < k:
+            keep.append(i)
+            count += 1
+    out = parts.take(pa.array(keep))
+    return pa.table({"c_mktsegment": out["c_mktsegment"], "o_orderkey": out["o_orderkey"],
+                     "total": pa.array(round_away(out["o_totalprice"].to_numpy(), 2))})
+
+
+def customers_without_events(sf_dir: str) -> pa.Table:
+    """anti-join shape: ordering customers with NO events (broadcast the
+    sorted event user set via ray.put, vectorized searchsorted per
+    batch, per-block dedup partial → driver unique)."""
+    import ray
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    ev_sorted = np.unique(ev["user_id"].to_numpy(zero_copy_only=False))
+    ref = ray.put(ev_sorted)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ck)
+        pos_c = np.minimum(pos, max(0, len(keys) - 1))
+        has = keys[pos_c] == ck if len(keys) else np.zeros(len(ck), bool)
+        out = np.unique(ck[~has])
+        return pa.table({"o_custkey": pa.array(out)})
+
+    t = _collect(_read(sf_dir, "orders", ["o_custkey"]).map_batches(anti, batch_format="pyarrow"))
+    if t is None:
+        return pa.table({"o_custkey": pa.array([], pa.int64())})
+    cks = np.unique(t["o_custkey"].to_numpy(zero_copy_only=False))
+    return pa.table({"o_custkey": pa.array(cks)})
+
+
+def supplier_part_stats(sf_dir: str) -> pa.Table:
+    """two-broadcast join shape: lineitem ⋈ supplier ⋈ part (both sides
+    broadcast) → per-(nation of supplier, part brand) counts."""
+    import ray
+    import pyarrow.parquet as pq
+
+    from ..functions.agg import grouped_agg
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"])
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"])
+    s_ref = ray.put(dict(zip(supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist())))
+    p_ref = ray.put(dict(zip(part["p_partkey"].to_pylist(), part["p_brand"].to_pylist())))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        s_lut, p_lut = ray.get(s_ref), ray.get(p_ref)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        nat = np.array([s_lut.get(int(x), -1) for x in sk], dtype=np.int64)
+        brand = np.array([p_lut.get(int(x), "") for x in pk], dtype=object)
+        return pa.table({"s_nationkey": pa.array(nat), "p_brand": pa.array(brand, pa.string()),
+                         "l_quantity": batch["l_quantity"]})
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey", "l_quantity"]).map_batches(
+        attach, batch_format="pyarrow")
+    t = grouped_agg(ds, ["s_nationkey", "p_brand"],
+                    [("n", None, "count"), ("sum_qty", "l_quantity", "sum")])
+    return pa.table({"s_nationkey": t["s_nationkey"], "p_brand": t["p_brand"], "n": t["n"],
+                     "sum_qty": pa.array(round_away(t["sum_qty"].to_numpy(), 2))})
 
 
 def p90_by_type(sf_dir: str) -> pa.Table:
