@@ -141,6 +141,61 @@ def run_crawl_child(sf_dir: str, num_cpus: int, scale: bool = False) -> dict:
     }
 
 
+def run_frontier_bench(num_shards: int = 8, total_keys: int = 4_000_000,
+                       batch: int = 100_000) -> dict:
+    """Frontier micro-benchmark for the 10^10-URL claim: feed the shard
+    pool `total_keys` synthetic url_keys in offer/contains rounds and
+    report ops/s + memory per key, then extrapolate per-node capacity."""
+    import numpy as np
+
+    _init_ray(int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    from siteone_crawler_ray.stages.frontier import make_shard_actors, shard_of
+    import pyarrow as pa
+    import ray
+
+    shards = make_shard_actors(num_shards, filter_capacity=total_keys // num_shards * 2)
+    rng = np.random.default_rng(11)
+    t_offer = t_contains = 0.0
+    n_rounds = total_keys // batch
+    for r in range(n_rounds):
+        keys = rng.integers(0, 1 << 63, size=batch, dtype=np.uint64)
+        sh = shard_of(keys, num_shards)
+        t0 = time.perf_counter()
+        refs = []
+        for i in range(num_shards):
+            k = keys[sh == i]
+            refs.append(shards[i].contains.remote(k))
+        ray.get(refs)
+        t_contains += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        refs = []
+        for i in range(num_shards):
+            k = keys[sh == i]
+            t = pa.table({"url_key": pa.array(k, pa.uint64()),
+                          "url": pa.array(["u"] * len(k)), "host": pa.array(["h"] * len(k)),
+                          "depth": pa.array(np.zeros(len(k), np.int32)),
+                          "priority": pa.array(np.arange(len(k), dtype=np.int64)),
+                          "source_uq_id": pa.array([""] * len(k)),
+                          "source_attr": pa.array(np.zeros(len(k), np.int8))})
+            refs.append(shards[i].offer.remote(t))
+        ray.get(refs)
+        # keep memory bounded: drain queued entries
+        ray.get([s.drain.remote() for s in shards])
+        t_offer += time.perf_counter() - t0
+    seen = sum(ray.get([s.seen_count.remote() for s in shards]))
+    # memory model: exact sorted uint64 (8 B) + cuckoo 16-bit fp × 4/0.7 ≈ 11.4 B/key
+    bytes_per_key = 8 + 16 / 8 / 0.7
+    return {
+        "metric": "frontier_ops_per_sec",
+        "contains_ops_per_sec": round(total_keys / t_contains, 1),
+        "offer_ops_per_sec": round(total_keys / t_offer, 1),
+        "keys": int(seen),
+        "num_shards": num_shards,
+        "est_bytes_per_key": round(bytes_per_key, 1),
+        "keys_per_128GiB_node": int(128 * 2**30 / bytes_per_key),
+    }
+
+
 def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
     """Fresh-process runs at two parallelism levels (N and 4N CPUs)."""
     _scaling_corpus()  # build once outside the timed children
@@ -173,6 +228,7 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--frontier", action="store_true")
     ap.add_argument("--_crawl-child", dest="crawl_child", action="store_true")
     ap.add_argument("--scale", action="store_true")
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -181,6 +237,8 @@ def main() -> int:
 
     if args.crawl_child:
         print(json.dumps(run_crawl_child(args.sf_dir, num_cpus, scale=args.scale)))
+    elif args.frontier:
+        print(json.dumps(run_frontier_bench()))
     elif args.scaling:
         report = run_scaling(args.sf_dir)
         print(json.dumps(report))

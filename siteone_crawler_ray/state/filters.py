@@ -86,6 +86,38 @@ class CuckooFilter:
         return hit
 
     def add_batch(self, keys: np.ndarray) -> None:
+        """Vectorized fast path: slot-parallel bulk placement into empty
+        slots (resolving within-batch bucket collisions via unique-first),
+        Python only for the rare eviction chains."""
+        if len(keys) == 0:
+            return
+        fp_all = self._fp(keys)
+        i1_all = self._i1(keys)
+        i2_all = self._alt(i1_all, fp_all)
+        table = self.table
+        pending = np.arange(len(keys))
+        for choice in (i1_all, i2_all):
+            for s in range(self.SLOTS):
+                if not len(pending):
+                    break
+                idx = choice[pending]
+                empty = table[idx, s] == 0
+                cand = pending[empty]
+                if not len(cand):
+                    continue
+                cand_idx = idx[empty]
+                uniq, first = np.unique(cand_idx, return_index=True)
+                winners = cand[first]
+                table[uniq, s] = fp_all[winners]
+                keep = np.ones(len(pending), dtype=bool)
+                keep[np.searchsorted(pending, winners)] = False
+                pending = pending[keep]
+        self.count += len(keys) - len(pending)
+        if not len(pending):
+            return
+        self._add_slow(keys[pending])
+
+    def _add_slow(self, keys: np.ndarray) -> None:
         fp_arr = self._fp(keys)
         i1_arr = self._i1(keys)
         table = self.table
