@@ -67,7 +67,11 @@ def _init_ray(num_cpus: int) -> None:
 
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     _init_ray(num_cpus)
+    import ray.data as rd
+
     import __ray_entry__ as entrymod
+
+    rd.range(1000).map_batches(lambda b: b, batch_format="pyarrow").count()  # session warm-up
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
