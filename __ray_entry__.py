@@ -99,6 +99,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                      "content_type", "epoch"]
         )
 
+    def flat_visit_stats(sf_dir: str):
+        """pure-Ray-Data url-list crawl: stream every corpus URL through
+        the fetch actor pool, aggregate by (status, content_type)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from siteone_crawler_ray.functions.agg import grouped_agg
+        from siteone_crawler_ray.pipelines.flat import flat_crawl
+
+        path, seeds, _ = _corpus_for(sf_dir)
+        from siteone_crawler_ray.sources.corpus import interleaved_from_testdata
+
+        docs = interleaved_from_testdata(sf_dir)["documents"]
+        t = pa.table({"url": docs["doc_id"]})
+        step = max(1, -(-t.num_rows // 16))
+        urls = rd.from_arrow([t.slice(i, step) for i in range(0, t.num_rows, step)])
+        ds = flat_crawl(path, urls, concurrency=4).select_columns(["status_code", "content_type"])
+        return grouped_agg(ds, ["status_code", "content_type"], [("n", None, "count")])
+
     def crawl_span_kinds(sf_dir: str):
         """span-explosion operator: count exploded link/asset spans by kind."""
         import ray.data as rd
@@ -409,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_energy": media_audio_energy,
         "media_video_frames": media_video_frames,
         "crawl_visited": crawl_visited,
+        "flat_visit_stats": flat_visit_stats,
         "crawl_span_kinds": crawl_span_kinds,
     }
 

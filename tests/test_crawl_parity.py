@@ -226,3 +226,21 @@ def test_host_routing_politeness_rate_bound(tmp_workdir):
     expected_min = max(0.0, (busiest - rate) / rate) * 0.8
     assert elapsed >= expected_min
     assert res.metrics["visited"] == len(hosts)
+
+
+def test_flat_crawl_streams_all_urls(tmp_workdir):
+    """flat (url-list) mode: pure Dataset pipeline visits every input
+    URL exactly once with corpus-correct statuses."""
+    import ray.data as rd
+
+    from siteone_crawler_ray.pipelines.flat import flat_crawl
+
+    tabs = make_graph_corpus(seed=9, hosts=2, total_pages=200)
+    cp, seeds, robots = _setup(tmp_workdir, tabs)
+    urls = rd.from_arrow(pa.table({"url": tabs["documents"]["doc_id"]}))
+    out = flat_crawl(cp, urls, concurrency=2).select_columns(["url", "status_code"])
+    rows = out.take_all()
+    assert len(rows) == tabs["documents"].num_rows
+    statuses = {r["status_code"] for r in rows}
+    assert statuses <= {200, 301}
+    assert len({r["url"] for r in rows}) == len(rows)
