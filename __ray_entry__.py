@@ -366,9 +366,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .aggregate(Count(alias_name="n"))
         )
 
+    def page_checks(sf_dir: str):
+        """§2.10 SEO/accessibility analyzers over rendered corpus HTML →
+        finding-count summary."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from siteone_crawler_ray.functions.html_extract import spans_to_html
+        from siteone_crawler_ray.functions.page_checks import findings_summary, page_checks_batch
+        from siteone_crawler_ray.sources.corpus import interleaved_from_testdata
+
+        docs = interleaved_from_testdata(sf_dir)["documents"]
+
+        def render(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "url": batch["doc_id"],
+                "body": pa.array([spans_to_html(r) for r in batch["spans"].to_pylist()], pa.string()),
+            })
+
+        step = max(1, -(-docs.num_rows // 16))
+        ds = rd.from_arrow([docs.slice(i, step) for i in range(0, docs.num_rows, step)])
+        return findings_summary(
+            ds.map_batches(render, batch_format="pyarrow").map_batches(
+                page_checks_batch, batch_format="pyarrow"
+            )
+        )
+
     return {
         # live-HTML regex battery (SURVEY §2.2) — rows-only
         "html_link_extract": html_link_extract,
+        "page_checks": page_checks,
         # post-crawl analyzer battery (SURVEY §2.5, §2.10) — rows-only
         "report_basic_stats": report_basic_stats,
         "report_status_counts": _rq(RP.count_by_status),
