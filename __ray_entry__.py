@@ -312,6 +312,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             spans_to_markdown, batch_format="pyarrow"
         )
 
+    def html_markdown(sf_dir: str):
+        """live-HTML→Markdown conversion (html_to_markdown.rs analogue)
+        over rendered corpus pages."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from siteone_crawler_ray.functions.html_extract import spans_to_html
+        from siteone_crawler_ray.functions.html_markdown import html_to_markdown_batch
+        from siteone_crawler_ray.sources.corpus import interleaved_from_testdata
+
+        docs = interleaved_from_testdata(sf_dir)["documents"]
+
+        def render(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "url": batch["doc_id"],
+                "body": pa.array([spans_to_html(r) for r in batch["spans"].to_pylist()], pa.string()),
+            })
+
+        step = max(1, -(-docs.num_rows // 16))
+        ds = rd.from_arrow([docs.slice(i, step) for i in range(0, docs.num_rows, step)])
+        return ds.map_batches(render, batch_format="pyarrow").map_batches(
+            html_to_markdown_batch, batch_format="pyarrow"
+        )
+
     def offline_paths(sf_dir: str):
         from siteone_crawler_ray.stages.export import add_offline_paths
 
@@ -414,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "report_external_links": report_external_links,
         "json_report": json_report,
         "markdown_pages": markdown_pages,
+        "html_markdown": html_markdown,
         "offline_paths": offline_paths,
         "quality_score_gate": quality_score_gate,
         # groupby-agg report shapes (SURVEY §2.5)
