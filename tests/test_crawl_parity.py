@@ -244,3 +244,39 @@ def test_flat_crawl_streams_all_urls(tmp_workdir):
     statuses = {r["status_code"] for r in rows}
     assert statuses <= {200, 301}
     assert len({r["url"] for r in rows}) == len(rows)
+
+
+def test_empty_seeds_and_all_404_corpus(tmp_workdir):
+    """Degenerate inputs: no seeds → empty result; seeds pointing at
+    URLs absent from the corpus → 404 rows, no link expansion."""
+    tabs = make_graph_corpus(seed=2, hosts=2, total_pages=50)
+    cp, _, robots = _setup(tmp_workdir, tabs)
+    import os
+
+    cfg = CrawlConfig(use_ray=False, num_shards=2)
+    res = EpochCrawler(cp, [], robots, os.path.join(tmp_workdir, "w0"), cfg).run()
+    assert res.metrics["visited"] == 0 and res.skipped.num_rows == 0
+
+    ghost = ["https://site-000.test/nowhere", "https://site-000.test/gone.html"]
+    res2 = EpochCrawler(cp, ghost, robots, os.path.join(tmp_workdir, "w1"), cfg).run()
+    t = res2.visited_table(columns=["url", "status_code"])
+    assert t.num_rows == 2
+    assert set(t["status_code"].to_pylist()) == {404}
+
+
+def test_resume_rejects_changed_config(tmp_workdir):
+    """Resume must refuse a checkpoint written under a different config
+    fingerprint (lineage safety)."""
+    import os
+
+    import pytest
+
+    tabs = make_graph_corpus(seed=4, hosts=2, total_pages=80)
+    cp, seeds, robots = _setup(tmp_workdir, tabs)
+    wd = os.path.join(tmp_workdir, "w")
+    cfg = CrawlConfig(use_ray=False, num_shards=2)
+    EpochCrawler(cp, seeds, robots, wd, cfg).run()
+    other = CrawlConfig(use_ray=False, num_shards=2, max_depth=1)
+    c2 = EpochCrawler(cp, seeds, robots, wd, other)
+    with pytest.raises(ValueError, match="fingerprint"):
+        c2.resume()

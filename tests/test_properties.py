@@ -1,0 +1,84 @@
+"""Property-based invariants (hypothesis) for the URL kernels.
+
+The reference relies on these implicitly (every URL passes through the
+canonicalizer multiple times — at discovery, at enqueue, at fetch);
+idempotence and stability are what make the seen-set keys well-defined.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from siteone_crawler_ray.functions import urls as U
+from siteone_crawler_ray.functions.hashing import xxh64, xxh64_strings
+
+import numpy as np
+
+_hosts = st.sampled_from(["a.test", "www.b.test", "site-001.example.org", "x.y.z.test"])
+_paths = st.lists(
+    st.text(alphabet="abcdefghij0123456789-_", min_size=1, max_size=8), min_size=0, max_size=4
+).map(lambda segs: "/" + "/".join(segs))
+_queries = st.one_of(
+    st.just(""),
+    st.lists(
+        st.tuples(st.sampled_from("abcde"), st.text(alphabet="xyz01", min_size=1, max_size=3)),
+        min_size=1,
+        max_size=3,
+    ).map(lambda kv: "?" + "&".join(f"{k}={v}" for k, v in kv)),
+)
+
+
+@st.composite
+def absolute_urls(draw):
+    scheme = draw(st.sampled_from(["http", "https"]))
+    return f"{scheme}://{draw(_hosts)}{draw(_paths)}{draw(_queries)}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(absolute_urls())
+def test_canonicalize_idempotent(url):
+    c1 = U.canonicalize(url, url)
+    assert c1 is not None
+    c2 = U.canonicalize(c1, c1)
+    assert c2 == c1
+
+
+@settings(max_examples=200, deadline=None)
+@given(absolute_urls())
+def test_fragment_never_survives(url):
+    c = U.canonicalize(url + "#frag-part", url)
+    assert c is not None and "#" not in c
+
+
+@settings(max_examples=200, deadline=None)
+@given(absolute_urls())
+def test_remove_query_params_idempotent_and_stripped(url):
+    c = U.canonicalize(url, url, remove_query_params=True)
+    assert c is not None and "?" not in c
+    assert U.canonicalize(c, c, remove_query_params=True) == c
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(absolute_urls(), min_size=1, max_size=20))
+def test_vectorized_hash_matches_scalar(urls):
+    vec = xxh64_strings(urls)
+    assert list(vec) == [xxh64(u) for u in urls]
+    assert vec.dtype == np.uint64
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40))
+def test_normalize_href_idempotent(href):
+    n1 = U.normalize_href(href)
+    assert U.normalize_href(n1) == n1
+
+
+@settings(max_examples=200, deadline=None)
+@given(absolute_urls(), st.sampled_from(["./rel", "../up", "/abs/path", "x/y", "//a.test/pp"]))
+def test_relative_resolution_produces_absolute(base, rel):
+    c = U.canonicalize(rel, base)
+    if c is not None:
+        assert c.startswith("http://") or c.startswith("https://")
+        # resolving the result against itself is stable
+        assert U.canonicalize(c, c) == c
