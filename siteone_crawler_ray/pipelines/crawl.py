@@ -493,8 +493,9 @@ class EpochCrawler:
         if manifest["config"] != self.cfg.fingerprint():
             raise ValueError("checkpoint config fingerprint mismatch")
         self._make_shards()
-        sdir = os.path.join(self.workdir, "shards", f"epoch={e}")
-        self._shard_call("restore", [(sdir,) for _ in self._shards])
+        # delta-chain restore: every epoch's seen delta up to e, in order
+        sdirs = [os.path.join(self.workdir, "shards", f"epoch={i}") for i in range(e + 1)]
+        self._shard_call("restore", [(sdirs,) for _ in self._shards])
         self.epoch = e + 1
         self.visited_count = manifest["visited_count"]
         self.basename_counts = dict(manifest["basename_counts"])

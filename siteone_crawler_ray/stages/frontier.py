@@ -39,6 +39,10 @@ class FrontierShardState:
         self.filter = BloomFilter(filter_capacity) if cold else CuckooFilter(filter_capacity)
         self.exact = ExactSeenSet()
         self.pending: list[pa.Table] = []
+        # keys admitted since the last checkpoint — checkpoints are
+        # per-epoch DELTAS (O(wave), not O(total-seen); a full snapshot
+        # of a 10^10-key seen set every wave would dominate the crawl)
+        self._delta: list[np.ndarray] = []
 
     # -- membership ---------------------------------------------------------
     def contains(self, keys: np.ndarray) -> np.ndarray:
@@ -64,7 +68,9 @@ class FrontierShardState:
     # -- pending queue ------------------------------------------------------
     def offer(self, entries: pa.Table) -> int:
         """Admit new frontier entries: marks them seen + queues them."""
-        self.add_seen(entries["url_key"].to_numpy(zero_copy_only=False))
+        keys = entries["url_key"].to_numpy(zero_copy_only=False)
+        self.add_seen(keys)
+        self._delta.append(np.asarray(keys, dtype=np.uint64).copy())
         self.pending.append(entries)
         return entries.num_rows
 
@@ -77,32 +83,49 @@ class FrontierShardState:
 
     # -- checkpoint ---------------------------------------------------------
     def checkpoint(self, directory: str) -> dict:
+        """Write the seen-key DELTA since the previous checkpoint plus
+        the current pending queue (pending is O(wave))."""
         os.makedirs(directory, exist_ok=True)
-        seen = self.exact.snapshot()
-        pq.write_table(
-            pa.table({"url_key": pa.array(seen, type=pa.uint64())}),
-            os.path.join(directory, f"seen-{self.shard_id:03d}.parquet"),
+        delta = (
+            np.concatenate(self._delta) if self._delta else np.empty(0, np.uint64)
         )
+        pq.write_table(
+            pa.table({"url_key": pa.array(delta, type=pa.uint64())}),
+            os.path.join(directory, f"seen-delta-{self.shard_id:03d}.parquet"),
+        )
+        self._delta = []
         pend = pa.concat_tables(self.pending) if self.pending else None
         if pend is not None and pend.num_rows:
             pq.write_table(pend, os.path.join(directory, f"pending-{self.shard_id:03d}.parquet"))
         return {
             "shard": self.shard_id,
-            "seen": int(len(seen)),
+            "seen": int(self.seen_count()),
+            "delta": int(len(delta)),
             "pending": int(pend.num_rows) if pend is not None else 0,
             "filter": "bloom" if self.cold else "cuckoo",
         }
 
-    def restore(self, directory: str) -> None:
-        seen_path = os.path.join(directory, f"seen-{self.shard_id:03d}.parquet")
-        self.exact = ExactSeenSet(pq.read_table(seen_path)["url_key"].to_numpy())
+    def restore(self, directories: list[str] | str) -> None:
+        """Rebuild from the delta chain: every checkpoint dir up to and
+        including the resume epoch, in epoch order; pending comes only
+        from the final one."""
+        if isinstance(directories, str):
+            directories = [directories]
+        deltas = []
+        for d in directories:
+            p = os.path.join(d, f"seen-delta-{self.shard_id:03d}.parquet")
+            if os.path.exists(p):
+                deltas.append(pq.read_table(p)["url_key"].to_numpy())
+        keys = np.concatenate(deltas) if deltas else np.empty(0, np.uint64)
+        self.exact = ExactSeenSet(keys)
         self.filter = (
             BloomFilter(self.filter_capacity) if self.cold else CuckooFilter(self.filter_capacity)
         )
         base = self.exact.base
         if len(base):
             self.filter.add_batch(base)
-        pend_path = os.path.join(directory, f"pending-{self.shard_id:03d}.parquet")
+        self._delta = []
+        pend_path = os.path.join(directories[-1], f"pending-{self.shard_id:03d}.parquet")
         self.pending = [pq.read_table(pend_path)] if os.path.exists(pend_path) else []
 
 
