@@ -39,6 +39,7 @@ HEADLINE = [
     "token_counts",
     "html_link_extract",
     "report_content_types",
+    "flat_visit_stats",
 ]
 
 

@@ -143,6 +143,7 @@ class EpochCrawler:
         self.basename_counts: dict[str, int] = {}
         self.skipped_keys: set[int] = set()
         self.skipped_parts: list[pa.Table] = []
+        self._skipped_ckpt_idx = 0  # parts already persisted (delta checkpoints)
         self.metrics: dict = {"epochs": []}
         self._shards: list = []
         self._use_ray = self.cfg.use_ray
@@ -460,11 +461,14 @@ class EpochCrawler:
         e = self.epoch - 1
         sdir = os.path.join(self.workdir, "shards", f"epoch={e}")
         shard_meta = self._shard_call("checkpoint", [(sdir,) for _ in self._shards])
-        if self.skipped_parts:
+        # skipped records checkpoint as per-epoch deltas too (new parts only)
+        new_parts = self.skipped_parts[self._skipped_ckpt_idx :]
+        if new_parts:
             pq.write_table(
-                pa.concat_tables(self.skipped_parts),
+                pa.concat_tables(new_parts),
                 os.path.join(self.workdir, f"skipped-epoch{e}.parquet"),
             )
+        self._skipped_ckpt_idx = len(self.skipped_parts)
         manifest = {
             "epoch": e,
             "visited_count": self.visited_count,
@@ -499,11 +503,15 @@ class EpochCrawler:
         self.epoch = e + 1
         self.visited_count = manifest["visited_count"]
         self.basename_counts = dict(manifest["basename_counts"])
-        skp = os.path.join(self.workdir, f"skipped-epoch{e}.parquet")
-        if os.path.exists(skp):
-            t = pq.read_table(skp)
-            self.skipped_parts = [t]
-            self.skipped_keys = set(int(k) for k in t["url_key"].to_numpy())
+        self.skipped_parts = []
+        for i in range(e + 1):  # delta chain, epoch order
+            skp = os.path.join(self.workdir, f"skipped-epoch{i}.parquet")
+            if os.path.exists(skp):
+                self.skipped_parts.append(pq.read_table(skp))
+        self.skipped_keys = set(
+            int(k) for t in self.skipped_parts for k in t["url_key"].to_numpy()
+        )
+        self._skipped_ckpt_idx = len(self.skipped_parts)
         # drop visited dirs from epochs after the checkpoint (partial work)
         vroot = os.path.join(self.workdir, "visited")
         if os.path.isdir(vroot):
