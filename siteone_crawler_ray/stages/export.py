@@ -57,18 +57,65 @@ def spans_to_markdown(batch: pa.Table) -> pa.Table:
     return pa.table({"url": pa.array(out_url, pa.string()), "markdown": pa.array(out_md, pa.string())})
 
 
-def aggregate_markdown(md_table: pa.Table, max_pages: int | None = None) -> str:
+def common_boilerplate(pages: list[str], threshold: float = 0.8) -> tuple[list[str], list[str]]:
+    """Header/footer lines shared by ≥ threshold of pages
+    (markdown_site_aggregator.rs:13-40's 80%-similarity rule): the
+    longest line-prefix (and suffix) present in at least that fraction
+    of pages."""
+    if len(pages) < 2:
+        return [], []
+    split = [p.splitlines() for p in pages]
+    need = max(2, int(len(split) * threshold))
+
+    def run(lines_at) -> list[str]:
+        out = []
+        depth = 0
+        while True:
+            counts: dict[str, int] = {}
+            for ls in split:
+                v = lines_at(ls, depth)
+                if v is not None:
+                    counts[v] = counts.get(v, 0) + 1
+            if not counts:
+                break
+            line, n = max(counts.items(), key=lambda kv: kv[1])
+            if n < need or not line.strip():  # blank lines aren't boilerplate
+                break
+            out.append(line)
+            depth += 1
+        return out
+
+    header = run(lambda ls, d: ls[d] if d < len(ls) else None)
+    footer = run(lambda ls, d: ls[-1 - d] if d < len(ls) else None)
+    footer.reverse()
+    return header, footer
+
+
+def aggregate_markdown(
+    md_table: pa.Table, max_pages: int | None = None, dedup_boilerplate: bool = True
+) -> str:
     """Single-file aggregation ordered by URL (markdown_site_aggregator.rs:
-    14-40; the 80%-similar header/footer dedup degenerates to plain
-    concatenation for span corpora — spans carry no boilerplate)."""
+    14-40): common header/footer lines (≥80% of pages) hoist to the top
+    once; per-page bodies keep only their distinct content."""
     t = md_table.take(pc.sort_indices(md_table, sort_keys=[("url", "ascending")]))
     if max_pages is not None:
         t = t.slice(0, max_pages)
-    parts = [
-        f"<!-- {u} -->\n\n{m}"
-        for u, m in zip(t["url"].to_pylist(), t["markdown"].to_pylist())
-    ]
-    return "\n---\n\n".join(parts)
+    urls = t["url"].to_pylist()
+    pages = t["markdown"].to_pylist()
+    prefix = ""
+    if dedup_boilerplate and len(pages) >= 2:
+        header, footer = common_boilerplate(pages)
+        if header or footer:
+            stripped = []
+            for p in pages:
+                ls = p.splitlines()
+                h = len(header) if ls[: len(header)] == header else 0
+                f = len(footer) if footer and ls[len(ls) - len(footer) :] == footer else 0
+                stripped.append("\n".join(ls[h : len(ls) - f if f else len(ls)]))
+            pages = stripped
+            prefix = "\n".join(["<!-- common header/footer -->", *header, *footer, "", ""])
+    parts = [f"<!-- {u} -->\n\n{m}" for u, m in zip(urls, pages)]
+    return prefix + "\n---\n\n".join(parts)
 
 
 def offline_path_for(url: str, lowercase: bool = True) -> str:

@@ -296,3 +296,24 @@ def test_json_report_shape(crawl_result, tmp_path):
         for row in tbl["rows"]:
             assert all(isinstance(v, str) for v in row.values())
     assert 0 <= loaded["qualityScores"]["total"] <= 10
+
+
+def test_markdown_boilerplate_dedup():
+    from siteone_crawler_ray.stages.export import aggregate_markdown, common_boilerplate
+
+    pages = [
+        "SiteHeader\nNav\n\nbody A\n\nFooter",
+        "SiteHeader\nNav\n\nbody B\n\nFooter",
+        "SiteHeader\nNav\n\nbody C\n\nFooter",
+        "SiteHeader\nNav\n\nbody D unique\n\nFooter",
+        "totally different page\nno shared lines here",
+    ]
+    header, footer = common_boilerplate(pages)
+    assert header == ["SiteHeader", "Nav"]
+    assert footer == ["Footer"]
+    t = pa.table({"url": [f"https://x.test/{i}" for i in range(len(pages))],
+                  "markdown": pages})
+    agg = aggregate_markdown(t)
+    # the shared header appears exactly once (hoisted), bodies remain
+    assert agg.count("SiteHeader") == 1
+    assert "body A" in agg and "body C" in agg and "totally different" in agg
