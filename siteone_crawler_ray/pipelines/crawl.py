@@ -380,52 +380,59 @@ class EpochCrawler:
             )
 
     def _admit(self, cands: pa.Table, wave_size: int) -> None:
+        """Two-phase shard-parallel admit: each shard sorts / dedups /
+        membership-tests ITS key partition concurrently (phase A),
+        the driver only sums winner counts for the cap check, then
+        commits (phase B).  The driver does no per-candidate work on
+        the fast path — this was the epoch loop's Amdahl term."""
         ok = cands.filter(pc.equal(cands["tag"], "ok"))
         if not ok.num_rows:
             return
-        ok = ok.take(pc.sort_indices(ok, sort_keys=[("priority", "ascending")]))
-        keys = ok["url_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        prios = ok["priority"].to_numpy(zero_copy_only=False)
-        # first occurrence per key in priority order
-        _, first_idx = np.unique(keys, return_index=True)
-        first_idx.sort()
-        seen = np.ones(ok.num_rows, dtype=bool)
-        seen_winners = self._contains(keys[first_idx])
-        seen[first_idx] = seen_winners
-        unseen_idx = first_idx[~seen_winners]
-
         V, W, cfg = self.visited_count, wave_size, self.cfg
+        sh = shard_of(ok["url_key"].to_numpy(zero_copy_only=False), self.cfg.num_shards)
+        args = [(ok.filter(pa.array(sh == i)),) for i in range(self.cfg.num_shards)]
+        # upper bound: even admitting every candidate can't bind the caps
+        # → fused single-round admit
+        if (
+            V + W + ok.num_rows <= cfg.max_visited_urls
+            and (W - 1) + ok.num_rows <= cfg.max_queue_length
+        ):
+            self._shard_call("admit_direct", args)
+            return
+        counts = self._shard_call("try_admit", args)
+        n_unseen = int(sum(counts))
         fast_ok = (
-            V + W + len(unseen_idx) <= cfg.max_visited_urls
-            and (W - 1) + len(unseen_idx) <= cfg.max_queue_length
+            V + W + n_unseen <= cfg.max_visited_urls
+            and (W - 1) + n_unseen <= cfg.max_queue_length
         )
         if fast_ok:
-            accepted_idx = unseen_idx
-        else:
-            # exact sequential enqueue simulation (caps bind) — see module
-            # docstring; iterates ALL candidates in priority order because a
-            # dropped first occurrence lets a later duplicate win.  The
-            # chunk-deduped table lacks those duplicates, so pull the full
-            # pre-dedup candidates back from the workers (rare: caps bind
-            # only in the final wave or two).
-            ok = self._full_ok_candidates()
-            keys = ok["url_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            prios = ok["priority"].to_numpy(zero_copy_only=False)
-            wavepos = (prios // PRIO_SHIFT).astype(np.int64)
-            seen_any = self._contains(keys)
-            accepted: dict[int, int] = {}
-            A = 0
-            for i in range(ok.num_rows):
-                k = int(keys[i])
-                if seen_any[i] or k in accepted:
-                    continue
-                if V + W + A >= cfg.max_visited_urls:
-                    continue
-                if (W - 1 - int(wavepos[i])) + A >= cfg.max_queue_length:
-                    continue
-                accepted[k] = i
-                A += 1
-            accepted_idx = np.array(sorted(accepted.values()), dtype=np.int64)
+            self._shard_call("commit_stash")
+            return
+        self._shard_call("abort_stash")
+        # exact sequential enqueue simulation (caps bind) — see module
+        # docstring; iterates ALL candidates in priority order because a
+        # dropped first occurrence lets a later duplicate win.  The
+        # chunk-deduped table lacks those duplicates, so pull the full
+        # pre-dedup candidates back from the workers (rare: caps bind
+        # only in the final wave or two).
+        ok = self._full_ok_candidates()
+        keys = ok["url_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        prios = ok["priority"].to_numpy(zero_copy_only=False)
+        wavepos = (prios // PRIO_SHIFT).astype(np.int64)
+        seen_any = self._contains(keys)
+        accepted: dict[int, int] = {}
+        A = 0
+        for i in range(ok.num_rows):
+            k = int(keys[i])
+            if seen_any[i] or k in accepted:
+                continue
+            if V + W + A >= cfg.max_visited_urls:
+                continue
+            if (W - 1 - int(wavepos[i])) + A >= cfg.max_queue_length:
+                continue
+            accepted[k] = i
+            A += 1
+        accepted_idx = np.array(sorted(accepted.values()), dtype=np.int64)
         if len(accepted_idx) == 0:
             return
         win = ok.take(pa.array(accepted_idx))

@@ -81,6 +81,53 @@ class FrontierShardState:
         self.pending = []
         return t
 
+    # -- two-phase admit (the shard-parallel anti-join) ---------------------
+    DISPATCH_COLS = ["url", "url_key", "host", "depth", "priority", "source_uq_id", "source_attr"]
+
+    def try_admit(self, cands: pa.Table) -> int:
+        """Phase A: priority-sort this shard's ok-candidates, first-wins
+        per key, drop already-seen; STASH the winners and return their
+        count (the driver sums counts for the global cap check before
+        committing — crawler.rs:1219-1306 cap semantics)."""
+        import pyarrow.compute as pc
+
+        if not cands.num_rows:
+            self._stash = None
+            return 0
+        keys = cands["url_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        prio = cands["priority"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((prio, keys))
+        ks = keys[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        first_idx = np.sort(order[first])
+        unseen = ~self.contains(keys[first_idx])
+        win_idx = first_idx[unseen]
+        if not len(win_idx):
+            self._stash = None
+            return 0
+        self._stash = cands.take(pa.array(win_idx)).select(self.DISPATCH_COLS)
+        return int(len(win_idx))
+
+    def admit_direct(self, cands: pa.Table) -> int:
+        """Single-call admit for the common case where even admitting
+        EVERY candidate cannot violate the caps (driver checks the
+        upper bound first) — saves one shard round-trip per wave."""
+        n = self.try_admit(cands)
+        self.commit_stash()
+        return n
+
+    def commit_stash(self) -> int:
+        """Phase B: caps cleared globally → mark seen + enqueue."""
+        stash = getattr(self, "_stash", None)
+        self._stash = None
+        if stash is None or not stash.num_rows:
+            return 0
+        return self.offer(stash)
+
+    def abort_stash(self) -> None:
+        self._stash = None
+
     # -- checkpoint ---------------------------------------------------------
     def checkpoint(self, directory: str) -> dict:
         """Write the seen-key DELTA since the previous checkpoint plus

@@ -63,6 +63,15 @@ class CrawlWorker:
         )
         self.gauntlet = CandidateGauntlet(**gauntlet_kwargs)
         self._last_full: pa.Table | None = None
+        # the hot path allocates heavily (per-href strings, memo-cache
+        # tuples) but creates no reference cycles; default cyclic-GC
+        # thresholds cost ~30% of extract time.  Freeze the long-lived
+        # constructor state out of GC and collect far less often.
+        import gc
+
+        gc.collect()
+        gc.freeze()
+        gc.set_threshold(200_000, 50, 50)
 
     def set_blocklist(self, blocklist: frozenset) -> None:
         self.gauntlet.basename_blocklist = blocklist
