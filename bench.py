@@ -204,23 +204,31 @@ def run_frontier_bench(num_shards: int = 8, total_keys: int = 4_000_000,
 def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
     """Fresh-process runs at two parallelism levels (N and 4N CPUs)."""
     _scaling_corpus()  # build once outside the timed children
-    results = {}
-    for n in levels:
-        reps = []
-        for _rep in range(3):  # median-of-3 damps sandbox ambient noise
+    # interleave the levels (8,32,8,32,…) so ambient-load drift on the
+    # shared sandbox hits both levels alike; median-of-3 per level
+    runs: dict[int, list] = {n: [] for n in levels}
+    for _rep in range(3):
+        for n in levels:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--_crawl-child", "--scale"],
                 env=env, capture_output=True, text=True, check=True, cwd="/tmp",
             )
-            reps.append(json.loads(out.stdout.strip().splitlines()[-1]))
-        reps.sort(key=lambda r: r["crawl_sec"])
+            runs[n].append(json.loads(out.stdout.strip().splitlines()[-1]))
+    results = {}
+    for n in levels:
+        reps = sorted(runs[n], key=lambda r: r["crawl_sec"])
         med = reps[len(reps) // 2]
         med["reps_crawl_sec"] = [r["crawl_sec"] for r in reps]
         results[n] = med
     lo, hi = min(levels), max(levels)
-    t_lo, t_hi = results[lo]["crawl_sec"], results[hi]["crawl_sec"]
-    eff = (t_lo / t_hi) / (hi / lo)
+    # efficiency per interleaved PAIR (rep i of each level ran in the
+    # same ambient window), then the median of pair ratios — robust to
+    # the shared sandbox's load drifting between reps
+    ratios = sorted(
+        a["crawl_sec"] / b["crawl_sec"] for a, b in zip(runs[lo], runs[hi])
+    )
+    eff = ratios[len(ratios) // 2] / (hi / lo)
     report = {
         "metric": "crawl_scaling_efficiency",
         "value": round(eff, 3),

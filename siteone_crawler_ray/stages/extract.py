@@ -212,14 +212,16 @@ class CandidateGauntlet:
                 continue
             if h[:1] == "/" or U.HTTP_URL_RE.match(h):
                 key = (h, _origin_of(b))
+                ent = cache.get(key)
+                if ent is None:
+                    ent = self._derive(h, b)
+                    if len(cache) >= self.CACHE_CAP:
+                        cache.clear()
+                    cache[key] = ent
             else:
-                key = (h, b)
-            ent = cache.get(key)
-            if ent is None:
+                # base-relative href: the (href, page) pair never repeats
+                # after per-page dedup — caching it only bloats the dict
                 ent = self._derive(h, b)
-                if len(cache) >= self.CACHE_CAP:
-                    cache.clear()
-                cache[key] = ent
             canon, host, same, allowed_s, allowed_c, basename, robots_ok, final = ent
             if canon is None:
                 tag[i] = ""
