@@ -82,9 +82,10 @@ class CrawlConfig:
     use_ray: bool = True  # False → in-process loop (unit tests / oracle-speed runs)
     # waves smaller than this are processed by the driver-local worker
     # (identical code path/output): dispatching a handful of URLs to
-    # remote actors costs more than the work.  At 100 TB waves are
-    # millions of rows and always fan out.
-    ray_wave_threshold: int = 512
+    # remote actors costs more than the work.  Remote workers stay warm
+    # (preloaded buckets, hot memo caches) so the bar is low.  At 100 TB
+    # waves are millions of rows and always fan out.
+    ray_wave_threshold: int = 48
 
     def fingerprint(self) -> str:
         from ..functions.hashing import xxh64
