@@ -223,6 +223,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pa.table({"vec_id": t["vec_id"], "rank": t["rank"].cast(pa.int64())})
 
+    def lsh_knn(sf_dir: str):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        import os as _os
+
+        from siteone_crawler_ray.stages.similarity import knn_lsh
+
+        q = (
+            pq.read_table(_os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+            .filter(pc.equal(pc.field("vec_id"), 0))["embedding"]
+            .to_pylist()[0]
+        )
+        t = knn_lsh(
+            rd.read_parquet(_os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"], override_num_blocks=16),
+            np.array(q), k=10,
+        )
+        return pa.table({"vec_id": t["vec_id"], "rank": t["rank"].cast(pa.int64())})
+
     def media_audio_energy(sf_dir: str):
         import ray.data as rd
 
@@ -462,6 +484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distinct / window / parse shapes (SURVEY §2.5, §2.9)
         "distinct_users_by_type": R.distinct_users_by_type,
         "hourly_window": R.hourly_window,
+        "session_windows": R.session_windows,
         "props_bucket": R.props_bucket,
         # training-data ops over documents/embeddings
         "exact_dedup": R.exact_dedup_table,
@@ -476,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_table": fingerprint_table,
         "langid_table": langid_table,
         "ivf_knn": ivf_knn,
+        "lsh_knn": lsh_knn,
         "media_decode": media_decode,
         "media_audio_energy": media_audio_energy,
         "media_video_frames": media_video_frames,
@@ -559,6 +583,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
                    round(sum(value), 2) AS total, count(*) AS n
             FROM events GROUP BY user_id, hour
+        """,
+        "session_windows": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+              FROM o)
+            SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
+                   round(epoch(max(ts)) - epoch(min(ts)), 3) AS duration_sec
+            FROM s GROUP BY user_id, session_no
         """,
         "props_bucket": """
             SELECT CAST(regexp_extract(props, '[0-9]+') AS INTEGER) % 10 AS k_mod,

@@ -420,6 +420,52 @@ def hourly_window(sf_dir: str) -> pa.Table:
     )
 
 
+def session_windows(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """Session-window shape (gap-based sessionization): per-user event
+    sessions split at >gap inactivity; returns per-session event count
+    and duration.  Exchange: hash-partition events by user (each block's
+    users are disjoint after the partition step) → per-partition
+    vectorized gap-split.  At sf scale a driver-side pass over the
+    pruned 3 columns is cheapest; the partitioned path is the same code
+    per partition."""
+    t = _collect(_read(sf_dir, "events", ["user_id", "ts"]))
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+    order = np.lexsort((ts, uid))
+    uid, ts = uid[order], ts[order]
+    gap_us = gap_minutes * 60 * 1_000_000
+    new_user = np.ones(len(uid), dtype=bool)
+    new_user[1:] = uid[1:] != uid[:-1]
+    gap_break = np.ones(len(uid), dtype=bool)
+    gap_break[1:] = (ts[1:] - ts[:-1]) > gap_us
+    session_start = new_user | gap_break
+    sess_id = np.cumsum(session_start) - 1
+    starts = np.nonzero(session_start)[0]
+    ends = np.append(starts[1:], len(uid))
+    n_events = (ends - starts).astype(np.int64)
+    dur = (ts[ends - 1] - ts[starts]) / 1_000_000.0
+    # session index within user (1-based, like row_number)
+    user_first = np.nonzero(new_user)[0]
+    user_of_session = uid[starts]
+    sess_in_user = np.ones(len(starts), dtype=np.int64)
+    k = 0
+    prev = None
+    for i in range(len(starts)):
+        u = user_of_session[i]
+        if u != prev:
+            prev, k = u, 0
+        k += 1
+        sess_in_user[i] = k
+    return pa.table(
+        {
+            "user_id": pa.array(user_of_session),
+            "session_no": pa.array(sess_in_user),
+            "n_events": pa.array(n_events),
+            "duration_sec": pa.array(round_away(dur, 3)),
+        }
+    )
+
+
 def props_bucket(sf_dir: str) -> pa.Table:
     """extras/JSON-parse shape: extract int from the props JSON string,
     bucket, count (vectorized Arrow regex)."""

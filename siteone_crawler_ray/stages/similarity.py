@@ -140,3 +140,92 @@ def knn_ivf(ds, query_vecs: np.ndarray, k: int = 10, nlist: int = 16, nprobe: in
         rows["cosine"].append(np.round(cos[sel][order], 6))
         rows["rank"].append(np.arange(1, len(order) + 1, dtype=np.int32))
     return pa.table({c: pa.array(np.concatenate(v)) for c, v in rows.items()})
+
+
+def knn_lsh(ds, query_vecs: np.ndarray, k: int = 10, *, nbits: int = 4,
+            ntables: int = 24, seed: int = 17,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """LSH-bucketed ANN — the second scale path (random-hyperplane
+    signatures, Charikar'02 SimHash LSH, public algorithm).
+
+    Index pass (map_batches): ntables signatures of nbits each per
+    vector (sign of projection on seeded Gaussian hyperplanes).  Query:
+    candidates = vectors sharing a bucket with the query in ANY table
+    (broadcast query signatures), then exact cosine rerank of only the
+    candidates.  At cluster scale each table's buckets are a
+    groupby-key → candidates co-locate without a broadcast matrix.
+    """
+    import ray
+
+    rng = np.random.default_rng(seed)
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    dim = q.shape[1]
+    planes = rng.standard_normal((ntables, nbits, dim))
+    powers = (1 << np.arange(nbits)).astype(np.int64)
+
+    def signatures(m: np.ndarray) -> np.ndarray:
+        """(n, dim) → (n, ntables) bucket ids."""
+        out = np.empty((m.shape[0], ntables), dtype=np.int64)
+        for t in range(ntables):
+            bits = (m @ planes[t].T) > 0
+            out[:, t] = bits @ powers
+        return out
+
+    q_sigs = signatures(q)  # (nq, ntables)
+    ref = ray.put((q, q_sigs))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        qm, qs = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_as_matrix(batch[vec_col]))
+        sigs = signatures(m)  # (nb, ntables)
+        # vector is a candidate for query qi if any table bucket matches
+        hit = np.zeros((qm.shape[0], m.shape[0]), dtype=bool)
+        for t in range(ntables):
+            hit |= qs[:, t][:, None] == sigs[:, t][None, :]
+        out_q, out_id, out_c = [], [], []
+        for qi in range(qm.shape[0]):
+            sel = np.nonzero(hit[qi])[0]
+            if not len(sel):
+                continue
+            cos = qm[qi] @ m[sel].T  # exact rerank of candidates only
+            out_q.append(np.full(len(sel), qi, dtype=np.int32))
+            out_id.append(ids[sel])
+            out_c.append(cos)
+        if not out_q:
+            return pa.table({"query_idx": pa.array([], pa.int32()),
+                             id_col: pa.array([], batch[id_col].type),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "query_idx": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "cosine": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    t = pa.concat_tables(
+        [ray.get(r) for r in ds.map_batches(candidates, batch_format="pyarrow").to_arrow_refs()]
+    )
+    qs_np = t["query_idx"].to_numpy(zero_copy_only=False)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    cos = t["cosine"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -cos, qs_np))
+    qs_np, ids, cos = qs_np[order], ids[order], cos[order]
+    keep, rank = [], []
+    prev, r = None, 0
+    for i in range(len(qs_np)):
+        if qs_np[i] != prev:
+            prev, r = qs_np[i], 0
+        if r < k:
+            keep.append(i)
+            r += 1
+            rank.append(r)
+    return pa.table(
+        {
+            "query_idx": pa.array(qs_np[keep], pa.int32()),
+            id_col: pa.array(ids[keep]),
+            "cosine": pa.array(np.round(cos[keep], 6)),
+            "rank": pa.array(np.array(rank, dtype=np.int32)),
+        }
+    )

@@ -154,3 +154,24 @@ def test_image_resize_and_video_frames(ray_session):
 
     with pytest.raises(Exception):
         ImageResizeStage(decoder="real")(t)
+
+
+def test_knn_lsh_recall_vs_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.similarity import knn_bruteforce, knn_lsh
+
+    sf = "/root/testdata/sf0.001"
+    emb = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.array(emb["embedding"].to_pylist()[0])
+    ds = rd.from_arrow([emb.slice(i, 64) for i in range(0, emb.num_rows, 64)])
+    exact = set(knn_bruteforce(ds, q, k=10)["vec_id"].to_pylist())
+    approx = knn_lsh(ds, q, k=10)
+    got = set(approx["vec_id"].to_pylist())
+    # LSH is approximate: require majority recall of the exact top-10
+    assert len(exact & got) >= 8
+    # ranks are 1..k and cosines descend
+    cos = approx["cosine"].to_pylist()
+    assert cos == sorted(cos, reverse=True)
