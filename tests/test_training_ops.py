@@ -175,3 +175,13 @@ def test_knn_lsh_recall_vs_bruteforce(ray_session):
     # ranks are 1..k and cosines descend
     cos = approx["cosine"].to_pylist()
     assert cos == sorted(cos, reverse=True)
+
+
+def test_exact_jaccard_kernel():
+    from siteone_crawler_ray.stages.dedup import jaccard
+
+    assert jaccard("abcdef", "abcdef") == 1.0
+    assert jaccard("abcdef", "uvwxyz") == 0.0
+    mid = jaccard("the quick brown fox", "the quick brown cat")
+    assert 0.0 < mid < 1.0
+    assert jaccard("", "") == 1.0  # both empty → identical
