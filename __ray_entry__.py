@@ -25,9 +25,14 @@ _CORPUS_CACHE: dict[str, str] = {}
 def _corpus_for(sf_dir: str) -> tuple[str, list[str], dict[str, str]]:
     """Build (once per sf_dir) the interleaved corpus + seeds derived from
     the testdata documents table; cache under /tmp."""
+    from siteone_crawler_ray.sources.corpus import (
+        GENERATOR_VERSION,
+        interleaved_from_testdata,
+        write_corpus,
+    )
+
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join("/tmp", f"graft_corpus_{key}_b128")
-    from siteone_crawler_ray.sources.corpus import interleaved_from_testdata, write_corpus
+    path = os.path.join("/tmp", f"graft_corpus_{key}_b128_v{GENERATOR_VERSION}")
 
     tabs = interleaved_from_testdata(sf_dir)
     if key not in _CORPUS_CACHE:

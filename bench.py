@@ -97,9 +97,13 @@ SCALE_PAGES = int(os.environ.get("GRAFT_SCALE_PAGES", "150000"))
 def _scaling_corpus() -> tuple[str, list[str], dict[str, str]]:
     """Deterministic large synthetic crawl graph for the two-level scaling
     runs (cached in /tmp; both child processes reuse it)."""
-    from siteone_crawler_ray.sources.corpus import make_graph_corpus, write_corpus
+    from siteone_crawler_ray.sources.corpus import (
+        GENERATOR_VERSION,
+        make_graph_corpus,
+        write_corpus,
+    )
 
-    path = f"/tmp/graft_scale_corpus_{SCALE_PAGES}_b256"
+    path = f"/tmp/graft_scale_corpus_{SCALE_PAGES}_b256_v{GENERATOR_VERSION}"
     tabs = make_graph_corpus(seed=7, hosts=12, total_pages=SCALE_PAGES, out_degree=8)
     if not os.path.exists(os.path.join(path, "_meta.json")):
         write_corpus(tabs["documents"], path, num_buckets=256)

@@ -35,6 +35,9 @@ import pyarrow.parquet as pq
 
 from ..functions.hashing import xxh64_strings
 
+# bump when generation rules change — cached corpora under /tmp key on it
+GENERATOR_VERSION = 2  # v2: redirect documents (p % 43 == 11)
+
 SPAN_TYPE = pa.struct(
     [
         ("kind", pa.string()),
