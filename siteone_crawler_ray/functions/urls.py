@@ -141,6 +141,37 @@ def canonicalize(
     return render_canonical(absolute)
 
 
+# fast-path guards: any char/sequence that normalize/join/render could
+# alter disqualifies the href from the concatenation shortcut
+_FAST_ABS_BAD_RE = re.compile(r"""[\s"'<>{}\[\]\\#%]|&\#|&amp|\./""")
+_CANON_ORIGIN_RE = re.compile(r"^(https?)://[a-z0-9.\-]+(?::(\d+))?$")
+
+
+def canonicalize_fast(href: str, base_url: str) -> str | None:
+    """O(1) shortcut for the dominant case: a *safe* path-absolute href
+    against an already-canonical base origin → ``origin + href``.
+
+    Returns None when not applicable (caller falls back to the full
+    :func:`canonicalize`); when it does return, the result is IDENTICAL
+    to the full path (property-tested in tests/test_properties.py).
+    Safe = starts with single ``/``; no whitespace/quotes/brackets,
+    ``#``, ``%``, entities, or dot segments; base origin lowercase
+    http(s) with no default port spelled out."""
+    if href[:1] != "/" or href[:2] == "//" or _FAST_ABS_BAD_RE.search(href):
+        return None
+    if href.endswith("?"):  # empty query: the renderer drops the bare "?"
+        return None
+    p = base_url.find("/", 8)
+    origin = base_url if p < 0 else base_url[:p]
+    m = _CANON_ORIGIN_RE.match(origin)
+    if not m:
+        return None
+    port = m.group(2)
+    if port and ((m.group(1) == "http" and port == "80") or (m.group(1) == "https" and port == "443")):
+        return None
+    return origin + href
+
+
 def canonicalize_many(
     hrefs,
     bases,

@@ -157,7 +157,10 @@ class CandidateGauntlet:
         same-host, allowed-domain matches, basename, robots verdict, and
         the final (query-filtered, length/include/ignore/transform
         checked) URL or None."""
-        canon = U.canonicalize(h, b)
+        canon = U.canonicalize_fast(h, b)
+        fast = canon is not None
+        if not fast:
+            canon = U.canonicalize(h, b)
         if canon is None:
             return (None,) * 8
         host = U.host_of(canon)
@@ -172,9 +175,21 @@ class CandidateGauntlet:
         robots_ok = (
             self.ignore_robots or U.is_static_file(canon) or self._robots_allowed(host, h)
         )
-        final = U.canonicalize(
-            h, b, remove_query_params=self.remove_query, keep_query_params=self.keep_query
-        )
+        if fast:
+            # the fast canon is already rendered; query filtering is a
+            # pure string op on it (identical to the full path's
+            # filter-before-render for safe strings)
+            if self.remove_query:
+                q = canon.find("?")
+                final = canon[:q] if q >= 0 else canon
+            elif self.keep_query:
+                final = U.filter_query_params(canon, self.keep_query)
+            else:
+                final = canon
+        else:
+            final = U.canonicalize(
+                h, b, remove_query_params=self.remove_query, keep_query_params=self.keep_query
+            )
         if final is None or len(final) > self.max_url_length:
             final = None
         elif self.include and not any(p.search(final) for p in self.include):

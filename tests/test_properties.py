@@ -82,3 +82,34 @@ def test_relative_resolution_produces_absolute(base, rel):
         assert c.startswith("http://") or c.startswith("https://")
         # resolving the result against itself is stable
         assert U.canonicalize(c, c) == c
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=30),
+    absolute_urls(),
+)
+def test_canonicalize_fast_matches_full(href, base):
+    """Whenever the fast path claims applicability its answer must equal
+    the full canonicalizer's — on arbitrary printable hrefs."""
+    fast = U.canonicalize_fast(href, base)
+    if fast is not None:
+        assert fast == U.canonicalize(href, base)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_paths, _queries, absolute_urls())
+def test_canonicalize_fast_applies_to_clean_paths(path, query, base):
+    href = path + query
+    fast = U.canonicalize_fast(href, base)
+    full = U.canonicalize(href, base)
+    if fast is not None:
+        assert fast == full
+
+
+def test_canonicalize_fast_trailing_question_mark():
+    # the renderer drops a bare trailing "?" — fast path must decline
+    base = "https://x.test/p"
+    assert U.canonicalize_fast("/a?", base) is None
+    assert U.canonicalize("/a?", base) == "https://x.test/a"
+    assert U.canonicalize_fast("/a?b=1", base) == "https://x.test/a?b=1"
