@@ -82,6 +82,37 @@ def accessibility_checks(html: str) -> list[tuple[str, str]]:
     return out
 
 
+_SVG_RE = re.compile(r"<svg\b[^>]*>.*?</svg>", re.I | re.S)
+_TAG_OPEN_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)[^>]*?(/?)>")
+_VOID_TAGS = frozenset("area base br col embed hr img input link meta source track wbr".split())
+_PHONE_RE = re.compile(r"(?<![\d/])\+?\d{3}[\s.-]\d{3}[\s.-]\d{4}(?!\d)")
+_TEL_LINK_RE = re.compile(r"""<a\s[^>]*href=["']tel:[^"']*["'][^>]*>.*?</a>""", re.I | re.S)
+
+
+def best_practice_checks(html: str, max_dom_depth: int = 32) -> list[tuple[str, str]]:
+    """best_practice_analyzer.rs:173-614 class of per-row checks:
+    duplicated inline SVGs, DOM depth over limit, phone numbers not
+    wrapped in tel: links."""
+    out = []
+    svgs = _SVG_RE.findall(html)
+    if len(svgs) > 1 and len(set(svgs)) < len(svgs):
+        out.append(("duplicate-inline-svg", "NOTICE"))
+    depth = max_depth = 0
+    for m in _TAG_OPEN_RE.finditer(html):
+        closing, name, self_close = m.group(1), m.group(2).lower(), m.group(3)
+        if closing:
+            depth = max(0, depth - 1)
+        elif not self_close and name not in _VOID_TAGS:
+            depth += 1
+            max_depth = max(max_depth, depth)
+    if max_depth > max_dom_depth:
+        out.append(("dom-depth-exceeded", "NOTICE"))
+    without_tel = _TEL_LINK_RE.sub("", html)
+    if _PHONE_RE.search(_TAG_OPEN_RE.sub(" ", without_tel)):
+        out.append(("phone-not-clickable", "NOTICE"))
+    return out
+
+
 # header checks: (header, predicate-on-value-or-None, rule, severity)
 def security_checks(headers: dict[str, str | None]) -> list[tuple[str, str]]:
     """Header-map checks (security_analyzer.rs:43-941 classes)."""
@@ -125,6 +156,8 @@ def page_checks_batch(batch: pa.Table, body_col: str = "body", url_col: str = "u
             u_out.append(u), cat.append("seo"), rule.append(r), sev.append(s)
         for r, s in accessibility_checks(b):
             u_out.append(u), cat.append("accessibility"), rule.append(r), sev.append(s)
+        for r, s in best_practice_checks(b):
+            u_out.append(u), cat.append("best_practice"), rule.append(r), sev.append(s)
     return pa.table(
         {
             "url": pa.array(u_out, pa.string()),

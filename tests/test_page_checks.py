@@ -76,3 +76,25 @@ def test_page_checks_pipeline(ray_session):
     # counts must sum to the raw finding count
     raw = ds.map_batches(page_checks_batch, batch_format="pyarrow").count()
     assert sum(summary["n"].to_pylist()) == raw
+
+
+def test_best_practice_checks():
+    from siteone_crawler_ray.functions.page_checks import best_practice_checks
+
+    svg_dup = "<svg><circle/></svg><p>x</p><svg><circle/></svg>"
+    assert ("duplicate-inline-svg", "NOTICE") in best_practice_checks(svg_dup)
+    svg_distinct = "<svg><circle/></svg><svg><rect/></svg>"
+    assert not any(r == "duplicate-inline-svg" for r, _ in best_practice_checks(svg_distinct))
+
+    deep = "<div>" * 40 + "x" + "</div>" * 40
+    assert ("dom-depth-exceeded", "NOTICE") in best_practice_checks(deep)
+    shallow = "<div><p>x</p></div>"
+    assert not any(r == "dom-depth-exceeded" for r, _ in best_practice_checks(shallow))
+
+    plain_phone = "<p>Call 555-123-4567 today</p>"
+    assert ("phone-not-clickable", "NOTICE") in best_practice_checks(plain_phone)
+    linked = '<a href="tel:+15551234567">555-123-4567</a>'
+    assert not any(r == "phone-not-clickable" for r, _ in best_practice_checks(linked))
+    # void tags must not inflate DOM depth
+    voids = "<div>" + "<br><img src='/a.png'>" * 50 + "</div>"
+    assert not any(r == "dom-depth-exceeded" for r, _ in best_practice_checks(voids))
