@@ -120,8 +120,10 @@ def run_oracle(
             basename_pending.clear()
         url = e["url"]
         in_corpus = url in docs
-        is_redirect = bool(in_corpus and docs[url] and docs[url][0]["kind"] == "redirect")
-        status, ctype = synthetic_status(in_corpus, url, is_redirect)
+        first = docs[url][0] if in_corpus and docs[url] else None
+        is_redirect = bool(first and first["kind"] == "redirect")
+        error_code = int(first["text"]) if first and first["kind"] == "error" else 0
+        status, ctype = synthetic_status(in_corpus, url, is_redirect, error_code)
         res.visited.append(
             dict(
                 seq=len(res.visited),

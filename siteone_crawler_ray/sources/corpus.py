@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 from ..functions.hashing import xxh64_strings
 
 # bump when generation rules change — cached corpora under /tmp key on it
-GENERATOR_VERSION = 2  # v2: redirect documents (p % 43 == 11)
+GENERATOR_VERSION = 3  # v2: redirect docs (p%43==11); v3: transport-error docs (p%89==7)
 
 SPAN_TYPE = pa.struct(
     [
@@ -135,6 +135,15 @@ def make_graph_corpus(
             span_ref.append(ref)
             span_off.append(off)
             off += max(1, len(text) + len(ref))
+
+        # transport-error pages: negative status codes (visited_url.rs:
+        # 13-17: -1 connection, -2 timeout, -3 reset); they feed the
+        # non-200 basename guard
+        if p % 89 == 7:
+            add("error", str(-((p // 89) % 3 + 1)), "")
+            span_counts.append(len(span_kind) - k0)
+            li += int(degs[j])
+            continue
 
         # redirect pages: single Location-style span (crawler.rs:733-755;
         # the reference enqueues the target with source_attr=80)

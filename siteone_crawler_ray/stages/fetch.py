@@ -40,12 +40,16 @@ from ..types import EXTENSION_CONTENT_TYPE, ContentType
 from .extract import extract_title_extras
 
 
-def synthetic_status(in_corpus: bool, url: str, is_redirect: bool = False) -> tuple[int, int]:
+def synthetic_status(in_corpus: bool, url: str, is_redirect: bool = False,
+                     error_code: int = 0) -> tuple[int, int]:
     """→ (status_code, content_type) — shared by engine and oracle.
 
     Redirect docs (single ``redirect`` span) → 301 + ContentType.REDIRECT
-    (the 301<status<320 override, crawler.rs:666-673)."""
+    (the 301<status<320 override, crawler.rs:666-673); error docs carry a
+    negative transport code (visited_url.rs:13-17)."""
     if in_corpus:
+        if error_code < 0:
+            return error_code, ContentType.OTHER
         if is_redirect:
             return 301, ContentType.REDIRECT
         return 200, ContentType.HTML
@@ -166,20 +170,29 @@ class FetchStage:
 
         found, rows = self.corpus.lookup(urls_np, keys)
         n = len(urls_np)
-        # redirect docs: first span kind == "redirect" (vectorized)
+        # redirect / transport-error docs: classified by the first span
         is_red = np.zeros(n, dtype=bool)
+        err_code = np.zeros(n, dtype=np.int32)
         if rows.num_rows:
             sp = rows["spans"].combine_chunks() if isinstance(rows["spans"], pa.ChunkedArray) else rows["spans"]
             lens = pa.compute.list_value_length(sp).to_numpy(zero_copy_only=False)
             starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-            fk = pa.compute.list_flatten(sp).field("kind").to_numpy(zero_copy_only=False)
-            first_kind = np.where(lens > 0, fk[np.minimum(starts, max(0, len(fk) - 1))], "")
-            is_red[np.nonzero(found)[0]] = first_kind == "redirect"
+            flat_sp = pa.compute.list_flatten(sp)
+            fk = flat_sp.field("kind").to_numpy(zero_copy_only=False)
+            ft = flat_sp.field("text").to_numpy(zero_copy_only=False)
+            safe = np.minimum(starts, max(0, len(fk) - 1))
+            first_kind = np.where(lens > 0, fk[safe], "")
+            first_text = np.where(lens > 0, ft[safe], "")
+            fidx = np.nonzero(found)[0]
+            is_red[fidx] = first_kind == "redirect"
+            is_err = first_kind == "error"
+            codes = np.array([int(t) if e else 0 for e, t in zip(is_err, first_text)], dtype=np.int32)
+            err_code[fidx] = codes
         status = np.empty(n, dtype=np.int32)
         ctype = np.empty(n, dtype=np.int8)
         size = np.empty(n, dtype=np.int64)
         for i in range(n):
-            s, c = synthetic_status(bool(found[i]), urls_np[i], bool(is_red[i]))
+            s, c = synthetic_status(bool(found[i]), urls_np[i], bool(is_red[i]), int(err_code[i]))
             status[i] = s
             ctype[i] = c
         size[:] = (keys % np.uint64(50000)).astype(np.int64)

@@ -169,14 +169,17 @@ def test_depth_include_ignore_transform_parity(tmp_workdir):
 
 def test_redirect_pages_parity(tmp_workdir):
     """Redirect docs (single Location span) visit as 301 and enqueue the
-    target with source_attr=80 (crawler.rs:733-755)."""
+    target with source_attr=80 (crawler.rs:733-755); transport-error
+    docs visit with their negative code (visited_url.rs:13-17)."""
     tabs = make_graph_corpus(seed=21, hosts=2, total_pages=400)
     cfg = CrawlConfig(use_ray=False, num_shards=4,
                       allowed_domains_crawl=("*",), allowed_domains_static=("*",))
     res, (seeds, robots) = _run_engine(tmp_workdir, tabs, cfg)
     _assert_parity(res, run_oracle(tabs["documents"], seeds, robots, cfg))
     t = res.visited_table(columns=["status_code", "source_attr"])
-    assert 301 in set(t["status_code"].to_pylist())
+    codes = set(t["status_code"].to_pylist())
+    assert 301 in codes
+    assert any(c < 0 for c in codes), "transport-error docs must appear"
     assert 80 in set(t["source_attr"].to_pylist())
 
 
@@ -242,7 +245,7 @@ def test_flat_crawl_streams_all_urls(tmp_workdir):
     rows = out.take_all()
     assert len(rows) == tabs["documents"].num_rows
     statuses = {r["status_code"] for r in rows}
-    assert statuses <= {200, 301}
+    assert statuses <= {200, 301, -1, -2, -3}  # incl. transport-error docs
     assert len({r["url"] for r in rows}) == len(rows)
 
 
