@@ -464,6 +464,20 @@ class EpochCrawler:
         ok = full.filter(pc.equal(full["tag"], "ok"))
         return ok.take(pc.sort_indices(ok, sort_keys=[("priority", "ascending")]))
 
+    def shutdown(self) -> None:
+        """Release the actor pools (a finished crawl would otherwise pin
+        ~K worker + num_shards processes until the driver exits; results
+        live in parquet, resume builds fresh actors)."""
+        if self._use_ray and (self._shards or self._workers):
+            import ray
+
+            for a in [*self._shards, *self._workers]:
+                try:
+                    ray.kill(a)
+                except Exception:
+                    pass
+        self._shards, self._workers = [], []
+
     # -- checkpoint / resume -------------------------------------------------
     def _checkpoint(self) -> None:
         e = self.epoch - 1
@@ -571,6 +585,7 @@ class EpochCrawler:
         self.metrics["frontier_ops_per_sec"] = round(
             self.metrics["candidates"] / max(total, 1e-9), 2
         )
+        self.shutdown()
         return CrawlResult(
             workdir=self.workdir,
             visited_dir=os.path.join(self.workdir, "visited"),
