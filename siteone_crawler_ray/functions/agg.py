@@ -78,6 +78,10 @@ def grouped_agg(ds, keys: list[str], specs) -> pa.Table:
     partial = make_partial_fn(keys, specs)
     blocks = [ray.get(r) for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()]
     blocks = [b for b in blocks if b.num_rows]
+    if not blocks:  # fully-empty input: derive the partial schema from
+        # an empty block so the combine still type-checks (ADVICE r1)
+        empty = ds.schema().base_schema.empty_table()
+        blocks = [partial(empty)]
     parts = pa.concat_tables(blocks, promote_options="permissive")
     return combine_partials(parts, keys, specs)
 
@@ -98,7 +102,8 @@ def partial_topk(ds, k: int, sort_cols: list[str], descending=None) -> pa.Table:
     parts = [
         ray.get(r) for r in ds.map_batches(block_topk, batch_format="pyarrow").to_arrow_refs()
     ]
-    merged = pa.concat_tables([p for p in parts if p.num_rows], promote_options="permissive")
+    parts = [p for p in parts if p.num_rows] or [ds.schema().base_schema.empty_table()]
+    merged = pa.concat_tables(parts, promote_options="permissive")
     idx = pc.sort_indices(merged, sort_keys=keys)
     return merged.take(idx.slice(0, k))
 

@@ -142,8 +142,12 @@ def canonicalize(
 
 
 # fast-path guards: any char/sequence that normalize/join/render could
-# alter disqualifies the href from the concatenation shortcut
-_FAST_ABS_BAD_RE = re.compile(r"""[\s"'<>{}\[\]\\#%]|&\#|&amp|\./""")
+# alter disqualifies the href from the concatenation shortcut.
+# ``/\.`` rejects dot segments in every position incl. trailing "/."
+# and "/.."; the trailing-char check below rejects normalize_href's
+# rstrip set (notably a bare trailing "&").
+_FAST_ABS_BAD_RE = re.compile(r"""[\s"'<>{}\[\]\\#%]|&\#|&amp|\./|/\.""")
+_FAST_TRAILING_STRIP = ("&", '"', "'", "\t", " ")
 _CANON_ORIGIN_RE = re.compile(r"^(https?)://[a-z0-9.\-]+(?::(\d+))?$")
 
 
@@ -160,6 +164,8 @@ def canonicalize_fast(href: str, base_url: str) -> str | None:
     if href[:1] != "/" or href[:2] == "//" or _FAST_ABS_BAD_RE.search(href):
         return None
     if href.endswith("?"):  # empty query: the renderer drops the bare "?"
+        return None
+    if href.endswith(_FAST_TRAILING_STRIP):  # normalize_href would rstrip
         return None
     p = base_url.find("/", 8)
     origin = base_url if p < 0 else base_url[:p]

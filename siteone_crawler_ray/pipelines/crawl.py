@@ -175,7 +175,10 @@ class EpochCrawler:
             corpus_path=self.corpus_path,
             gauntlet_kwargs=self._gauntlet_kwargs(),
             max_reqs_per_sec=self.cfg.max_reqs_per_sec,
-            budget_split=max(1, len(self._workers)),
+            # host routing gives each host ONE worker's bucket (split=1,
+            # matching the remote-worker construction); bucket routing
+            # splits the budget across the pool (ADVICE r1)
+            budget_split=1 if self.cfg.routing == "host" else max(1, len(self._workers)),
             arrow_threads=None,  # don't clamp the driver's Arrow pool
         )
 

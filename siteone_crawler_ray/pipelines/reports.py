@@ -256,6 +256,17 @@ def caching_table(visited_ds) -> pa.Table:
 
     ds = visited_ds.select_columns(["content_type", "cache_control", "etag"])
     parts = _to_table(ds.map_batches(classify, batch_format="pyarrow"))
+    if parts is None:  # empty crawl (ADVICE r1)
+        return pa.table(
+            {
+                "content_type": pa.array([], pa.int8()),
+                "n": pa.array([], pa.int64()),
+                "cacheable": pa.array([], pa.int64()),
+                "no_store": pa.array([], pa.int64()),
+                "has_etag": pa.array([], pa.int64()),
+                "avg_lifetime": pa.array([], pa.float64()),
+            }
+        )
     merged = parts.group_by("content_type", use_threads=False).aggregate(
         [("cacheable_sum", "sum"), ("no_store_sum", "sum"), ("has_etag_sum", "sum"),
          ("lifetime_sum", "sum"), ("count_all", "sum")]

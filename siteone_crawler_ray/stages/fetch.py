@@ -159,7 +159,16 @@ class FetchStage:
             rate = self.rate / s
             b = self.buckets.get(h)
             if b is None or abs(b.rate - rate) > 1e-12:
-                b = self.buckets[h] = TokenBucket(rate, max(1.0, rate))
+                # carry accrued tokens across a rate change (salt-map
+                # flips) — a fresh full bucket would grant the host a
+                # burst above the politeness cap (ADVICE r1)
+                nb = TokenBucket(rate, max(1.0, rate))
+                if b is not None:
+                    now = time.monotonic()
+                    nb.tokens = min(nb.capacity,
+                                    b.tokens + (now - b.last) * b.rate)
+                    nb.last = now
+                b = self.buckets[h] = nb
             b.acquire(float(c))
 
     def __call__(self, batch: pa.Table) -> pa.Table:

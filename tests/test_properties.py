@@ -107,6 +107,18 @@ def test_canonicalize_fast_applies_to_clean_paths(path, query, base):
         assert fast == full
 
 
+def test_canonicalize_fast_trailing_strip_chars_and_dot_segments():
+    # ADVICE r1: trailing '&' is rstripped by normalize_href; trailing
+    # '/.' and '/..' are resolved by urljoin — the fast path must
+    # decline all of them and agree with the full path everywhere.
+    base = "https://x.test/p"
+    for href in ("/a?b=1&", "/a/..", "/a/.", "/a/../b", "/a/./b", "/."):
+        assert U.canonicalize_fast(href, base) is None, href
+    assert U.canonicalize("/a?b=1&", base) == "https://x.test/a?b=1"
+    assert U.canonicalize("/a/..", base) == "https://x.test/"
+    assert U.canonicalize("/a/.", base) == "https://x.test/a/"
+
+
 def test_canonicalize_fast_trailing_question_mark():
     # the renderer drops a bare trailing "?" — fast path must decline
     base = "https://x.test/p"
