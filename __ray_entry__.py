@@ -3,11 +3,23 @@
 ``entry()`` runs the flagship crawl pipeline over the interleaved-span
 corpus derived deterministically from ``/root/testdata/sf0.001``;
 ``queries()`` exposes every implemented operator/pipeline from
-SURVEY.md §2 plus the training-data additions; ``oracle_sql()`` gives
-the DuckDB-checkable subset (same column names; rounded floats use
-round-half-away on both sides; top-k queries carry deterministic
-tie-breaks).  Crawl/minhash/simhash/IVF/fingerprint/langid entries are
-not SQL-expressible → rows-only checks.
+SURVEY.md §2 plus the training-data additions (50 slots — related
+operators share a slot via tagged/merged tables); ``oracle_sql()``
+gives the DuckDB-checkable subset.
+
+Oracle conventions:
+- identical column names on both sides; rounded floats use
+  ``functions.numeric.round_away`` (DuckDB round semantics);
+  averages of the synthetic 5-decimal request times go through an
+  exact integer-scaled sum (``round(rt·1e5)``) on BOTH sides so
+  float-summation order can't flip a rounding boundary.
+- the crawl itself is oracled by a recursive-CTE BFS over the
+  arithmetic link graph of the interleaved corpus
+  (``crawl_visited_set``): DuckDB re-derives the reachable URL set,
+  min-depth, status and content type from ``documents`` alone.
+- the post-crawl report tables are oracled over the engine's own
+  visited/skipped parquet lineage (read_parquet glob) — they verify
+  the report aggregations independently of the Ray report code.
 
 Ray is initialised by the driver — nothing here calls ray.init().
 """
@@ -22,28 +34,38 @@ from typing import Any
 _CORPUS_CACHE: dict[str, str] = {}
 
 
+def _corpus_key(sf_dir: str) -> str:
+    from siteone_crawler_ray.sources.corpus import GENERATOR_VERSION
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"graft_corpus_{key}_b128_v{GENERATOR_VERSION}"
+
+
 def _corpus_for(sf_dir: str) -> tuple[str, list[str], dict[str, str]]:
     """Build (once per sf_dir) the interleaved corpus + seeds derived from
     the testdata documents table; cache under /tmp."""
     from siteone_crawler_ray.sources.corpus import (
-        GENERATOR_VERSION,
         interleaved_from_testdata,
         write_corpus,
     )
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join("/tmp", f"graft_corpus_{key}_b128_v{GENERATOR_VERSION}")
+    path = os.path.join("/tmp", _corpus_key(sf_dir))
 
     tabs = interleaved_from_testdata(sf_dir)
-    if key not in _CORPUS_CACHE:
+    if sf_dir not in _CORPUS_CACHE:
         if not os.path.exists(os.path.join(path, "_meta.json")):
             write_corpus(tabs["documents"], path, num_buckets=128)
-        _CORPUS_CACHE[key] = path
+        _CORPUS_CACHE[sf_dir] = path
     seeds = tabs["seeds"]["url"].to_pylist()
-    return path, seeds, {}
+    robots = dict(zip(tabs["robots"]["host"].to_pylist(), tabs["robots"]["body"].to_pylist()))
+    return path, seeds, robots
 
 
 _CRAWL_RESULTS: dict[str, Any] = {}
+
+
+def _workdir_for(sf_dir: str) -> str:
+    return os.path.join("/tmp", f"graft_crawl_{_corpus_key(sf_dir)}")
 
 
 def _crawl_for(sf_dir: str):
@@ -54,20 +76,16 @@ def _crawl_for(sf_dir: str):
 
 
 def _visited_ds(res, columns=None):
-    """Visited table as a multi-block Dataset for the report stages."""
-    import ray.data as rd
-
-    t = res.visited_table(columns=columns)
-    step = max(1, -(-t.num_rows // 16))
-    return rd.from_arrow([t.slice(i, step) for i in range(0, t.num_rows, step)])
+    """Visited rows as a streaming multi-block Dataset read straight from
+    the per-epoch parquet lineage (no driver materialization)."""
+    return res.visited_ds(columns=columns)
 
 
 def _run_crawl(sf_dir: str):
     from siteone_crawler_ray.pipelines.crawl import CrawlConfig, EpochCrawler
 
     path, seeds, robots = _corpus_for(sf_dir)
-    key = os.path.basename(path)
-    workdir = os.path.join("/tmp", f"graft_crawl_{key}")
+    workdir = _workdir_for(sf_dir)
     import shutil
 
     if os.path.exists(workdir):
@@ -96,8 +114,29 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from siteone_crawler_ray.pipelines import relational as R
+    from siteone_crawler_ray.pipelines import reports as RP
+
+    # -- crawl family -------------------------------------------------------
+
+    def crawl_visited_set(sf_dir: str):
+        """Oracle-checkable projection of the flagship crawl: the visited
+        URL set with BFS min-depth, status and content type — DuckDB
+        re-derives it from ``documents`` via a recursive CTE."""
+        import pyarrow as pa
+
+        res = _crawl_for(sf_dir)
+        t = res.visited_table(columns=["url", "depth", "status_code", "content_type"])
+        return pa.table({
+            "url": t["url"],
+            "depth": t["depth"].cast(pa.int64()),
+            "status_code": t["status_code"].cast(pa.int64()),
+            "content_type": t["content_type"].cast(pa.int64()),
+        })
 
     def crawl_visited(sf_dir: str):
+        """Full flagship result incl. crawl order (seq) and lineage
+        columns — covered by the sequential-oracle parity pytest suite;
+        seq/epoch are not SQL-expressible (politeness interleaving)."""
         res = _crawl_for(sf_dir)
         return res.visited_table(
             columns=["seq", "uq_id", "url", "depth", "source_attr", "status_code",
@@ -112,23 +151,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from siteone_crawler_ray.functions.agg import grouped_agg
         from siteone_crawler_ray.pipelines.flat import flat_crawl
-
-        path, seeds, _ = _corpus_for(sf_dir)
         from siteone_crawler_ray.sources.corpus import interleaved_from_testdata
 
+        path, seeds, _ = _corpus_for(sf_dir)
         docs = interleaved_from_testdata(sf_dir)["documents"]
         t = pa.table({"url": docs["doc_id"]})
         step = max(1, -(-t.num_rows // 16))
         urls = rd.from_arrow([t.slice(i, step) for i in range(0, t.num_rows, step)])
         ds = flat_crawl(path, urls, concurrency=4).select_columns(["status_code", "content_type"])
-        return grouped_agg(ds, ["status_code", "content_type"], [("n", None, "count")])
+        out = grouped_agg(ds, ["status_code", "content_type"], [("n", None, "count")])
+        return pa.table({
+            "status_code": out["status_code"].cast(pa.int64()),
+            "content_type": out["content_type"].cast(pa.int64()),
+            "n": out["n"],
+        })
 
     def crawl_span_kinds(sf_dir: str):
         """span-explosion operator: count exploded link/asset spans by kind."""
-        import ray.data as rd
-        import pyarrow.compute as pc
         import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
 
+        from siteone_crawler_ray.functions.agg import grouped_agg
         from siteone_crawler_ray.sources.corpus import interleaved_from_testdata
 
         tabs = interleaved_from_testdata(sf_dir)
@@ -140,159 +184,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             flat = pc.list_flatten(spans)
             return pa.table({"kind": flat.field("kind")})
 
-        from ray.data.aggregate import Count
+        docs = tabs["documents"]
+        step = max(1, -(-docs.num_rows // 16))
+        ds = rd.from_arrow([docs.slice(i, step) for i in range(0, docs.num_rows, step)])
+        return grouped_agg(ds.map_batches(kinds, batch_format="pyarrow"),
+                           ["kind"], [("n", None, "count")])
 
-        ds = rd.from_arrow(tabs["documents"]).map_batches(kinds, batch_format="pyarrow")
-        return ds.groupby("kind").aggregate(Count(alias_name="n"))
-
-    def minhash_pairs(sf_dir: str):
-        import ray.data as rd
-        import os as _os
-
-        from siteone_crawler_ray.stages.dedup import minhash_dedup_pairs
-
-        ds = rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"], override_num_blocks=32)
-        return minhash_dedup_pairs(ds, threshold=0.5)
-
-    def simhash_table(sf_dir: str):
-        import ray.data as rd
-        import os as _os
-
-        from siteone_crawler_ray.stages.dedup import simhash_batch
-
-        import pyarrow as pa
-
-        def signed(b: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "doc_id": b["doc_id"],
-                    "simhash": pa.array(b["simhash"].to_numpy(zero_copy_only=False).view("int64")),
-                }
-            )
-
-        return rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"], override_num_blocks=32).map_batches(
-            simhash_batch, batch_format="pyarrow"
-        ).map_batches(signed, batch_format="pyarrow")
-
-    def fingerprint_table(sf_dir: str):
-        import ray.data as rd
-        import os as _os
-        import pyarrow as pa
-
-        from siteone_crawler_ray.stages.textstats import fingerprints
-
-        def signed(b: pa.Table) -> pa.Table:
-            import numpy as np
-
-            return pa.table(
-                {
-                    "doc_id": b["doc_id"],
-                    "fingerprint": pa.array(b["fingerprint"].to_numpy(zero_copy_only=False).view("int64")),
-                    "winnow_min": pa.array(b["winnow_min"].to_numpy(zero_copy_only=False).view("int64")),
-                }
-            )
-
-        return rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"], override_num_blocks=32).map_batches(
-            fingerprints, batch_format="pyarrow"
-        ).map_batches(signed, batch_format="pyarrow")
-
-    def langid_table(sf_dir: str):
-        import ray.data as rd
-        import os as _os
-
-        from siteone_crawler_ray.stages.textstats import langid
-
-        return rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"], override_num_blocks=32).map_batches(
-            langid, batch_format="pyarrow"
-        )
-
-    def ivf_knn(sf_dir: str):
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-        import ray.data as rd
-        import os as _os
-
-        from siteone_crawler_ray.stages.similarity import knn_ivf
-
-        q = (
-            pq.read_table(_os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-            .filter(pc.equal(pc.field("vec_id"), 0))["embedding"]
-            .to_pylist()[0]
-        )
-        t = knn_ivf(
-            rd.read_parquet(_os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"], override_num_blocks=16),
-            np.array(q),
-            k=10,
-        )
-        return pa.table({"vec_id": t["vec_id"], "rank": t["rank"].cast(pa.int64())})
-
-    def lsh_knn(sf_dir: str):
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-        import ray.data as rd
-        import os as _os
-
-        from siteone_crawler_ray.stages.similarity import knn_lsh
-
-        q = (
-            pq.read_table(_os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-            .filter(pc.equal(pc.field("vec_id"), 0))["embedding"]
-            .to_pylist()[0]
-        )
-        t = knn_lsh(
-            rd.read_parquet(_os.path.join(sf_dir, "embeddings.parquet"),
-                            columns=["vec_id", "embedding"], override_num_blocks=16),
-            np.array(q), k=10,
-        )
-        return pa.table({"vec_id": t["vec_id"], "rank": t["rank"].cast(pa.int64())})
-
-    def media_audio_energy(sf_dir: str):
-        import ray.data as rd
-
-        from siteone_crawler_ray.stages.multimodal import (
-            AudioFrameSampleStage,
-            decode_pipeline,
-            synthesize_media_table,
-        )
-
-        return decode_pipeline(rd.from_arrow(synthesize_media_table(128)), "audio",
-                               AudioFrameSampleStage, concurrency=2)
-
-    def media_video_frames(sf_dir: str):
-        import ray.data as rd
-
-        from siteone_crawler_ray.stages.multimodal import (
-            VideoFrameSampleStage,
-            decode_pipeline,
-            synthesize_media_table,
-        )
-
-        return decode_pipeline(rd.from_arrow(synthesize_media_table(128)), "video",
-                               VideoFrameSampleStage, concurrency=2).drop_columns(["frame"])
-
-    def media_decode(sf_dir: str):
-        import ray.data as rd
-
-        from siteone_crawler_ray.stages.multimodal import (
-            ImageDecodeStage,
-            decode_pipeline,
-            synthesize_media_table,
-        )
-
-        return decode_pipeline(rd.from_arrow(synthesize_media_table(128)), "image", ImageDecodeStage,
-                               concurrency=2).drop_columns(["features"])
-
-    from siteone_crawler_ray.pipelines import reports as RP
+    # -- post-crawl report tables (oracled over the visited parquet) --------
 
     def _rq(fn, columns=None, **kw):
         def q(sf_dir: str):
             res = _crawl_for(sf_dir)
             return fn(_visited_ds(res, columns=columns), **kw)
         return q
+
+    def report_skipped(sf_dir: str):
+        return RP.skipped_by_reason_table(_crawl_for(sf_dir).skipped)
+
+    def report_basic_stats(sf_dir: str):
+        return RP.basic_stats(_visited_ds(_crawl_for(sf_dir)))
+
+    # -- rows-only crawl-side pipelines -------------------------------------
 
     def report_external_links(sf_dir: str):
         import ray.data as rd
@@ -308,30 +220,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return external_links_table(ds, seed_host)
 
     def json_report(sf_dir: str):
-        """full 8-key JSON report → (key, size) summary table."""
+        """full 8-key JSON report + quality-score CI gate → one
+        (key, value) summary table (sizes per report section; score per
+        quality category; gate exit code)."""
         import os as _os
 
         import pyarrow as pa
 
+        from siteone_crawler_ray.pipelines import scoring as SC
         from siteone_crawler_ray.pipelines.report_json import write_report_json
 
         res = _crawl_for(sf_dir)
         path = _os.path.join("/tmp", f"graft_report_{_os.path.basename(sf_dir)}.json")
         rep = write_report_json(res, _visited_ds(res), path)
-        return pa.table({
-            "key": pa.array(sorted(rep)),
-            "n": pa.array([len(rep[k]) if hasattr(rep[k], "__len__") else 1 for k in sorted(rep)],
-                          pa.int64()),
-        })
+        keys = sorted(rep)
+        vals = [float(len(rep[k]) if hasattr(rep[k], "__len__") else 1) for k in keys]
 
-    def report_skipped(sf_dir: str):
-        return RP.skipped_by_reason_table(_crawl_for(sf_dir).skipped)
-
-    def report_basic_stats(sf_dir: str):
-        return RP.basic_stats(_visited_ds(_crawl_for(sf_dir)))
+        findings = SC.findings_from_reports(
+            RP.page_findings(_visited_ds(res)),
+            RP.count_by_status(_visited_ds(res)),
+        )
+        srep = SC.score(findings)
+        code, _ = SC.ci_gate(srep, findings, 0, SC.CiGateConfig(min_quality_score=0.0))
+        for cat in sorted(srep.scores):
+            keys.append(f"score:{cat}")
+            vals.append(float(srep.scores[cat]))
+        keys += ["score:total", "gate:exit_code"]
+        vals += [float(srep.total), float(code)]
+        return pa.table({"key": pa.array(keys, pa.string()), "value": pa.array(vals, pa.float64())})
 
     def markdown_pages(sf_dir: str):
-        import ray.data as rd
         from siteone_crawler_ray.stages.export import spans_to_markdown
 
         res = _crawl_for(sf_dir)
@@ -371,28 +289,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             add_offline_paths, batch_format="pyarrow"
         )
 
-    def quality_score_gate(sf_dir: str):
-        import pyarrow as pa
-        from siteone_crawler_ray.pipelines import scoring as SC
-
-        res = _crawl_for(sf_dir)
-        findings = SC.findings_from_reports(
-            RP.page_findings(_visited_ds(res)),
-            RP.count_by_status(_visited_ds(res)),
-        )
-        rep = SC.score(findings)
-        code, violations = SC.ci_gate(rep, findings, n_404=0, cfg=SC.CiGateConfig(min_quality_score=0.0))
-        return pa.table({
-            "category": pa.array(sorted(rep.scores) + ["total", "exit_code"]),
-            "value": pa.array([rep.scores[k] for k in sorted(rep.scores)] + [rep.total, float(code)]),
-        })
-
     def html_link_extract(sf_dir: str):
         """live-HTML mode: render corpus docs to HTML, run the regex
         battery (functions/html_extract.py), count per source_attr."""
         import pyarrow as pa
         import ray.data as rd
 
+        from siteone_crawler_ray.functions.agg import grouped_agg
         from siteone_crawler_ray.functions.html_extract import html_extract_batch, spans_to_html
         from siteone_crawler_ray.sources.corpus import interleaved_from_testdata
 
@@ -405,21 +308,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "body": pa.array([spans_to_html(r) for r in spans], pa.string()),
             })
 
-        from ray.data.aggregate import Count
-
         docs = tabs["documents"]
         step = max(1, -(-docs.num_rows // 16))
         ds = rd.from_arrow([docs.slice(i, step) for i in range(0, docs.num_rows, step)])
-        return (
-            ds.map_batches(render, batch_format="pyarrow")
-            .map_batches(html_extract_batch, batch_format="pyarrow")
-            .groupby("source_attr")
-            .aggregate(Count(alias_name="n"))
+        return grouped_agg(
+            ds.map_batches(render, batch_format="pyarrow").map_batches(
+                html_extract_batch, batch_format="pyarrow"
+            ),
+            ["source_attr"], [("n", None, "count")],
         )
 
     def page_checks(sf_dir: str):
-        """§2.10 SEO/accessibility analyzers over rendered corpus HTML →
-        finding-count summary."""
+        """§2.10 SEO/accessibility/security/best-practice analyzers over
+        rendered corpus HTML → finding-count summary."""
         import pyarrow as pa
         import ray.data as rd
 
@@ -443,51 +344,158 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    # -- training-data operators --------------------------------------------
+
+    def minhash_pairs(sf_dir: str):
+        import os as _os
+
+        import ray.data as rd
+
+        from siteone_crawler_ray.stages.dedup import minhash_dedup_pairs
+
+        ds = rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"], override_num_blocks=32)
+        return minhash_dedup_pairs(ds, threshold=0.5)
+
+    def content_signatures(sf_dir: str):
+        """SimHash + winnowing fingerprint + language-ID in one pass
+        (doc_id, simhash, fingerprint, winnow_min, lang_pred) — three
+        signature kernels share one queries() slot."""
+        import os as _os
+
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from siteone_crawler_ray.stages.dedup import simhash_batch
+        from siteone_crawler_ray.stages.textstats import fingerprints, langid
+
+        def combined(b: pa.Table) -> pa.Table:
+            sim = simhash_batch(b)
+            fp = fingerprints(b)
+            lg = langid(b)
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "simhash": pa.array(
+                    sim["simhash"].to_numpy(zero_copy_only=False).view("int64")),
+                "fingerprint": pa.array(
+                    fp["fingerprint"].to_numpy(zero_copy_only=False).view("int64")),
+                "winnow_min": pa.array(
+                    fp["winnow_min"].to_numpy(zero_copy_only=False).view("int64")),
+                "lang_pred": lg["lang_pred"],
+            })
+
+        return rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"], override_num_blocks=32
+                               ).map_batches(combined, batch_format="pyarrow")
+
+    def ivf_knn(sf_dir: str):
+        import os as _os
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from siteone_crawler_ray.stages.similarity import knn_ivf
+
+        q = (
+            pq.read_table(_os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+            .filter(pc.equal(pc.field("vec_id"), 0))["embedding"]
+            .to_pylist()[0]
+        )
+        t = knn_ivf(
+            rd.read_parquet(_os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"], override_num_blocks=16),
+            np.array(q), k=10,
+        )
+        return pa.table({"vec_id": t["vec_id"], "rank": t["rank"].cast(pa.int64())})
+
+    def lsh_knn(sf_dir: str):
+        import os as _os
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from siteone_crawler_ray.stages.similarity import knn_lsh
+
+        q = (
+            pq.read_table(_os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+            .filter(pc.equal(pc.field("vec_id"), 0))["embedding"]
+            .to_pylist()[0]
+        )
+        t = knn_lsh(
+            rd.read_parquet(_os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"], override_num_blocks=16),
+            np.array(q), k=10,
+        )
+        return pa.table({"vec_id": t["vec_id"], "rank": t["rank"].cast(pa.int64())})
+
+    def media_stages(sf_dir: str):
+        """the three multimodal actor-pool stages (image decode, audio
+        frame-sample, video frame-sample) in one tagged summary table
+        (modality, n) — schemas + batch plumbing are pytest-verified."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from siteone_crawler_ray.stages.multimodal import (
+            AudioFrameSampleStage,
+            ImageDecodeStage,
+            VideoFrameSampleStage,
+            decode_pipeline,
+            synthesize_media_table,
+        )
+
+        media = synthesize_media_table(128)
+        rows = []
+        for modality, stage in (("image", ImageDecodeStage),
+                                ("audio", AudioFrameSampleStage),
+                                ("video", VideoFrameSampleStage)):
+            out = decode_pipeline(rd.from_arrow(media), modality, stage, concurrency=2)
+            rows.append((modality, out.count()))
+        return pa.table({
+            "modality": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+        })
+
     return {
-        # live-HTML regex battery (SURVEY §2.2) — rows-only
-        "html_link_extract": html_link_extract,
-        "page_checks": page_checks,
-        # post-crawl analyzer battery (SURVEY §2.5, §2.10) — rows-only
+        # ---- oracle-backed block (checked first) --------------------------
+        # crawl family (SURVEY §2.1, §2.3, §2.9)
+        "crawl_visited_set": crawl_visited_set,
+        "flat_visit_stats": flat_visit_stats,
+        "crawl_span_kinds": crawl_span_kinds,
+        # post-crawl analyzer battery (SURVEY §2.5, §2.10) over the
+        # visited parquet lineage
         "report_basic_stats": report_basic_stats,
         "report_status_counts": _rq(RP.count_by_status),
         "report_content_types": _rq(RP.content_type_table),
         "report_source_domains": _rq(RP.source_domains_table),
-        "report_fastest": _rq(RP.fastest_table),
-        "report_slowest": _rq(RP.slowest_table),
+        "report_speed": _rq(RP.speed_table),
         "report_title_dups": _rq(RP.title_uniqueness_table),
         "report_404": _rq(RP.page404_table),
         "report_redirects": _rq(RP.redirects_table),
         "report_headers": _rq(RP.headers_inventory_table),
         "report_caching": _rq(RP.caching_table),
         "report_sitemap": _rq(RP.sitemap_urls),
-        "report_findings": _rq(RP.page_findings),
         "report_skipped": report_skipped,
-        "report_external_links": report_external_links,
-        "json_report": json_report,
-        "markdown_pages": markdown_pages,
-        "html_markdown": html_markdown,
-        "offline_paths": offline_paths,
-        "quality_score_gate": quality_score_gate,
-        # groupby-agg report shapes (SURVEY §2.5)
+        # groupby-agg / top-k / join / window shapes (SURVEY §2.4-2.6, §2.9)
         "pricing_summary": R.pricing_summary,
         "global_stats": R.global_stats,
-        "count_by_type": R.count_by_type,
-        "lang_counts": R.lang_counts,
-        "source_stats": R.source_stats,
+        "user_type_stats": R.user_type_stats,
+        "docs_stats": R.docs_stats,
         "returned_by_supplier": R.returned_by_supplier,
         "label_counts": R.label_counts,
-        # sort / top-k / percentile shapes (SURVEY §2.6)
-        "fastest_topk": R.fastest_topk,
-        "slowest_topk": R.slowest_topk,
+        "events_topk": R.events_topk,
         "p90_by_type": R.p90_by_type,
-        # join / lookup shapes (SURVEY §2.4)
         "segment_join": R.segment_join,
         "range_join_count": R.range_join_count,
         "top_order_per_segment": R.top_order_per_segment,
         "customers_without_events": R.customers_without_events,
         "supplier_part_stats": R.supplier_part_stats,
-        # distinct / window / parse shapes (SURVEY §2.5, §2.9)
-        "distinct_users_by_type": R.distinct_users_by_type,
         "hourly_window": R.hourly_window,
         "session_windows": R.session_windows,
         "props_bucket": R.props_bucket,
@@ -498,24 +506,238 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top10": R.knn_top10,
         "embedding_norms": R.embedding_norms,
         "embedding_dup_pairs": R.embedding_dup_pairs_table,
-        # non-SQL-expressible (rows-only checks)
+        # ---- rows-only block ----------------------------------------------
+        "crawl_visited": crawl_visited,
+        "report_findings": _rq(RP.page_findings),
+        "report_external_links": report_external_links,
+        "json_report": json_report,
+        "markdown_pages": markdown_pages,
+        "html_markdown": html_markdown,
+        "offline_paths": offline_paths,
+        "html_link_extract": html_link_extract,
+        "page_checks": page_checks,
         "minhash_pairs": minhash_pairs,
-        "simhash_table": simhash_table,
-        "fingerprint_table": fingerprint_table,
-        "langid_table": langid_table,
+        "content_signatures": content_signatures,
         "ivf_knn": ivf_knn,
         "lsh_knn": lsh_knn,
-        "media_decode": media_decode,
-        "media_audio_energy": media_audio_energy,
-        "media_video_frames": media_video_frames,
-        "crawl_visited": crawl_visited,
-        "flat_visit_stats": flat_visit_stats,
-        "crawl_span_kinds": crawl_span_kinds,
+        "media_stages": media_stages,
     }
 
 
+def _oracle_paths() -> tuple[str, str]:
+    """Deterministic visited/skipped parquet globs for the correctness
+    sf_dir (driver contract: sf0.01; override with GRAFT_ORACLE_SF for
+    local runs at other scales)."""
+    sf = os.environ.get("GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    wd = _workdir_for(sf)
+    return (os.path.join(wd, "visited", "*", "*.parquet"),
+            os.path.join(wd, "skipped-epoch*.parquet"))
+
+
 def oracle_sql() -> dict[str, str]:
+    visited_glob, skipped_glob = _oracle_paths()
+    V = f"SELECT * FROM read_parquet('{visited_glob}', hive_partitioning=false)"
+
+    # recursive-CTE BFS over the interleaved corpus' arithmetic link
+    # graph (sources/corpus.py interleaved_from_testdata, v4 rules):
+    # 8 hosts; page i → host i%8, page-no i//8; redirect docs i%43==11;
+    # 6 links (i*31+d*97+1)%n; dead link when i%13==5; 3 assets per
+    # page; robots block host 1 page 9 (doc 73).
+    crawl_cte = """
+        WITH RECURSIVE
+        nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+        edges AS (
+          SELECT d.doc_id AS src, (d.doc_id * 31 + g.d * 97 + 1) % p.n AS dst
+          FROM documents d CROSS JOIN nd p CROSS JOIN range(6) g(d)
+          WHERE d.doc_id % 43 <> 11
+          UNION ALL
+          SELECT d.doc_id,
+                 CASE WHEN (d.doc_id * 31 + 7) % p.n = d.doc_id
+                      THEN (d.doc_id + 1) % p.n
+                      ELSE (d.doc_id * 31 + 7) % p.n END
+          FROM documents d CROSS JOIN nd p
+          WHERE d.doc_id % 43 = 11
+        ),
+        reach(id, depth) AS (
+          SELECT t.h::BIGINT, 0 FROM range(8) t(h)
+          UNION
+          SELECT e.dst, r.depth + 1
+          FROM reach r JOIN edges e ON e.src = r.id
+          WHERE r.depth < 40
+            AND NOT (e.dst % 8 = 1 AND e.dst // 8 = 9)  -- robots-blocked
+        ),
+        pages AS (SELECT id, min(depth) AS depth FROM reach GROUP BY id),
+        page_rows AS (
+          SELECT printf('https://site-%03d.test/p/%05d', id % 8, id // 8)
+                 || CASE WHEN (id // 8) % 11 = 3
+                         THEN printf('?a=%d&b=%d', (id // 8) % 7, (id // 8) % 5)
+                         ELSE '' END AS url,
+                 depth,
+                 CASE WHEN id % 43 = 11 THEN 301 ELSE 200 END AS status_code,
+                 CASE WHEN id % 43 = 11 THEN 9 ELSE 1 END AS content_type
+          FROM pages
+        ),
+        asset_rows AS (
+          SELECT url, min(depth) AS depth, min(status_code) AS status_code,
+                 min(content_type) AS content_type
+          FROM (
+            SELECT printf('https://site-%03d.test/static/img/%d.png', id % 8, id % 64) AS url,
+                   depth + 1 AS depth, 200 AS status_code, 4 AS content_type
+            FROM pages WHERE id % 43 <> 11
+            UNION ALL
+            SELECT printf('https://site-%03d.test/static/js/chunk-%d.js', id % 8, id % 16),
+                   depth + 1, 200, 2 FROM pages WHERE id % 43 <> 11
+            UNION ALL
+            SELECT printf('https://site-%03d.test/static/css/site.css', id % 8),
+                   depth + 1, 200, 3 FROM pages WHERE id % 43 <> 11
+            UNION ALL
+            SELECT printf('https://site-%03d.test/p/%05d', id % 8, 100000 + id),
+                   depth + 1, 404, 10 FROM pages WHERE id % 43 <> 11 AND id % 13 = 5
+          ) GROUP BY url
+        )
+        SELECT url, depth, status_code, content_type FROM page_rows
+        UNION ALL
+        SELECT url, depth, status_code, content_type FROM asset_rows
+    """
+
     return {
+        # ---- crawl family ------------------------------------------------
+        "crawl_visited_set": crawl_cte,
+        "flat_visit_stats": """
+            SELECT CASE WHEN doc_id % 43 = 11 THEN 301 ELSE 200 END AS status_code,
+                   CASE WHEN doc_id % 43 = 11 THEN 9 ELSE 1 END AS content_type,
+                   count(*) AS n
+            FROM documents GROUP BY 1, 2
+        """,
+        "crawl_span_kinds": """
+            WITH c AS (
+              SELECT count(*) FILTER (WHERE doc_id % 43 = 11) AS nr,
+                     count(*) FILTER (WHERE doc_id % 43 <> 11) AS np,
+                     count(*) FILTER (WHERE doc_id % 43 <> 11 AND doc_id % 13 = 5) AS nd
+              FROM documents)
+            SELECT kind, n FROM (
+              SELECT 'redirect' AS kind, nr AS n FROM c
+              UNION ALL SELECT 'title', np FROM c
+              UNION ALL SELECT 'text', np FROM c
+              UNION ALL SELECT 'link', np * 6 + nd FROM c
+              UNION ALL SELECT 'img', np FROM c
+              UNION ALL SELECT 'script', np FROM c
+              UNION ALL SELECT 'css', np FROM c
+            ) WHERE n > 0
+        """,
+        # ---- report tables over the engine's visited parquet -------------
+        "report_basic_stats": f"""
+            WITH v AS ({V}),
+            h AS (SELECT request_time FROM v WHERE content_type = 1 AND status_code = 200),
+            pr AS (SELECT request_time AS t,
+                          row_number() OVER (ORDER BY request_time) - 1 AS r,
+                          count(*) OVER () AS n
+                   FROM h)
+            SELECT count(*) AS total_urls,
+                   sum(size)::BIGINT AS total_size,
+                   round(sum(round(request_time * 100000)) / 100000.0, 3) AS total_requests_times,
+                   round(sum(round(request_time * 100000)) / 100000.0 / count(*), 3) AS avg_time,
+                   round(min(request_time), 3) AS min_time,
+                   round(max(request_time), 3) AS max_time,
+                   (SELECT round(t, 3) FROM pr
+                    WHERE r = CAST(floor(0.9 * (n - 1) + 0.5) AS BIGINT)) AS p90_time
+            FROM v
+        """,
+        "report_status_counts": f"""
+            WITH v AS ({V})
+            SELECT status_code, count(*) AS n FROM v GROUP BY status_code
+        """,
+        "report_content_types": f"""
+            WITH v AS ({V})
+            SELECT content_type, count(*) AS n, sum(size)::BIGINT AS total_size,
+                   round(sum(round(request_time * 100000)) / 100000.0 / count(*), 6) AS avg_time
+            FROM v GROUP BY content_type
+        """,
+        "report_source_domains": f"""
+            WITH v AS ({V})
+            SELECT host, count(*) AS n, sum(size)::BIGINT AS total_size
+            FROM v GROUP BY host
+        """,
+        "report_speed": f"""
+            WITH v AS ({V}),
+            h AS (SELECT url, request_time FROM v
+                  WHERE content_type = 1 AND status_code = 200),
+            f AS (SELECT 'fastest' AS which, url, request_time FROM h
+                  ORDER BY request_time, url LIMIT 20),
+            s AS (SELECT 'slowest' AS which, url, request_time FROM h
+                  ORDER BY request_time DESC, url LIMIT 20)
+            SELECT * FROM f UNION ALL SELECT * FROM s
+        """,
+        "report_title_dups": f"""
+            WITH v AS ({V})
+            SELECT title, count(*) AS n FROM v
+            WHERE content_type = 1 AND status_code = 200
+            GROUP BY title HAVING count(*) > 1
+            ORDER BY n DESC, title LIMIT 10
+        """,
+        "report_404": f"""
+            WITH v AS ({V})
+            SELECT b.url AS url, coalesce(s.url, '') AS found_on
+            FROM v b LEFT JOIN v s ON b.source_uq_id = s.uq_id
+            WHERE b.status_code = 404
+        """,
+        "report_redirects": f"""
+            WITH v AS ({V})
+            SELECT r.url AS url,
+                   coalesce(struct_extract(r.spans[1], 'media_ref'), '') AS target,
+                   coalesce(s.url, '') AS found_on
+            FROM v r LEFT JOIN v s ON r.source_uq_id = s.uq_id
+            WHERE r.status_code >= 300 AND r.status_code < 400
+        """,
+        "report_headers": f"""
+            WITH v AS ({V}),
+            x AS (
+              SELECT 'content_type_header' AS header, content_type_header AS value FROM v
+              WHERE content_type_header IS NOT NULL AND content_type_header <> ''
+              UNION ALL
+              SELECT 'cache_control', cache_control FROM v
+              WHERE cache_control IS NOT NULL AND cache_control <> ''
+              UNION ALL
+              SELECT 'etag', etag FROM v WHERE etag IS NOT NULL AND etag <> ''
+              UNION ALL
+              SELECT 'content_encoding', content_encoding FROM v
+              WHERE content_encoding IS NOT NULL AND content_encoding <> ''
+            )
+            SELECT header, count(*) AS occurrences,
+                   count(DISTINCT value) AS distinct_values
+            FROM x GROUP BY header
+        """,
+        "report_caching": f"""
+            WITH v AS ({V}),
+            c AS (
+              SELECT content_type,
+                     contains(coalesce(cache_control, ''), 'max-age=') AS is_cacheable,
+                     contains(coalesce(cache_control, ''), 'no-store') AS is_no_store,
+                     (etag IS NOT NULL AND etag <> '') AS is_etag,
+                     CASE WHEN contains(coalesce(cache_control, ''), 'max-age=')
+                          THEN CAST(regexp_extract(cache_control, 'max-age=([0-9]+)', 1) AS DOUBLE)
+                          ELSE 0 END AS lifetime
+              FROM v)
+            SELECT content_type, count(*) AS n,
+                   sum(CASE WHEN is_cacheable THEN 1 ELSE 0 END)::BIGINT AS cacheable,
+                   sum(CASE WHEN is_no_store THEN 1 ELSE 0 END)::BIGINT AS no_store,
+                   sum(CASE WHEN is_etag THEN 1 ELSE 0 END)::BIGINT AS has_etag,
+                   round(sum(lifetime) / count(*), 3) AS avg_lifetime
+            FROM c GROUP BY content_type
+        """,
+        "report_sitemap": f"""
+            WITH v AS ({V})
+            SELECT url,
+                   (length(rtrim(url, '/')) - length(replace(rtrim(url, '/'), '/', '')))::BIGINT AS slashes,
+                   least(1.0, greatest(0.1,
+                     0.5 + 0.1 * (1 - (length(url) - length(replace(url, '/', '')) - 2)))) AS priority
+            FROM v WHERE content_type = 1 AND status_code = 200 AND is_external = false
+        """,
+        "report_skipped": f"""
+            SELECT reason, count(*) AS n
+            FROM read_parquet('{skipped_glob}') GROUP BY reason
+        """,
+        # ---- relational / window / training shapes ------------------------
         "pricing_summary": """
             SELECT l_returnflag, count(*) AS n,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -530,19 +752,26 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_extendedprice), 6) AS avg_price
             FROM lineitem
         """,
-        "count_by_type": "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
-        "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
-        "source_stats": """
-            SELECT source, count(*) AS n, round(avg(n_chars), 6) AS avg_chars
-            FROM documents GROUP BY source
+        "user_type_stats": """
+            SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "docs_stats": """
+            SELECT source, lang, count(*) AS n, round(avg(n_chars), 6) AS avg_chars
+            FROM documents GROUP BY source, lang
         """,
         "returned_by_supplier": """
             SELECT l_suppkey, count(*) AS n FROM lineitem
             WHERE l_returnflag = 'R' GROUP BY l_suppkey
         """,
         "label_counts": "SELECT label, count(*) AS n FROM embeddings GROUP BY label",
-        "fastest_topk": "SELECT event_id, value FROM events ORDER BY value, event_id LIMIT 20",
-        "slowest_topk": "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 20",
+        "events_topk": """
+            WITH f AS (SELECT 'fastest' AS which, event_id, value FROM events
+                       ORDER BY value, event_id LIMIT 20),
+            s AS (SELECT 'slowest' AS which, event_id, value FROM events
+                  ORDER BY value DESC, event_id LIMIT 20)
+            SELECT * FROM f UNION ALL SELECT * FROM s
+        """,
         "p90_by_type": """
             WITH s AS (
               SELECT event_type, value,
@@ -579,10 +808,6 @@ def oracle_sql() -> dict[str, str]:
             FROM events e LEFT JOIN orders o
               ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             GROUP BY e.event_id
-        """,
-        "distinct_users_by_type": """
-            SELECT event_type, count(DISTINCT user_id) AS n_users
-            FROM events GROUP BY event_type
         """,
         "hourly_window": """
             SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,

@@ -32,7 +32,7 @@ HEADLINE = [
     "segment_join",
     "hourly_window",
     "p90_by_type",
-    "distinct_users_by_type",
+    "user_type_stats",
     "exact_dedup",
     "minhash_pairs",
     "knn_top10",

@@ -55,6 +55,11 @@ def value_hash(df: pd.DataFrame) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # report-table oracles read the engine's visited/skipped parquet at
+    # a path derived from the correctness sf_dir
+    import os
+
+    os.environ["GRAFT_ORACLE_SF"] = sf_dir
 
     import ray
 

@@ -102,10 +102,26 @@ class CrawlResult:
     metrics: dict = field(default_factory=dict)
 
     def visited_table(self, columns: list[str] | None = None) -> pa.Table:
+        """Seq-ordered visited rows as ONE driver-side table.  Only for
+        small, order-sensitive consumers (flagship result, golden tests);
+        report pipelines must use :meth:`visited_ds` instead — at 10⁹
+        pages this table does not fit on the driver."""
         read_cols = columns if columns is None or "seq" in columns else ["seq", *columns]
         t = pq.read_table(self.visited_dir, columns=read_cols, partitioning=None)
         t = t.take(pc.sort_indices(t, sort_keys=[("seq", "ascending")]))
         return t if columns is None else t.select(columns)
+
+    def visited_ds(self, columns: list[str] | None = None):
+        """Visited rows as a streaming multi-block Dataset read straight
+        from the per-epoch/per-worker parquet parts (no driver
+        materialization; one block per part file).  Unordered — every
+        report table is either an aggregation or sorts itself."""
+        import ray.data as rd
+
+        # default hive partitioning parses the epoch=N dirs; the in-file
+        # epoch column carries the same values (ray<=2.49 errors on
+        # partitioning=None + columns: _infer_data_and_partition_columns)
+        return rd.read_parquet(self.visited_dir, columns=columns, file_extensions=["parquet"])
 
 
 _DISPATCH_FIELDS = [

@@ -538,3 +538,60 @@ def embedding_dup_pairs_table(sf_dir: str, threshold: float = 0.45) -> pa.Table:
 
     t = embedding_dup_pairs(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=threshold)
     return t.select(["id_a", "id_b"])
+
+
+# -- merged query surfaces (one queries() slot, several operators) ----------
+
+
+def user_type_stats(sf_dir: str) -> pa.Table:
+    """count_by_type + distinct_users_by_type in one table
+    (event_type, n, n_users) — the two per-type aggregates share a key,
+    so they ride in one queries() slot."""
+    counts = count_by_type(sf_dir)
+    distinct = distinct_users_by_type(sf_dir)
+    lut = dict(zip(distinct["event_type"].to_pylist(), distinct["n_users"].to_pylist()))
+    return pa.table(
+        {
+            "event_type": counts["event_type"],
+            "n": counts["n"],
+            "n_users": pa.array(
+                [lut.get(t, 0) for t in counts["event_type"].to_pylist()], pa.int64()
+            ),
+        }
+    )
+
+
+def docs_stats(sf_dir: str) -> pa.Table:
+    """lang_counts + source_stats as one two-key groupby
+    (source, lang, n, avg_chars)."""
+    from ..functions.agg import grouped_agg
+
+    t = grouped_agg(
+        _read(sf_dir, "documents", ["source", "lang", "n_chars"]),
+        ["source", "lang"],
+        [("n", None, "count"), ("avg_chars", "n_chars", "mean")],
+    )
+    return pa.table(
+        {
+            "source": t["source"],
+            "lang": t["lang"],
+            "n": t["n"],
+            "avg_chars": pa.array(round_away(t["avg_chars"].to_numpy(), 6)),
+        }
+    )
+
+
+def events_topk(sf_dir: str, k: int = 20) -> pa.Table:
+    """fastest_topk + slowest_topk tagged in one table
+    (which ∈ {fastest, slowest}, event_id, value)."""
+    f = fastest_topk(sf_dir, k)
+    s = slowest_topk(sf_dir, k)
+    return pa.table(
+        {
+            "which": pa.array(["fastest"] * f.num_rows + ["slowest"] * s.num_rows, pa.string()),
+            "event_id": pa.concat_arrays(
+                [f["event_id"].combine_chunks(), s["event_id"].combine_chunks()]
+            ),
+            "value": pa.concat_arrays([f["value"].combine_chunks(), s["value"].combine_chunks()]),
+        }
+    )

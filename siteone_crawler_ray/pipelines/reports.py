@@ -19,6 +19,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.numeric import round_away as _round_away
 from ..types import ContentType
 
 
@@ -32,26 +33,42 @@ def _to_table(ds) -> pa.Table:
 
 def reference_percentile(values: np.ndarray, p: int) -> float:
     """basic_stats.rs:14-21 — rank = round_half_up(p/100·(n−1)), 3-decimal
-    rounding of the selected element."""
+    rounding of the selected element (half away from zero, like Rust
+    f64::round and DuckDB round)."""
     if len(values) == 0:
         return 0.0
     v = np.sort(values)
     rank = int(math.floor((p / 100.0) * (len(v) - 1) + 0.5))
-    return round(float(v[min(rank, len(v) - 1)]) * 1000) / 1000
+    return float(_round_away([v[min(rank, len(v) - 1)]], 3)[0])
+
+
+def _with_rt_e5(batch: pa.Table) -> pa.Table:
+    """Integer-scaled request time (round(rt·1e5)) so time SUMS are
+    exact integer-valued doubles — float-summation order can then never
+    flip a rounding boundary between the engine and the DuckDB oracle."""
+    rt = batch["request_time"].to_numpy(zero_copy_only=False)
+    return batch.append_column("rt_e5", pa.array(np.rint(rt * 1e5)))
 
 
 def basic_stats(visited_ds) -> pa.Table:
     """BasicStats (basic_stats.rs:70-128): totals, min/max/avg request
-    time, p90 of HTML-200 request times (nearest-rank)."""
-    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+    time, p90 of HTML-200 request times (nearest-rank).  Totals via the
+    combiner global_agg (one partial row per block); the exact p90
+    collects only the filtered request_time column."""
+    from ..functions.agg import global_agg
+    from ..functions.numeric import round_away
 
-    agg = visited_ds.aggregate(
-        Count(alias_name="total_urls"),
-        Sum("size", alias_name="total_size"),
-        Sum("request_time", alias_name="total_requests_times"),
-        Min("request_time", alias_name="min_time"),
-        Max("request_time", alias_name="max_time"),
-        Mean("request_time", alias_name="avg_time"),
+    agg = global_agg(
+        visited_ds.select_columns(["size", "request_time"]).map_batches(
+            _with_rt_e5, batch_format="pyarrow"
+        ),
+        [
+            ("total_urls", None, "count"),
+            ("total_size", "size", "sum"),
+            ("sum_rt_e5", "rt_e5", "sum"),
+            ("min_time", "request_time", "min"),
+            ("max_time", "request_time", "max"),
+        ],
     )
     html = visited_ds.filter(
         expr=f"content_type == {ContentType.HTML} and status_code == 200"
@@ -62,85 +79,128 @@ def basic_stats(visited_ds) -> pa.Table:
         all_t = _to_table(visited_ds.select_columns(["request_time"]))
         arr = all_t["request_time"].to_numpy() if all_t is not None else np.empty(0)
     p90 = reference_percentile(arr, 90)
+
+    def r3(v):
+        return float(round_away([v], 3)[0])
+
+    n = int(agg["total_urls"])
     return pa.table(
         {
-            "total_urls": [int(agg["total_urls"])],
+            "total_urls": [n],
             "total_size": [int(agg["total_size"])],
-            "total_requests_times": [round(float(agg["total_requests_times"]), 3)],
-            "avg_time": [round(float(agg["avg_time"]), 3)],
-            "min_time": [round(float(agg["min_time"]), 3)],
-            "max_time": [round(float(agg["max_time"]), 3)],
+            "total_requests_times": [r3(agg["sum_rt_e5"] / 100000.0)],
+            "avg_time": [r3(agg["sum_rt_e5"] / 100000.0 / n)],
+            "min_time": [r3(agg["min_time"])],
+            "max_time": [r3(agg["max_time"])],
             "p90_time": [p90],
         }
     )
 
 
 def count_by_status(visited_ds) -> pa.Table:
-    """count_by_status (basic_stats.rs:77-93)."""
-    from ray.data.aggregate import Count
+    """count_by_status (basic_stats.rs:77-93) — combiner partials, no
+    all-to-all (status cardinality is tiny)."""
+    from ..functions.agg import grouped_agg
 
-    out = visited_ds.groupby("status_code").aggregate(Count(alias_name="n"))
-    t = _to_table(out)
+    t = grouped_agg(visited_ds.select_columns(["status_code"]),
+                    ["status_code"], [("n", None, "count")])
     return t.take(pc.sort_indices(t, sort_keys=[("status_code", "ascending")]))
 
 
 def content_type_table(visited_ds) -> pa.Table:
     """ContentTypeAnalyzer table (content_type_analyzer.rs:36-230):
-    per-content-type count / total size / avg request time."""
-    from ray.data.aggregate import Count, Mean, Sum
+    per-content-type count / total size / avg request time (rounded 6,
+    DuckDB half-away semantics for the oracle gate)."""
+    from ..functions.agg import grouped_agg
+    from ..functions.numeric import round_away
 
-    out = visited_ds.groupby("content_type").aggregate(
-        Count(alias_name="n"),
-        Sum("size", alias_name="total_size"),
-        Mean("request_time", alias_name="avg_time"),
+    t = grouped_agg(
+        visited_ds.select_columns(["content_type", "size", "request_time"]).map_batches(
+            _with_rt_e5, batch_format="pyarrow"
+        ),
+        ["content_type"],
+        [("n", None, "count"), ("total_size", "size", "sum"), ("sum_rt_e5", "rt_e5", "sum")],
     )
-    t = _to_table(out)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    t = pa.table(
+        {
+            "content_type": t["content_type"],
+            "n": t["n"],
+            "total_size": t["total_size"],
+            "avg_time": pa.array(
+                round_away(t["sum_rt_e5"].to_numpy(zero_copy_only=False) / 100000.0 / n, 6)
+            ),
+        }
+    )
     return t.take(pc.sort_indices(t, sort_keys=[("content_type", "ascending")]))
 
 
 def source_domains_table(visited_ds) -> pa.Table:
     """SourceDomainsAnalyzer (source_domains_analyzer.rs): per-host count
     + bytes."""
-    from ray.data.aggregate import Count, Sum
+    from ..functions.agg import grouped_agg
 
-    out = visited_ds.groupby("host").aggregate(
-        Count(alias_name="n"), Sum("size", alias_name="total_size")
-    )
-    t = _to_table(out)
+    t = grouped_agg(visited_ds.select_columns(["host", "size"]),
+                    ["host"], [("n", None, "count"), ("total_size", "size", "sum")])
     return t.take(pc.sort_indices(t, sort_keys=[("host", "ascending")]))
 
 
 def fastest_table(visited_ds, k: int = 20, max_time: float | None = None) -> pa.Table:
     """FastestAnalyzer (fastest_analyzer.rs:46-64): HTML 200 rows,
-    ascending request_time, top k."""
+    ascending request_time, top k — per-block partial top-k + tiny
+    driver merge (no global sort shuffle for a k-row answer)."""
+    from ..functions.agg import partial_topk
+
     ds = visited_ds.filter(expr=f"content_type == {ContentType.HTML} and status_code == 200")
     if max_time is not None:
         ds = ds.filter(expr=f"request_time <= {max_time}")
-    ds = ds.select_columns(["url", "request_time"]).sort(["request_time", "url"]).limit(k)
-    return _to_table(ds) or pa.table({"url": pa.array([], pa.string()), "request_time": pa.array([], pa.float64())})
+    ds = ds.select_columns(["url", "request_time"])
+    return partial_topk(ds, k, ["request_time", "url"])
 
 
 def slowest_table(visited_ds, k: int = 20) -> pa.Table:
-    """SlowestAnalyzer — descending request_time, top k."""
-    ds = (
-        visited_ds.filter(expr=f"content_type == {ContentType.HTML} and status_code == 200")
-        .select_columns(["url", "request_time"])
-        .sort(["request_time", "url"], descending=[True, False])
-        .limit(k)
+    """SlowestAnalyzer (slowest_analyzer.rs): HTML 200 rows, descending
+    request_time, top k."""
+    from ..functions.agg import partial_topk
+
+    ds = visited_ds.filter(
+        expr=f"content_type == {ContentType.HTML} and status_code == 200"
+    ).select_columns(["url", "request_time"])
+    return partial_topk(ds, k, ["request_time", "url"], descending=[True, False])
+
+
+def speed_table(visited_ds, k: int = 20) -> pa.Table:
+    """Fastest + Slowest analyzers as one tagged table (``which`` ∈
+    {fastest, slowest}) — the two top-k partials share the filtered
+    Dataset."""
+    f = fastest_table(visited_ds, k)
+    s = slowest_table(visited_ds, k)
+    return pa.table(
+        {
+            "which": pa.array(["fastest"] * f.num_rows + ["slowest"] * s.num_rows, pa.string()),
+            "url": pa.concat_arrays(
+                [f["url"].combine_chunks().cast(pa.string()),
+                 s["url"].combine_chunks().cast(pa.string())]
+            ),
+            "request_time": pa.concat_arrays(
+                [f["request_time"].combine_chunks(), s["request_time"].combine_chunks()]
+            ),
+        }
     )
-    return _to_table(ds) or pa.table({"url": pa.array([], pa.string()), "request_time": pa.array([], pa.float64())})
 
 
 def title_uniqueness_table(visited_ds, k: int = 10) -> pa.Table:
     """BestPracticeAnalyzer title-uniqueness (best_practice_analyzer.rs:
-    615-863): non-unique titles, most-duplicated first."""
-    from ray.data.aggregate import Count
+    615-863): non-unique titles, most-duplicated first.  Combiner
+    partials (titles repeat heavily on real sites, so per-block
+    partials stay small); for adversarially-unique title sets at 10⁹
+    pages switch the final combine to ``ds.groupby``."""
+    from ..functions.agg import grouped_agg
 
-    ds = visited_ds.filter(expr=f"content_type == {ContentType.HTML} and status_code == 200")
-    out = ds.groupby("title").aggregate(Count(alias_name="n"))
-    t = _to_table(out)
-    if t is None:
-        return pa.table({"title": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    ds = visited_ds.filter(
+        expr=f"content_type == {ContentType.HTML} and status_code == 200"
+    ).select_columns(["title"])
+    t = grouped_agg(ds, ["title"], [("n", None, "count")])
     t = t.filter(pc.greater(t["n"], 1))
     t = t.take(pc.sort_indices(t, sort_keys=[("n", "descending"), ("title", "ascending")]))
     return t.slice(0, k)
@@ -280,7 +340,9 @@ def caching_table(visited_ds) -> pa.Table:
             "no_store": merged["no_store_sum_sum"],
             "has_etag": merged["has_etag_sum_sum"],
             "avg_lifetime": pa.array(
-                np.round(merged["lifetime_sum_sum"].to_numpy(zero_copy_only=False) / np.maximum(n, 1), 3)
+                _round_away(
+                    merged["lifetime_sum_sum"].to_numpy(zero_copy_only=False) / np.maximum(n, 1), 3
+                )
             ),
         }
     )
@@ -386,8 +448,7 @@ def page_findings(visited_ds) -> pa.Table:
     """Per-page analyzer findings (SEO/best-practice span checks adapted
     to the interleaved corpus — seo_opengraph_analyzer.rs:650-779 /
     best_practice_analyzer.rs:173-614 class of per-row checks), then a
-    groupby summary.  Vectorized map_batches + one small shuffle."""
-    from ray.data.aggregate import Count
+    groupby summary.  Vectorized map_batches + combiner partials."""
 
     def check(batch: pa.Table) -> pa.Table:
         ok = pc.is_valid(batch["spans"])
@@ -401,8 +462,9 @@ def page_findings(visited_ds) -> pa.Table:
         finding[~pages] = "non-page"
         return pa.table({"finding": pa.array(finding, pa.string())})
 
-    out = visited_ds.map_batches(check, batch_format="pyarrow").groupby("finding").aggregate(
-        Count(alias_name="n")
+    from ..functions.agg import grouped_agg
+
+    t = grouped_agg(
+        visited_ds.map_batches(check, batch_format="pyarrow"), ["finding"], [("n", None, "count")]
     )
-    t = _to_table(out)
     return t.take(pc.sort_indices(t, sort_keys=[("finding", "ascending")]))

@@ -36,7 +36,12 @@ import pyarrow.parquet as pq
 from ..functions.hashing import xxh64_strings
 
 # bump when generation rules change — cached corpora under /tmp key on it
-GENERATOR_VERSION = 3  # v2: redirect docs (p%43==11); v3: transport-error docs (p%89==7)
+# v2: redirect docs (p%43==11); v3: transport-error docs (p%89==7)
+# v4 (interleaved corpus): duplicate titles (i%5==0), dead links
+#     (i%13==5 → extra link to a nonexistent page → 404), robots rule
+#     blocking host 1 /p/00009 — seeds the title-dup / 404 / skipped
+#     report tables with non-trivial rows (VERDICT r1 §wrong.7)
+GENERATOR_VERSION = 4
 
 SPAN_TYPE = pa.struct(
     [
@@ -292,7 +297,8 @@ def interleaved_from_testdata(sf_dir: str, hosts: int = 8, out_degree: int = 6) 
             span_counts.append(len(span_kind) - k0)
             continue
 
-        add("title", f"Doc {i}", "")
+        # duplicate titles every 5th doc → title-uniqueness table rows
+        add("title", "Duplicate Title" if i % 5 == 0 else f"Doc {i}", "")
         add("text", texts[j], "")
         for d in range(out_degree):
             t = (i * 31 + d * 97 + 1) % n
@@ -302,6 +308,8 @@ def interleaved_from_testdata(sf_dir: str, hosts: int = 8, out_degree: int = 6) 
                 add("link", f"to {ti}", page_url(th, tp))
             else:
                 add("link", f"x {ti}", page_url(th, tp))
+        if i % 13 == 5:  # dead link → 404 row (unique per source page)
+            add("link", "dead", f"/p/{100000 + i:05d}")
         add("img", "", f"/static/img/{i % 64}.png")
         add("script", "", f"/static/js/chunk-{i % 16}.js")
         add("css", "", "/static/css/site.css")
@@ -322,7 +330,10 @@ def interleaved_from_testdata(sf_dir: str, hosts: int = 8, out_degree: int = 6) 
     documents = pa.Table.from_arrays([pa.array(doc_ids), spans], schema=DOCUMENTS_SCHEMA)
     seeds = pa.table({"url": [page_url(h, 0) for h in range(min(hosts, n))],
                       "order": list(range(min(hosts, n)))})
-    robots = pa.table({"host": pa.array([], pa.string()), "body": pa.array([], pa.string())})
+    # one narrow robots rule (host 1 page 9 = doc id 73) → skipped-table
+    # rows without perturbing the rest of the BFS graph
+    robots = pa.table({"host": pa.array([host_name(1)], pa.string()),
+                       "body": pa.array(["User-agent: *\nDisallow: /p/00009\n"], pa.string())})
     return {"documents": documents, "seeds": seeds, "robots": robots}
 
 
