@@ -531,7 +531,7 @@ def _oracle_paths() -> tuple[str, str]:
     sf = os.environ.get("GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
     wd = _workdir_for(sf)
     return (os.path.join(wd, "visited", "*", "*.parquet"),
-            os.path.join(wd, "skipped-epoch*.parquet"))
+            os.path.join(wd, "shards", "*", "skips-*.parquet"))
 
 
 def oracle_sql() -> dict[str, str]:

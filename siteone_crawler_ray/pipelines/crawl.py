@@ -158,9 +158,6 @@ class EpochCrawler:
         self.epoch = 0
         self.visited_count = 0
         self.basename_counts: dict[str, int] = {}
-        self.skipped_keys: set[int] = set()
-        self.skipped_parts: list[pa.Table] = []
-        self._skipped_ckpt_idx = 0  # parts already persisted (delta checkpoints)
         self.metrics: dict = {"epochs": []}
         self._shards: list = []
         self._use_ray = self.cfg.use_ray
@@ -379,25 +376,16 @@ class EpochCrawler:
         )
 
     def _record_skips(self, cands: pa.Table) -> None:
-        """First-wins (priority order) dedup of skip records — the
-        reference's skipped.contains_key insert (crawler.rs:1093-1124)."""
+        """Skip records route to their url_key shard, which owns the
+        first-wins dedup set and retains rows until the next per-epoch
+        checkpoint delta — the driver holds no O(total-skips) state
+        (crawler.rs:1093-1124 skipped.contains_key semantics)."""
         sk = cands.filter(pc.equal(cands["tag"], "skip"))
         if not sk.num_rows:
             return
-        sk = sk.take(pc.sort_indices(sk, sort_keys=[("priority", "ascending")]))
-        keys = sk["url_key"].to_numpy(zero_copy_only=False)
-        keep = []
-        for i, k in enumerate(keys):
-            ik = int(k)
-            if ik not in self.skipped_keys:
-                self.skipped_keys.add(ik)
-                keep.append(i)
-        if keep:
-            self.skipped_parts.append(
-                sk.take(pa.array(keep)).select(
-                    ["url", "url_key", "reason", "source_uq_id", "source_attr"]
-                )
-            )
+        sh = shard_of(sk["url_key"].to_numpy(zero_copy_only=False), self.cfg.num_shards)
+        args = [(sk.filter(pa.array(sh == i)),) for i in range(self.cfg.num_shards)]
+        self._shard_call("record_skips", args)
 
     def _admit(self, cands: pa.Table, wave_size: int) -> None:
         """Two-phase shard-parallel admit: each shard sorts / dedups /
@@ -497,19 +485,25 @@ class EpochCrawler:
                     pass
         self._shards, self._workers = [], []
 
+    def _collect_skipped(self) -> pa.Table:
+        """Skip records from the per-shard per-epoch checkpoint deltas
+        (small: one row per distinct skipped URL).  At 10^10-URL scale
+        consume them as a Dataset over the same glob instead."""
+        parts = []
+        shards_root = os.path.join(self.workdir, "shards")
+        if os.path.isdir(shards_root):
+            for d in sorted(os.listdir(shards_root)):
+                full = os.path.join(shards_root, d)
+                for f in sorted(os.listdir(full)):
+                    if f.startswith("skips-"):
+                        parts.append(pq.read_table(os.path.join(full, f)))
+        return pa.concat_tables(parts) if parts else _empty_skip_table()
+
     # -- checkpoint / resume -------------------------------------------------
     def _checkpoint(self) -> None:
         e = self.epoch - 1
         sdir = os.path.join(self.workdir, "shards", f"epoch={e}")
         shard_meta = self._shard_call("checkpoint", [(sdir,) for _ in self._shards])
-        # skipped records checkpoint as per-epoch deltas too (new parts only)
-        new_parts = self.skipped_parts[self._skipped_ckpt_idx :]
-        if new_parts:
-            pq.write_table(
-                pa.concat_tables(new_parts),
-                os.path.join(self.workdir, f"skipped-epoch{e}.parquet"),
-            )
-        self._skipped_ckpt_idx = len(self.skipped_parts)
         manifest = {
             "epoch": e,
             "visited_count": self.visited_count,
@@ -544,15 +538,6 @@ class EpochCrawler:
         self.epoch = e + 1
         self.visited_count = manifest["visited_count"]
         self.basename_counts = dict(manifest["basename_counts"])
-        self.skipped_parts = []
-        for i in range(e + 1):  # delta chain, epoch order
-            skp = os.path.join(self.workdir, f"skipped-epoch{i}.parquet")
-            if os.path.exists(skp):
-                self.skipped_parts.append(pq.read_table(skp))
-        self.skipped_keys = set(
-            int(k) for t in self.skipped_parts for k in t["url_key"].to_numpy()
-        )
-        self._skipped_ckpt_idx = len(self.skipped_parts)
         # drop visited dirs from epochs after the checkpoint (partial work)
         vroot = os.path.join(self.workdir, "visited")
         if os.path.isdir(vroot):
@@ -593,9 +578,7 @@ class EpochCrawler:
             if self.run_epoch() == 0:
                 break
         total = time.perf_counter() - t0
-        skipped = (
-            pa.concat_tables(self.skipped_parts) if self.skipped_parts else _empty_skip_table()
-        )
+        skipped = self._collect_skipped()
         seen = np.sort(np.concatenate(self._shard_call("snapshot_seen")))
         self.metrics["total_sec"] = round(total, 4)
         self.metrics["visited"] = self.visited_count

@@ -536,7 +536,11 @@ def embedding_norms(sf_dir: str) -> pa.Table:
 def embedding_dup_pairs_table(sf_dir: str, threshold: float = 0.45) -> pa.Table:
     from ..stages.dedup import embedding_dup_pairs
 
-    t = embedding_dup_pairs(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=threshold)
+    # few blocks here: the tile cross-join launches O(blocks²) matmul
+    # tasks — block size should keep each matmul well above task
+    # overhead (at production scale: target ~10⁴-10⁵ rows per block)
+    t = embedding_dup_pairs(_read(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=4),
+                            threshold=threshold)
     return t.select(["id_a", "id_b"])
 
 

@@ -361,44 +361,121 @@ def skipped_by_reason_table(skipped: pa.Table) -> pa.Table:
 def external_links_table(corpus_ds, seed_host: str, k_examples: int = 5) -> pa.Table:
     """ExternalLinksAnalyzer (external_links_analyzer.rs): group external
     link targets, occurrence count + up to 5 example source pages.
-    Runs over the corpus spans (the per-page discovery stream)."""
+    Runs over the corpus spans (the per-page discovery stream).
+
+    Fully vectorized classification: Arrow kernels decide which hrefs
+    can be external (absolute/protocol-relative host ≠ seed host, or
+    any href on an off-host page); only that small external subset goes
+    through the per-row canonicalizer.  Aggregation is a per-block
+    partial (count + 5 lexicographically-smallest example sources — a
+    semilattice, so block partials merge exactly) + tiny driver
+    combine; no pandas, no groupby shuffle."""
     from ..functions import urls as U
+
+    seed_key = U.strip_www(seed_host.lower())
 
     def explode_external(batch: pa.Table) -> pa.Table:
         spans = batch["spans"]
         if isinstance(spans, pa.ChunkedArray):
             spans = spans.combine_chunks()
         flat = pc.list_flatten(spans)
-        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
-        refs = flat.field("media_ref").to_numpy(zero_copy_only=False)
-        kinds = flat.field("kind").to_numpy(zero_copy_only=False)
-        docs = batch["doc_id"].to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(spans)
+        link_mask = pc.and_(
+            pc.equal(flat.field("kind"), "link"),
+            pc.not_equal(flat.field("media_ref"), ""),
+        )
+        refs = flat.field("media_ref").filter(link_mask)
+        doc_col = batch["doc_id"]
+        if isinstance(doc_col, pa.ChunkedArray):
+            doc_col = doc_col.combine_chunks()
+        srcs = doc_col.take(parent.filter(link_mask))
+        if not len(refs):
+            return pa.table({"url": pa.array([], pa.string()),
+                             "source": pa.array([], pa.string())})
+        trimmed = pc.utf8_trim(refs, "\"'\t ")
+        # vectorized host classification
+        host_abs = pc.extract_regex(trimmed, r"^[hH][tT][tT][pP][sS]?://(?P<h>[^/?#]+)")
+        host_rel = pc.extract_regex(trimmed, r"^//(?P<h>[^/?#]+)")
+        src_host = pc.extract_regex(srcs, r"^[hH][tT][tT][pP][sS]?://(?P<h>[^/?#]+)")
+
+        def _hosts(struct_arr, base) -> np.ndarray:
+            out = np.full(len(base), None, dtype=object)
+            if struct_arr is not None:
+                vals = pc.struct_field(struct_arr, "h").to_numpy(zero_copy_only=False)
+                valid = pc.is_valid(struct_arr).to_numpy(zero_copy_only=False)
+                out[valid] = vals[valid]
+            return out
+
+        h = _hosts(host_abs, trimmed)
+        hr = _hosts(host_rel, trimmed)
+        hs = _hosts(src_host, srcs)
+        cand_host = np.where(h != None, h, np.where(hr != None, hr, hs))  # noqa: E711
+        ext_mask = np.array(
+            [c is not None and U.strip_www(str(c).split(":")[0].lower()) != seed_key
+             for c in cand_host],
+            dtype=bool,
+        )
+        # residual per-row canonicalize over the external subset only
+        refs_np = refs.to_numpy(zero_copy_only=False)
+        srcs_np = srcs.to_numpy(zero_copy_only=False)
         out_url, out_src = [], []
-        for i in range(len(refs)):
-            if kinds[i] != "link" or not refs[i]:
-                continue
-            c = U.canonicalize(U.normalize_href(refs[i]), docs[parent[i]])
-            if c is None:
-                continue
-            if not U.is_same_host(U.host_of(c), seed_host):
+        for i in np.nonzero(ext_mask)[0]:
+            c = U.canonicalize(U.normalize_href(refs_np[i]), srcs_np[i])
+            if c is not None and not U.is_same_host(U.host_of(c), seed_host):
                 out_url.append(c)
-                out_src.append(docs[parent[i]])
-        return pa.table({"url": pa.array(out_url, pa.string()), "source": pa.array(out_src, pa.string())})
+                out_src.append(srcs_np[i])
+        t = pa.table({"url": pa.array(out_url, pa.string()), "source": pa.array(out_src, pa.string())})
+        # per-block partial: url → count + k smallest distinct sources
+        return _partial_external(t, k_examples)
 
-    ext = corpus_ds.map_batches(explode_external, batch_format="pyarrow")
-
-    def per_group(g):
-        import pandas as pd
-
-        srcs = sorted(g["source"].unique())[:k_examples]
-        return pd.DataFrame({"url": [g["url"].iloc[0]], "n": [len(g)], "examples": [";".join(srcs)]})
-
-    out = ext.groupby("url").map_groups(per_group, batch_format="pandas")
-    t = _to_table(out)
-    if t is None:
+    parts = _to_table(corpus_ds.map_batches(explode_external, batch_format="pyarrow"))
+    if parts is None:
         return pa.table({"url": pa.array([], pa.string()), "n": pa.array([], pa.int64()),
                          "examples": pa.array([], pa.string())})
+    # driver combine of the tiny partials: sum counts, merge example sets
+    urls = parts["url"].to_numpy(zero_copy_only=False)
+    ns = parts["n"].to_numpy(zero_copy_only=False)
+    ex = parts["examples"].to_numpy(zero_copy_only=False)
+    order = np.argsort(urls, kind="stable")
+    urls, ns, ex = urls[order], ns[order], ex[order]
+    starts = np.nonzero(np.concatenate([[True], urls[1:] != urls[:-1]]))[0]
+    ends = np.append(starts[1:], len(urls))
+    out_u, out_n, out_e = [], [], []
+    for s, e in zip(starts, ends):
+        out_u.append(urls[s])
+        out_n.append(int(ns[s:e].sum()))
+        merged = sorted(set(x for chunk in ex[s:e] for x in chunk.split(";") if x))
+        out_e.append(";".join(merged[:k_examples]))
+    t = pa.table({"url": pa.array(out_u, pa.string()), "n": pa.array(out_n, pa.int64()),
+                  "examples": pa.array(out_e, pa.string())})
     return t.take(pc.sort_indices(t, sort_keys=[("n", "descending"), ("url", "ascending")]))
+
+
+def _partial_external(t: pa.Table, k: int) -> pa.Table:
+    """Block partial for external_links_table: (url, n, examples≤k)."""
+    urls = t["url"].to_numpy(zero_copy_only=False)
+    srcs = t["source"].to_numpy(zero_copy_only=False)
+    if not len(urls):
+        return pa.table({"url": pa.array([], pa.string()), "n": pa.array([], pa.int64()),
+                         "examples": pa.array([], pa.string())})
+    order = np.lexsort((srcs, urls))
+    urls, srcs = urls[order], srcs[order]
+    starts = np.nonzero(np.concatenate([[True], urls[1:] != urls[:-1]]))[0]
+    ends = np.append(starts[1:], len(urls))
+    out_u, out_n, out_e = [], [], []
+    for s, e in zip(starts, ends):
+        out_u.append(urls[s])
+        out_n.append(int(e - s))
+        seen, ex = set(), []
+        for x in srcs[s:e]:
+            if x not in seen:
+                seen.add(x)
+                ex.append(x)
+                if len(ex) >= k:
+                    break
+        out_e.append(";".join(ex))
+    return pa.table({"url": pa.array(out_u, pa.string()), "n": pa.array(out_n, pa.int64()),
+                     "examples": pa.array(out_e, pa.string())})
 
 
 def sitemap_urls(visited_ds) -> pa.Table:

@@ -76,6 +76,48 @@ def _shingle_hashes(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
     return (np.concatenate(hashes) if hashes else np.empty(0, np.uint64)), offsets
 
 
+def _partitioned_exchange(ds, key_col: str, fn, num_partitions: int = 32) -> list[pa.Table]:
+    """Hash-partitioned all-to-all without driver materialization: the
+    Dataset's blocks stay in the object store; ``num_partitions`` tasks
+    each pull the blocks (shared-memory reads node-locally), filter to
+    ``key % P == p`` and apply ``fn`` to their partition.  Rows with an
+    identical key always land in the same partition, so a per-bucket
+    ``fn`` (pairing, grouping) is exact.  Equivalent to
+    ``ds.groupby(key % P).map_groups(fn)`` but with one vectorized
+    filter per (task, block) instead of a sort-based shuffle."""
+    import ray
+    import pyarrow.compute as pc
+
+    refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def one_partition(p: int, P: int, *blocks) -> pa.Table:
+        parts = []
+        for b in blocks:
+            keys = b[key_col].to_numpy(zero_copy_only=False)
+            parts.append(b.filter(pa.array(keys % np.uint64(P) == p)))
+        parts = [x for x in parts if x.num_rows]
+        if not parts:
+            return None
+        return fn(pa.concat_tables(parts))
+
+    out = ray.get([one_partition.remote(p, num_partitions, *refs) for p in range(num_partitions)])
+    return [t for t in out if t is not None and t.num_rows]
+
+
+def _dedup_pairs(parts: list[pa.Table]) -> pa.Table:
+    """Merge (id_a, id_b) pair tables and drop duplicates (vectorized
+    np.unique over the packed pair key)."""
+    if not parts:
+        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    t = pa.concat_tables(parts)
+    a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    key = np.stack([a, b], axis=1)
+    uniq = np.unique(key, axis=0)
+    return pa.table({"id_a": pa.array(uniq[:, 0]), "id_b": pa.array(uniq[:, 1])})
+
+
 def add_content_hash(batch: pa.Table, column: str = "text") -> pa.Table:
     return batch.append_column("content_hash", pa.array(xxh64_strings(batch[column]), pa.uint64()))
 
@@ -205,23 +247,24 @@ def minhash_dedup_pairs(ds, *, id_col="doc_id", text_col="text", num_perm=64,
             return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
         return pa.table({"id_a": pa.array(np.concatenate(pa_)), "id_b": pa.array(np.concatenate(pb_))})
 
-    # Band rows are (band_id, band_hash, id) — 24 bytes/doc/band.  At
-    # report scale they fit the driver, and bucket_pairs is a single
-    # vectorized lexsort over ALL buckets at once; at 10^10-doc scale
-    # partition by band_hash (ds.groupby("part").map_groups with
-    # part = band_hash % P) so each partition pairs independently.
-    band_tbl = pa.concat_tables(
-        [ray.get(r) for r in bands_ds.to_arrow_refs()]
-    )
-    cand = bucket_pairs(band_tbl).to_pandas().drop_duplicates()
-    if len(cand) == 0:
+    # band rows never concat on the driver: a hash-partitioned exchange
+    # (band_hash % P) sends each partition's rows to one task, which
+    # pairs its buckets locally (identical band_hash ⇒ identical
+    # partition, so no cross-partition bucket is ever split).  Only the
+    # tiny candidate-pair tables return.
+    cand_parts = _partitioned_exchange(bands_ds, "band_hash", bucket_pairs)
+    cand = _dedup_pairs(cand_parts)
+    if cand.num_rows == 0:
         return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
     # verification: broadcast the candidate id set, prune texts per batch
     # (only candidate texts ever leave the workers)
     import pyarrow.compute as pc
 
-    need = pa.array(sorted(set(cand["id_a"]) | set(cand["id_b"])))
+    need = pa.array(np.unique(np.concatenate([
+        cand["id_a"].to_numpy(zero_copy_only=False),
+        cand["id_b"].to_numpy(zero_copy_only=False),
+    ])))
     need_ref = ray.put(need)
 
     def prune_and_hash(batch: pa.Table) -> pa.Table:
@@ -279,14 +322,9 @@ def minhash_dedup_pairs(ds, *, id_col="doc_id", text_col="text", num_perm=64,
         )
 
     import ray.data as rd
-    import pandas as pd
 
-    cand_t = pa.Table.from_pandas(
-        pd.DataFrame({"id_a": cand["id_a"].to_numpy(), "id_b": cand["id_b"].to_numpy()}),
-        preserve_index=False,
-    )
-    step = max(1, -(-cand_t.num_rows // 32))
-    vds = rd.from_arrow([cand_t.slice(i, step) for i in range(0, cand_t.num_rows, step)])
+    step = max(1, -(-cand.num_rows // 32))
+    vds = rd.from_arrow([cand.slice(i, step) for i in range(0, cand.num_rows, step)])
     verified = pa.concat_tables(
         [ray.get(r) for r in vds.map_batches(verify, batch_format="pyarrow").to_arrow_refs()]
     )
@@ -316,74 +354,145 @@ def simhash_batch(batch: pa.Table, *, id_col="doc_id", text_col="text") -> pa.Ta
     return pa.table({id_col: batch[id_col], "simhash": pa.array(out, pa.uint64())})
 
 
-def simhash_dedup_pairs(ds, *, id_col="doc_id", text_col="text", max_hamming=3) -> pa.Table:
-    """SimHash near-dup: 4×16-bit band grouping (any identical band →
-    candidate) then exact Hamming verification."""
-    import ray
-    import pyarrow.compute as pc
+# byte-popcount lookup (numpy<2 has no bitwise_count)
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.int64)
 
+
+def _hamming64(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    v = (x ^ y).view(np.uint8).reshape(len(x), 8)
+    return _POP8[v].sum(axis=1)
+
+
+def simhash_dedup_pairs(ds, *, id_col="doc_id", text_col="text", max_hamming=3,
+                        max_bucket=200) -> pa.Table:
+    """SimHash near-dup: 4×16-bit band grouping (any identical band →
+    candidate) then exact Hamming verification.
+
+    Scale shape mirrors minhash: signatures are a map_batches stage,
+    banding emits (band_key, id, simhash) rows, a hash-partitioned
+    exchange pairs each band bucket shard-locally, and Hamming
+    verification is vectorized per partition (the signatures ride along
+    with the band rows, so no broadcast index is needed)."""
     sims = ds.map_batches(
         lambda b: simhash_batch(b, id_col=id_col, text_col=text_col), batch_format="pyarrow"
     )
-    t = pa.concat_tables([ray.get(r) for r in sims.to_arrow_refs()])
-    ids = t[id_col].to_numpy(zero_copy_only=False)
-    sh = t["simhash"].to_numpy(zero_copy_only=False)
-    cand = set()
-    for band in range(4):
-        part = (sh >> np.uint64(16 * band)) & np.uint64(0xFFFF)
-        order = np.argsort(part, kind="stable")
-        ps, pi = part[order], ids[order]
-        starts = np.nonzero(np.concatenate([[True], ps[1:] != ps[:-1]]))[0]
-        ends = np.append(starts[1:], len(ps))
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        sh = batch["simhash"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(sh)
+        keys = np.empty(4 * n, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for band in range(4):
+                chunk = (sh >> np.uint64(16 * band)) & np.uint64(0xFFFF)
+                # pack band id above the 16 chunk bits → distinct bands
+                # never collide in one bucket
+                keys[band * n : (band + 1) * n] = (np.uint64(band) << np.uint64(16)) | chunk
+        return pa.table({
+            "band_key": pa.array(keys, pa.uint64()),
+            id_col: pa.array(np.tile(ids, 4)),
+            "simhash": pa.array(np.tile(sh, 4), pa.uint64()),
+        })
+
+    def bucket_pairs(sub: pa.Table) -> pa.Table:
+        bk = sub["band_key"].to_numpy(zero_copy_only=False)
+        ids = sub[id_col].to_numpy(zero_copy_only=False)
+        sh = sub["simhash"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bk))
+        bk, ids, sh = bk[order], ids[order], sh[order]
+        starts = np.nonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))[0]
+        ends = np.append(starts[1:], len(bk))
+        pa_, pb_, ha_, hb_ = [], [], [], []
         for s, e in zip(starts, ends):
-            if 1 < e - s <= 200:
-                grp = np.sort(pi[s:e])
-                iu, ju = np.triu_indices(len(grp), k=1)
-                cand.update(zip(grp[iu].tolist(), grp[ju].tolist()))
-    lut = dict(zip(ids.tolist(), sh.tolist()))
-    rows = []
-    for x, y in sorted(cand):
-        d = int(bin(lut[x] ^ lut[y]).count("1"))
-        if d <= max_hamming:
-            rows.append((x, y, d))
-    if not rows:
+            if 1 < e - s <= max_bucket:
+                iu, ju = np.triu_indices(e - s, k=1)
+                pa_.append(ids[s:e][iu])
+                pb_.append(ids[s:e][ju])
+                ha_.append(sh[s:e][iu])
+                hb_.append(sh[s:e][ju])
+        if not pa_:
+            return None
+        ia, ib = np.concatenate(pa_), np.concatenate(pb_)
+        d = _hamming64(np.concatenate(ha_), np.concatenate(hb_))
+        keep = d <= max_hamming
+        lo = np.minimum(ia[keep], ib[keep])
+        hi = np.maximum(ia[keep], ib[keep])
+        return pa.table({"id_a": pa.array(lo), "id_b": pa.array(hi),
+                         "hamming": pa.array(d[keep], pa.int64())})
+
+    parts = _partitioned_exchange(
+        sims.map_batches(band_rows, batch_format="pyarrow"), "band_key", bucket_pairs
+    )
+    if not parts:
         return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                          "hamming": pa.array([], pa.int64())})
-    xa, ya, da = zip(*rows)
-    return pa.table({"id_a": pa.array(list(xa)), "id_b": pa.array(list(ya)),
-                     "hamming": pa.array(list(da), pa.int64())})
+    t = pa.concat_tables(parts)
+    a = t["id_a"].to_numpy(zero_copy_only=False)
+    b = t["id_b"].to_numpy(zero_copy_only=False)
+    key = np.stack([a, b], axis=1)
+    uniq, idx = np.unique(key, axis=0, return_index=True)
+    out = t.take(pa.array(np.sort(idx)))
+    import pyarrow.compute as pc
+
+    return out.take(pc.sort_indices(out, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))
 
 
 def embedding_dup_pairs(ds, *, id_col="vec_id", vec_col="embedding", threshold=0.95) -> pa.Table:
-    """Embedding near-dup: cosine ≥ threshold pairs via per-batch matmul
-    against the broadcast normalized matrix (``ray.put`` once)."""
+    """Embedding near-dup: EXACT cosine ≥ threshold pairs via a
+    block-cross-join — each (block_i, block_j) tile is one Ray task
+    doing a dense matmul over two normalized blocks.
+
+    No full-matrix broadcast and no driver materialization: blocks stay
+    in the object store (normalized once by a map_batches pass), the
+    O(B²) tile tasks each move exactly two blocks, and only the tiny
+    pair tables return.  Exact all-pairs is inherently O(N²) compute —
+    at 10⁸+ vectors prefilter candidates with the LSH/IVF buckets in
+    stages/similarity.py and verify only within buckets (approximate
+    recall); this operator keeps the exact semantics the oracle
+    checks."""
     import ray
     import pyarrow.compute as pc
 
-    full = pa.concat_tables(
-        [ray.get(r) for r in ds.select_columns([id_col, vec_col]).to_arrow_refs()]
-    )
-    ids = full[id_col].to_numpy(zero_copy_only=False)
-    mat = np.vstack(full[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids, mat))
+    def normalize(batch: pa.Table) -> pa.Table:
+        m = np.vstack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pa.table({
+            id_col: batch[id_col],
+            "nvec": pa.FixedSizeListArray.from_arrays(pa.array(m.ravel()), m.shape[1]),
+        })
 
-    def block(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
-        bids = batch[id_col].to_numpy(zero_copy_only=False)
-        bmat = np.vstack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
-        bmat /= np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True), 1e-12)
-        cos = bmat @ all_mat.T
-        bi, aj = np.nonzero(cos >= threshold)
-        keep = bids[bi] < all_ids[aj]
-        return pa.table(
-            {
-                "id_a": pa.array(bids[bi][keep]),
-                "id_b": pa.array(all_ids[aj][keep]),
-                "cosine": pa.array(np.round(cos[bi, aj][keep], 6)),
-            }
-        )
+    refs = ds.select_columns([id_col, vec_col]).map_batches(
+        normalize, batch_format="pyarrow"
+    ).to_arrow_refs()
 
-    out = ds.map_batches(block, batch_format="pyarrow")
-    t = pa.concat_tables([ray.get(r) for r in out.to_arrow_refs()])
-    return t.take(pc.sort_indices(t, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))
+    @ray.remote
+    def tile(bi: pa.Table, bj: pa.Table) -> pa.Table:
+        ids_i = bi[id_col].to_numpy(zero_copy_only=False)
+        ids_j = bj[id_col].to_numpy(zero_copy_only=False)
+        mi = np.vstack(bi["nvec"].to_numpy(zero_copy_only=False))
+        mj = np.vstack(bj["nvec"].to_numpy(zero_copy_only=False))
+        cos = mi @ mj.T
+        ii, jj = np.nonzero(cos >= threshold)
+        lo = np.minimum(ids_i[ii], ids_j[jj])
+        hi = np.maximum(ids_i[ii], ids_j[jj])
+        keep = lo < hi  # drops self-pairs; diagonal tiles emit each pair twice → dedup below
+        return pa.table({
+            "id_a": pa.array(lo[keep]),
+            "id_b": pa.array(hi[keep]),
+            "cosine": pa.array(np.round(cos[ii, jj][keep], 6)),
+        })
+
+    tasks = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            tasks.append(tile.remote(refs[i], refs[j]))
+    parts = [t for t in ray.get(tasks) if t.num_rows]
+    if not parts:
+        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    t = pa.concat_tables(parts)
+    key = np.stack([t["id_a"].to_numpy(zero_copy_only=False),
+                    t["id_b"].to_numpy(zero_copy_only=False)], axis=1)
+    _, idx = np.unique(key, axis=0, return_index=True)
+    out = t.take(pa.array(np.sort(idx)))
+    return out.take(pc.sort_indices(out, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))

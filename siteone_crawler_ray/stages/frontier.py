@@ -43,6 +43,11 @@ class FrontierShardState:
         # per-epoch DELTAS (O(wave), not O(total-seen); a full snapshot
         # of a 10^10-key seen set every wave would dominate the crawl)
         self._delta: list[np.ndarray] = []
+        # skip records: first-wins dedup lives HERE (same key → same
+        # shard), so the driver never holds the O(total-skips) set
+        # (crawler.rs:1093-1124 skipped.contains_key semantics)
+        self._skip_seen = ExactSeenSet()
+        self._skip_parts: list[pa.Table] = []
 
     # -- membership ---------------------------------------------------------
     def contains(self, keys: np.ndarray) -> np.ndarray:
@@ -73,6 +78,32 @@ class FrontierShardState:
         self._delta.append(np.asarray(keys, dtype=np.uint64).copy())
         self.pending.append(entries)
         return entries.num_rows
+
+    SKIP_COLS = ["url", "url_key", "reason", "source_uq_id", "source_attr"]
+
+    def record_skips(self, sk: pa.Table) -> int:
+        """First-wins (priority order) dedup of this shard's skip
+        records; rows are retained shard-side until the next checkpoint
+        writes them as a delta."""
+        import pyarrow.compute as pc
+
+        if not sk.num_rows:
+            return 0
+        sk = sk.take(pc.sort_indices(sk, sort_keys=[("priority", "ascending")]))
+        keys = sk["url_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        first = np.ones(len(keys), dtype=bool)
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        dup = np.zeros(len(ks), dtype=bool)
+        dup[1:] = ks[1:] == ks[:-1]
+        first[order[dup]] = False
+        first &= ~self._skip_seen.contains_batch(keys)
+        idx = np.nonzero(first)[0]
+        if not len(idx):
+            return 0
+        self._skip_seen.add_batch(keys[idx])
+        self._skip_parts.append(sk.take(pa.array(idx)).select(self.SKIP_COLS))
+        return int(len(idx))
 
     def drain(self) -> pa.Table | None:
         if not self.pending:
@@ -144,11 +175,16 @@ class FrontierShardState:
         pend = pa.concat_tables(self.pending) if self.pending else None
         if pend is not None and pend.num_rows:
             pq.write_table(pend, os.path.join(directory, f"pending-{self.shard_id:03d}.parquet"))
+        skips = pa.concat_tables(self._skip_parts) if self._skip_parts else None
+        if skips is not None and skips.num_rows:
+            pq.write_table(skips, os.path.join(directory, f"skips-{self.shard_id:03d}.parquet"))
+        self._skip_parts = []
         return {
             "shard": self.shard_id,
             "seen": int(self.seen_count()),
             "delta": int(len(delta)),
             "pending": int(pend.num_rows) if pend is not None else 0,
+            "skips": int(skips.num_rows) if skips is not None else 0,
             "filter": "bloom" if self.cold else "cuckoo",
         }
 
@@ -174,6 +210,16 @@ class FrontierShardState:
         self._delta = []
         pend_path = os.path.join(directories[-1], f"pending-{self.shard_id:03d}.parquet")
         self.pending = [pq.read_table(pend_path)] if os.path.exists(pend_path) else []
+        # skip-dedup authority rebuilds from the skip-delta chain (keys only)
+        self._skip_seen = ExactSeenSet()
+        self._skip_parts = []
+        skip_keys = []
+        for d in directories:
+            p = os.path.join(d, f"skips-{self.shard_id:03d}.parquet")
+            if os.path.exists(p):
+                skip_keys.append(pq.read_table(p, columns=["url_key"])["url_key"].to_numpy())
+        if skip_keys:
+            self._skip_seen.add_batch(np.concatenate(skip_keys).astype(np.uint64))
 
 
 def make_shard_actors(num_shards: int, filter_capacity: int = 1 << 20):
