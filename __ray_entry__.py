@@ -281,12 +281,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
             html_to_markdown_batch, batch_format="pyarrow"
         )
 
-    def offline_paths(sf_dir: str):
-        from siteone_crawler_ray.stages.export import add_offline_paths
+    def offline_export(sf_dir: str):
+        """Offline-website exporter: rendered corpus HTML → attribute-
+        aware URL rewriting to relative offline paths + per-page export
+        path (+ redirect stubs for 3xx pages) — an actor-pool stage
+        (functions/offline.py, parity fixtures in tests/test_offline.py)."""
+        import hashlib as _hashlib
 
-        res = _crawl_for(sf_dir)
-        return _visited_ds(res, columns=["url"]).map_batches(
-            add_offline_paths, batch_format="pyarrow"
+        import pyarrow as pa
+        import ray.data as rd
+
+        from siteone_crawler_ray.functions.html_extract import spans_to_html
+        from siteone_crawler_ray.functions.offline import OfflineRewriter, redirect_stub_html
+        from siteone_crawler_ray.sources.corpus import interleaved_from_testdata
+
+        tabs = interleaved_from_testdata(sf_dir)
+        docs = tabs["documents"]
+        initial = tabs["seeds"]["url"].to_pylist()[0]
+
+        def render(batch: pa.Table) -> pa.Table:
+            rows = batch["spans"].to_pylist()
+            bodies, urls, is_red = [], [], []
+            for u, r in zip(batch["doc_id"].to_pylist(), rows):
+                urls.append(u)
+                red = bool(r) and r[0]["kind"] == "redirect"
+                is_red.append(red)
+                bodies.append(redirect_stub_html(r[0]["media_ref"]) if red else spans_to_html(r))
+            return pa.table({"url": pa.array(urls, pa.string()),
+                             "body": pa.array(bodies, pa.string()),
+                             "is_redirect": pa.array(is_red, pa.bool_())})
+
+        def summarize(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "url": batch["url"],
+                "offline_path": batch["offline_path"],
+                "body_md5": pa.array(
+                    [_hashlib.md5(b.encode()).hexdigest()[:12]
+                     for b in batch["body"].to_pylist()], pa.string()),
+                "n_bytes": pa.array([len(b) for b in batch["body"].to_pylist()], pa.int64()),
+            })
+
+        step = max(1, -(-docs.num_rows // 16))
+        ds = rd.from_arrow([docs.slice(i, step) for i in range(0, docs.num_rows, step)])
+        return (
+            ds.map_batches(render, batch_format="pyarrow")
+            .drop_columns(["is_redirect"])
+            .map_batches(
+                OfflineRewriter, batch_format="pyarrow", concurrency=2,
+                fn_constructor_kwargs={"initial_url": initial, "allowed_crawl": ("*",)},
+            )
+            .map_batches(summarize, batch_format="pyarrow")
         )
 
     def html_link_extract(sf_dir: str):
@@ -513,7 +557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_report": json_report,
         "markdown_pages": markdown_pages,
         "html_markdown": html_markdown,
-        "offline_paths": offline_paths,
+        "offline_export": offline_export,
         "html_link_extract": html_link_extract,
         "page_checks": page_checks,
         "minhash_pairs": minhash_pairs,

@@ -29,12 +29,13 @@ def test_markdown_headings_links_images():
 
 
 def test_markdown_tables_and_entities():
+    # reference pads columns to max width, min 3 (html_to_markdown.rs:962-985)
     html = ("<table><tr><th>A</th><th>B</th></tr>"
             "<tr><td>1</td><td>2 &amp; 3</td></tr></table>")
     md = html_to_markdown(html)
-    assert "| A | B |" in md
-    assert "| --- | --- |" in md
-    assert "| 1 | 2 & 3 |" in md
+    assert "| A   | B     |" in md
+    assert "| --- | ----- |" in md
+    assert "| 1   | 2 & 3 |" in md
 
 
 def test_markdown_aria_hidden_and_comments_stripped():
