@@ -247,6 +247,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             vals.append(float(srep.scores[cat]))
         keys += ["score:total", "gate:exit_code"]
         vals += [float(srep.total), float(code)]
+        # brotli/webp/avif adoption checks (best_practice_analyzer.rs:864-960)
+        support = RP.modern_support_table(_visited_ds(res))
+        for chk, ok in zip(support["check"].to_pylist(), support["n_ok"].to_pylist()):
+            keys.append(f"support:{chk}")
+            vals.append(float(ok))
         return pa.table({"key": pa.array(keys, pa.string()), "value": pa.array(vals, pa.float64())})
 
     def markdown_pages(sf_dir: str):

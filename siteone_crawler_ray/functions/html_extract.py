@@ -166,23 +166,53 @@ def extract_urls_from_js(js: str) -> list[tuple[str, int]]:
     return found
 
 
+_BASE_HREF_RE = re.compile(r"""<base[^>]+href\s*=\s*["']?([^"'\s>]+)""", re.I | re.S)
+
+
+def detect_base_href(body: str, page_url: str) -> str:
+    """``<base href>`` detection (crawler.rs:16-17, 963-987): relative
+    links on the page resolve against the base element's href when it is
+    an http(s)/protocol-relative/path-absolute URL; otherwise the page
+    URL stays the base."""
+    m = _BASE_HREF_RE.search(body)
+    if not m:
+        return page_url
+    href = m.group(1)
+    if not href.startswith(("http://", "https://", "//", "/")):
+        return page_url
+    from urllib.parse import urljoin
+
+    try:
+        return urljoin(page_url, href)
+    except ValueError:
+        return page_url
+
+
 def html_extract_batch(batch: pa.Table, body_col: str = "body", url_col: str = "url") -> pa.Table:
-    """map_batches stage: (url, body) rows → found (url, href, attr)."""
+    """map_batches stage: (url, body) rows → found (url, href, attr).
+
+    ``base_url`` carries the effective resolution base per row —
+    the ``<base href>`` target when present (crawler.rs:963-987), else
+    the page URL; downstream canonicalization must join hrefs against
+    it, while ``source_url`` keeps the true lineage page."""
     bodies = batch[body_col].to_numpy(zero_copy_only=False)
     urls = batch[url_col].to_numpy(zero_copy_only=False)
-    out_src, out_href, out_attr = [], [], []
+    out_src, out_base, out_href, out_attr = [], [], [], []
     for u, b in zip(urls, bodies):
         if b is None:
             continue
         if isinstance(b, bytes):
             b = b.decode("utf-8", "replace")
+        base = detect_base_href(b, u)
         for href, attr in extract_urls_from_html(b):
             out_src.append(u)
+            out_base.append(base)
             out_href.append(href)
             out_attr.append(attr)
     return pa.table(
         {
             "source_url": pa.array(out_src, pa.string()),
+            "base_url": pa.array(out_base, pa.string()),
             "href": pa.array(out_href, pa.string()),
             "source_attr": pa.array(np.array(out_attr, dtype=np.int8)),
         }

@@ -492,3 +492,86 @@ def redirect_stub_html(target_relative: str) -> str:
         f'<p>Redirecting to <a href="{target_relative}">{target_relative}</a></p>\n'
         "</body>\n</html>\n"
     )
+
+
+# ---- unwanted-code stripping (html_processor.rs:397-416, 649-758) --------
+
+_SCRIPT_BLOCK_RE = re.compile(r"<script\b[^>]*>.*?</script>|<script\b[^>]*/>", re.I | re.S)
+_STYLE_BLOCK_RE = re.compile(
+    r"<style\b[^>]*>.*?</style>|<link\b[^>]*rel=[\"']stylesheet[\"'][^>]*>", re.I | re.S)
+_FONT_LINK_RE = re.compile(
+    r"""<link\b[^>]*(?:as=["']font["']|href=["'][^"']*\.(?:woff2?|ttf|otf|eot)[^"']*["'])[^>]*>""",
+    re.I)
+_EXTERNAL_SCRIPT_RE = re.compile(
+    r"""<script[^>]*\bsrc\s*=\s*["']?([^"'\s>]+)["']?[^>]*>.*?</script>""", re.I | re.S)
+_EXTERNAL_URL_RE = re.compile(r"^(?:https?:)?//", re.I)
+_CROSSORIGIN_RE = re.compile(
+    r"""(<(?:link|script)\b[^>]*?)\s+crossorigin(?:=["'][^"']*["'])?([^>]*>)""", re.I)
+_SOCNET_IFRAME_RE = re.compile(
+    r"""<iframe\b[^>]*src=["'][^"']*(?:facebook\.com|twitter\.com|instagram\.com|linkedin\.com)"""
+    r"""[^"']*["'][^>]*>.*?</iframe>""", re.I | re.S)
+
+_ANALYTICS_PATTERNS = ("googletagmanager.com", "google-analytics.com", "ga.js", "gtag.js",
+                       "gtag(", "analytics.", "connect.facebook.net", "fbq(")
+_SOCNET_PATTERNS = ("connect.facebook.net", "connect.facebook.com", "twitter.com", ".x.com",
+                    "linkedin.com", "instagram.com", "pinterest.com", "tumblr.com",
+                    "plus.google.com", "curator.io")
+_COOKIE_PATTERNS = ("cookies", "cookiebot")
+
+
+def strip_unwanted_code(
+    html: str,
+    base_host: str = "",
+    *,
+    remove_scripts: bool = False,
+    remove_styles: bool = False,
+    remove_fonts: bool = False,
+    remove_external_js: bool = False,
+    remove_cross_origins: bool = False,
+    remove_analytics: bool = False,
+    remove_socnets: bool = False,
+    remove_cookies_related: bool = False,
+) -> str:
+    """The offline exporter's unwanted-code pass
+    (html_processor.rs:397-416 remove_unwanted_code_from_html +
+    :649-758 apply_specific_html_changes): script/style/font stripping,
+    external-JS removal, crossorigin attribute removal, analytics /
+    social-network / cookie-consent script blocks, socnet iframes."""
+    if not html.strip():
+        return html
+    if remove_scripts:
+        html = _SCRIPT_BLOCK_RE.sub("", html)
+    if remove_styles:
+        html = _STYLE_BLOCK_RE.sub("", html)
+    if remove_fonts:
+        html = _FONT_LINK_RE.sub("", html)
+    if remove_external_js and not remove_scripts:
+        def drop_external(m: re.Match) -> str:
+            src = m.group(1)
+            if _EXTERNAL_URL_RE.match(src):
+                u = OfflineUrl.parse(src if not src.startswith("//") else f"https:{src}")
+                if (u.host or "") != base_host:
+                    return ""
+            return m.group(0)
+
+        html = _EXTERNAL_SCRIPT_RE.sub(drop_external, html)
+    if remove_cross_origins:
+        html = _CROSSORIGIN_RE.sub(r"\1\2", html)
+    patterns: list[str] = []
+    if remove_analytics:
+        patterns += _ANALYTICS_PATTERNS
+    if remove_socnets:
+        patterns += _SOCNET_PATTERNS
+    if remove_cookies_related:
+        patterns += _COOKIE_PATTERNS
+    if patterns:
+        pats = sorted(set(p.lower() for p in patterns))
+
+        def drop_matching(m: re.Match) -> str:
+            low = m.group(0).lower()
+            return "" if any(p in low for p in pats) else m.group(0)
+
+        html = _SCRIPT_BLOCK_RE.sub(drop_matching, html)
+        if remove_socnets:
+            html = _SOCNET_IFRAME_RE.sub("", html)
+    return html

@@ -50,6 +50,45 @@ class Processor:
     name: str
     content_types: tuple[int, ...]
     find_urls: Callable[[str], list[tuple[str, int]]]
+    # apply_content_changes_for_offline_version analogue — body rewrite
+    # applied by the offline exporter (content_processor.rs trait)
+    offline_transform: Callable[[str], str] | None = None
+
+
+# Astro framework processor (astro_processor.rs:20-160): island
+# component/renderer URLs are JS assets; module scripts degrade to
+# plain scripts offline when the module content is not available
+# (astro_processor.rs:130-135 fallback branch)
+_ASTRO_URLS_RE = re.compile(r"""(component-url|renderer-url)=["']([^"']+)["']""", re.I)
+_ASTRO_MODULE_SCRIPT_RE = re.compile(
+    r"""<script([^>]*?)\s*type=["']module["']([^>]*)>""", re.I)
+
+
+def _astro_find(body: str) -> list[tuple[str, int]]:
+    if "astro" not in body:  # cheap guard (astro_processor.rs:139-141)
+        return []
+    return [(m.group(2), UrlSource.JS_URL) for m in _ASTRO_URLS_RE.finditer(body)]
+
+
+def _astro_offline(body: str) -> str:
+    if "astro" not in body:
+        return body
+    return _ASTRO_MODULE_SCRIPT_RE.sub(r"<script\1\2>", body)
+
+
+# Svelte framework processor (svelte_processor.rs:15-58): no URL
+# extraction; <svelte:*> special tags are stripped for offline export
+_SVELTE_TAG_RE = re.compile(r"<svelte:[^>]+>\s*", re.I)
+
+
+def _svelte_find(body: str) -> list[tuple[str, int]]:
+    return []
+
+
+def _svelte_offline(body: str) -> str:
+    if "<svelte:" not in body:
+        return body
+    return _SVELTE_TAG_RE.sub("", body)
 
 
 def _xml_find(body: str) -> list[tuple[str, int]]:
@@ -75,6 +114,9 @@ class ProcessorRegistry:
         r.register(Processor("css", (ContentType.STYLESHEET,), extract_urls_from_css))
         r.register(Processor("javascript", (ContentType.SCRIPT,), extract_urls_from_js))
         r.register(Processor("xml", (ContentType.XML,), _xml_find))
+        r.register(Processor("astro", (ContentType.HTML, ContentType.SCRIPT),
+                             _astro_find, _astro_offline))
+        r.register(Processor("svelte", (ContentType.HTML,), _svelte_find, _svelte_offline))
         return r
 
     def extract(self, content_type: int, body: str) -> list[tuple[str, int]]:
@@ -87,3 +129,11 @@ class ProcessorRegistry:
                         seen.add(url)
                         out.append((url, attr))
         return out
+
+    def apply_offline(self, content_type: int, body: str) -> str:
+        """Run every claiming processor's offline body transform in
+        registration order (manager.rs offline pass)."""
+        for p in self._processors:
+            if p.offline_transform is not None and content_type in p.content_types:
+                body = p.offline_transform(body)
+        return body

@@ -218,6 +218,29 @@ def is_same_host(a: str, b: str) -> bool:
     return strip_www(a) == strip_www(b)
 
 
+def normalize_url_to_initial(url: str, initial_scheme: str, initial_host: str) -> str:
+    """``--force-relative-urls`` host/scheme folding (crawler.rs:1245-1265):
+    when the URL's host is a www/case variant of the initial host, rewrite
+    its host AND scheme to the initial's, so every variant shares one
+    seen-set key."""
+    try:
+        sp = urlsplit(url)
+    except ValueError:
+        return url
+    host = sp.hostname or ""
+    if strip_www(host).lower() != strip_www(initial_host).lower():
+        return url
+    if host == initial_host and sp.scheme == initial_scheme:
+        return url
+    netloc = initial_host if sp.port is None else f"{initial_host}:{sp.port}"
+    out = f"{initial_scheme}://{netloc}{sp.path}"
+    if sp.query:
+        out += f"?{sp.query}"
+    if sp.fragment:
+        out += f"#{sp.fragment}"
+    return out
+
+
 def domain_2nd_level(host: str) -> str | None:
     m = DOMAIN_2ND_LEVEL_RE.search(host)
     return m.group(1) if m else None

@@ -68,6 +68,7 @@ class CrawlConfig:
     include_regex: tuple = ()
     ignore_regex: tuple = ()
     transform_url: tuple = ()  # "from -> to" / "regex:pat -> repl" (crawler.rs:1680-1724)
+    force_relative_urls: bool = False  # www/scheme folding (crawler.rs:1245-1265)
     ignore_robots_txt: bool = False
     max_reqs_per_sec: float | None = None  # None → politeness off (corpus mode)
     # physical execution
@@ -370,6 +371,8 @@ class EpochCrawler:
             max_url_length=self.cfg.max_url_length,
             max_depth=self.cfg.max_depth,
             ignore_robots_txt=self.cfg.ignore_robots_txt,
+            force_relative_urls=self.cfg.force_relative_urls,
+            initial_url=self.seed_urls[0] if self.seed_urls else "",
             basename_blocklist=frozenset(
                 b for b, c in self.basename_counts.items() if c >= self.cfg.max_non200_per_basename
             ),

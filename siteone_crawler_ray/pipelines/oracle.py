@@ -204,6 +204,13 @@ def run_oracle(
                 norm, url, remove_query_params=cfg.remove_query_params,
                 keep_query_params=cfg.keep_query_params,
             )
+            # force-relative folding after query filter, before
+            # suitability (crawler.rs:1158-1164)
+            if final is not None and cfg.force_relative_urls and seeds:
+                from urllib.parse import urlsplit as _us
+
+                sp = _us(seeds[0])
+                final = U.normalize_url_to_initial(final, sp.scheme or "https", sp.hostname or "")
             if final is None or len(final) > cfg.max_url_length:
                 continue
             if include and not any(p.search(final) for p in include):

@@ -545,3 +545,43 @@ def page_findings(visited_ds) -> pa.Table:
         visited_ds.map_batches(check, batch_format="pyarrow"), ["finding"], [("n", None, "count")]
     )
     return t.take(pc.sort_indices(t, sort_keys=[("finding", "ascending")]))
+
+
+def modern_support_table(visited_ds) -> pa.Table:
+    """Brotli / WebP / AVIF adoption checks
+    (best_practice_analyzer.rs:864-960): internal HTML-200 pages
+    without Brotli content-encoding; image responses served as
+    image/webp / image/avif.  Combiner partials over header columns."""
+    from ..functions.agg import grouped_agg
+
+    def classify(batch: pa.Table) -> pa.Table:
+        ct = batch["content_type"].to_numpy(zero_copy_only=False)
+        status = batch["status_code"].to_numpy(zero_copy_only=False)
+        enc = batch["content_encoding"].to_numpy(zero_copy_only=False)
+        cth = batch["content_type_header"].to_numpy(zero_copy_only=False)
+        html = (ct == ContentType.HTML) & (status == 200)
+        img = ct == ContentType.IMAGE
+        checks, ok = [], []
+        for i in range(len(ct)):
+            if html[i]:
+                checks.append("brotli-support")
+                ok.append(enc[i] == "br")
+            elif img[i]:
+                checks.append("webp-support")
+                ok.append(cth[i] == "image/webp")
+                checks.append("avif-support")
+                ok.append(cth[i] == "image/avif")
+        return pa.table({"check": pa.array(checks, pa.string()),
+                         "ok": pa.array(np.array(ok, dtype=np.int64))})
+
+    ds = visited_ds.select_columns(
+        ["content_type", "status_code", "content_encoding", "content_type_header"]
+    ).map_batches(classify, batch_format="pyarrow")
+    t = grouped_agg(ds, ["check"], [("n", None, "count"), ("n_ok", "ok", "sum")])
+    t = pa.table({
+        "check": t["check"],
+        "n": t["n"],
+        "n_ok": t["n_ok"],
+        "n_missing": pc.subtract(t["n"], t["n_ok"]),
+    })
+    return t.take(pc.sort_indices(t, sort_keys=[("check", "ascending")]))

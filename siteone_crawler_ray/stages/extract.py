@@ -130,6 +130,8 @@ class CandidateGauntlet:
         max_depth: int | None = None,
         ignore_robots_txt: bool = False,
         basename_blocklist: frozenset[str] = frozenset(),
+        force_relative_urls: bool = False,
+        initial_url: str = "",
     ):
         import re
 
@@ -148,6 +150,14 @@ class CandidateGauntlet:
         self.max_depth = max_depth
         self.ignore_robots = ignore_robots_txt
         self.basename_blocklist = basename_blocklist
+        # --force-relative-urls host/scheme folding (crawler.rs:1245-1265)
+        self.force_relative = force_relative_urls and bool(initial_url)
+        if self.force_relative:
+            from urllib.parse import urlsplit
+
+            sp = urlsplit(initial_url)
+            self.initial_scheme = sp.scheme or "https"
+            self.initial_host = sp.hostname or ""
         self._cache: dict = {}
 
     CACHE_CAP = 1 << 18  # entries; cleared wholesale when exceeded
@@ -190,6 +200,10 @@ class CandidateGauntlet:
             final = U.canonicalize(
                 h, b, remove_query_params=self.remove_query, keep_query_params=self.keep_query
             )
+        # force-relative folding happens after query filtering, before
+        # suitability (crawler.rs:1158-1164 ordering)
+        if final is not None and self.force_relative:
+            final = U.normalize_url_to_initial(final, self.initial_scheme, self.initial_host)
         if final is None or len(final) > self.max_url_length:
             final = None
         elif self.include and not any(p.search(final) for p in self.include):

@@ -72,3 +72,23 @@ def test_nextjs_chunk_reconstruction_partial():
     # name without matching hash is not emitted
     js = 'a={1:"app"};b={2:"cafebabe02"}'
     assert nextjs_chunk_urls(js) == []
+
+
+def test_astro_processor_extraction_and_offline():
+    # astro_processor.rs:20-30 component/renderer URLs; :130-135 module fallback
+    reg = ProcessorRegistry.with_builtins()
+    body = '<astro-island component-url="/c.js" renderer-url="/r.js">astro</astro-island>'
+    found = reg.extract(ContentType.HTML, body)
+    assert ("/c.js", UrlSource.JS_URL) in found and ("/r.js", UrlSource.JS_URL) in found
+    # guard: no 'astro' marker → no astro extraction
+    assert reg.extract(ContentType.HTML, '<x component-url="/c.js">') == []
+    off = reg.apply_offline(ContentType.HTML,
+                            '<p>astro</p><script type="module" src="/m.js"></script>')
+    assert off == '<p>astro</p><script src="/m.js"></script>'
+
+
+def test_svelte_processor_offline_strip():
+    # svelte_processor.rs:15,48-53: opening <svelte:*> tags stripped
+    reg = ProcessorRegistry.with_builtins()
+    out = reg.apply_offline(ContentType.HTML, "<svelte:options tag='x'><p>keep</p>")
+    assert "<svelte:" not in out and "<p>keep</p>" in out

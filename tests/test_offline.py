@@ -174,3 +174,30 @@ def test_offline_url_parse_forms():
     assert u.path == "../up" and u.host is None
     u = OfflineUrl.parse("//h.test/p?q=1#f", None)
     assert u.host == "h.test" and u.path == "/p" and u.query == "q=1" and u.fragment == "f"
+
+
+def test_strip_unwanted_code():
+    from siteone_crawler_ray.functions.offline import strip_unwanted_code
+
+    h = ('<script src="https://cdn.other/x.js"></script>'
+         '<script src="/local.js"></script>'
+         '<script>gtag("config")</script>'
+         '<link rel="stylesheet" href="/s.css" crossorigin>'
+         '<iframe src="https://facebook.com/plugin"></iframe><p>keep</p>')
+    out = strip_unwanted_code(h, "me.test", remove_external_js=True,
+                              remove_cross_origins=True,
+                              remove_analytics=True, remove_socnets=True)
+    assert "cdn.other" not in out            # external JS dropped
+    assert '<script src="/local.js">' in out  # same-host JS kept
+    assert "gtag" not in out                 # analytics block dropped
+    assert "crossorigin" not in out          # attribute removed
+    assert "facebook.com" not in out         # socnet iframe dropped
+    assert "<p>keep</p>" in out
+    # scripts/styles wholesale (html_processor.rs:397-416)
+    both = strip_unwanted_code("<script>x</script><style>y</style><b>z</b>",
+                               remove_scripts=True, remove_styles=True)
+    assert both == "<b>z</b>"
+    # cookie-consent scripts
+    ck = strip_unwanted_code('<script src="/cookiebot.js"></script><p>k</p>',
+                             remove_cookies_related=True)
+    assert "cookiebot" not in ck and "<p>k</p>" in ck
