@@ -229,3 +229,69 @@ def knn_lsh(ds, query_vecs: np.ndarray, k: int = 10, *, nbits: int = 4,
             "rank": pa.array(np.array(rank, dtype=np.int32)),
         }
     )
+
+
+def ivf_build_index(ds, index_path: str, *, nlist: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 3) -> np.ndarray:
+    """Materialize the IVF index as CELL-PARTITIONED parquet — the
+    100 TB layout where the centroid cell is the physical partition
+    key: ``index_path/cell=NN/*.parquet``.
+
+    Build is fully streaming: centroids train on a bounded sample,
+    assignment is one ``map_batches`` pass, and
+    ``write_parquet(partition_cols=["cell"])`` shuffles rows to their
+    cell directories.  A query then touches only its ``nprobe`` cell
+    directories (``ivf_query_index``) — no full-corpus scan per query,
+    and a failed build resumes per partition.  Returns the centroid
+    matrix (also persisted as ``centroids.npy`` next to the cells)."""
+    import os
+
+    import ray
+
+    sample = ds.select_columns([vec_col]).limit(4096)
+    smat = _normalize(_as_matrix(
+        pa.concat_tables([ray.get(r) for r in sample.to_arrow_refs()])[vec_col]))
+    cent = kmeans_centroids(smat, nlist, seed=seed)
+    cref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        m = _normalize(_as_matrix(batch[vec_col]))
+        cell = np.argmax(m @ cents.T, axis=1).astype(np.int32)
+        return batch.append_column("cell", pa.array(cell))
+
+    os.makedirs(index_path, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_path, partition_cols=["cell"]
+    )
+    np.save(os.path.join(index_path, "centroids.npy"), cent)
+    return cent
+
+
+def ivf_query_index(index_path: str, query_vecs: np.ndarray, k: int = 10, *,
+                    nprobe: int = 4, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> pa.Table:
+    """Query the partitioned IVF index: read ONLY the ``nprobe``
+    nearest cell directories, exact-rerank their vectors.  Same output
+    schema as :func:`knn_bruteforce`."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    cent = np.load(os.path.join(index_path, "centroids.npy"))
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    probe_cells = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
+    cells = sorted(set(int(c) for row in probe_cells for c in row))
+    paths = []
+    for c in cells:
+        d = os.path.join(index_path, f"cell={c}")
+        if os.path.isdir(d):
+            paths += [os.path.join(d, f) for f in sorted(os.listdir(d))
+                      if f.endswith(".parquet")]
+    if not paths:
+        return pa.table({"query_idx": pa.array([], pa.int32()), id_col: pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64()), "rank": pa.array([], pa.int32())})
+    sub = rd.read_parquet(paths, columns=[id_col, vec_col])
+    return knn_bruteforce(sub, query_vecs, k, id_col=id_col, vec_col=vec_col)

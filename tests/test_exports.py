@@ -317,3 +317,31 @@ def test_markdown_boilerplate_dedup():
     # the shared header appears exactly once (hoisted), bodies remain
     assert agg.count("SiteHeader") == 1
     assert "body A" in agg and "body C" in agg and "totally different" in agg
+
+
+def test_html_report_exporter(crawl_result, tmp_path):
+    """HTML report (report.rs:91-560 analogue): one self-contained file
+    with summary tiles, severity badges, quality scores and every
+    SuperTable; section allowlist mirrors --html-report-options."""
+    import ray.data as rd
+
+    from siteone_crawler_ray.pipelines.report_html import write_html_report
+
+    res, _ = crawl_result
+    ds = rd.from_arrow(res.visited_table())
+    path = str(tmp_path / "report.html")
+    html = write_html_report(res, ds, path)
+    with open(path) as f:
+        saved = f.read()
+    assert saved == html
+    assert html.startswith("<!DOCTYPE html>")
+    for section in ("Summary", "Quality scores", "content-types", "source-domains",
+                    "fastest-urls", "http-headers", "visited-urls"):
+        assert section in html, section
+    assert f"{res.metrics['visited']} URLs" in html
+    # section allowlist (report.rs:223-230)
+    only = write_html_report(res, ds, str(tmp_path / "r2.html"),
+                             allowed_sections=["summary", "content-types"])
+    assert "content-types" in only and "source-domains" not in only
+    # XSS-safety: table cells are escaped
+    assert "<script" not in only.lower()

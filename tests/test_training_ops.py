@@ -185,3 +185,44 @@ def test_exact_jaccard_kernel():
     mid = jaccard("the quick brown fox", "the quick brown cat")
     assert 0.0 < mid < 1.0
     assert jaccard("", "") == 1.0  # both empty → identical
+
+
+def test_ivf_partitioned_index(ray_session, tmp_path):
+    """Cell-partitioned IVF index: build writes cell=NN parquet dirs,
+    query reads only the probed cells and matches brute force within
+    the probed subset."""
+    import os
+
+    import numpy as np
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+        knn_bruteforce,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim = 600, 16
+    mat = rng.standard_normal((n, dim))
+    import pyarrow as pa
+
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n)),
+        "embedding": pa.FixedSizeListArray.from_arrays(pa.array(mat.ravel()), dim),
+    })
+    ds = rd.from_arrow([t.slice(i, 100) for i in range(0, n, 100)])
+    idx = str(tmp_path / "ivf")
+    cent = ivf_build_index(ds, idx, nlist=8)
+    assert cent.shape[0] == 8
+    cells = [d for d in os.listdir(idx) if d.startswith("cell=")]
+    assert len(cells) >= 2  # really partitioned
+
+    q = mat[5]
+    got = ivf_query_index(idx, q, k=10, nprobe=8)  # all cells probed → exact
+    want = knn_bruteforce(ds, q, k=10)
+    assert got["vec_id"].to_pylist() == want["vec_id"].to_pylist()
+    # nprobe=2 reads a subset of cells; the query vector's own cell is
+    # probed first, so it must find itself at rank 1
+    approx = ivf_query_index(idx, q, k=10, nprobe=2)
+    assert approx["vec_id"].to_pylist()[0] == 5
