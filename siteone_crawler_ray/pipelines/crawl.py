@@ -136,6 +136,28 @@ _DISPATCH_FIELDS = [
 ]
 
 
+def _assemble_wave(visited_count: int, epoch: int, want_hosts: bool, *parts):
+    """Remote wave assembly: concat the shard drains, priority-sort,
+    annotate seq/wavepos/epoch.  Runs as a Ray task so the full wave
+    table never lands on the driver — the driver gets only (W, host
+    histogram); workers self-select rows straight from the task's
+    output object (plasma, zero-copy)."""
+    parts = [p for p in parts if p is not None and p.num_rows]
+    if not parts:
+        return {"W": 0}, None
+    wave = pa.concat_tables(parts)
+    wave = wave.take(pc.sort_indices(wave, sort_keys=[("priority", "ascending")]))
+    W = wave.num_rows
+    wave = wave.append_column("seq", pa.array(visited_count + np.arange(W), type=pa.int64()))
+    wave = wave.append_column("wavepos", pa.array(np.arange(W), type=pa.int64()))
+    wave = wave.append_column("epoch", pa.array(np.full(W, epoch), type=pa.int32()))
+    meta = {"W": W}
+    if want_hosts:
+        uniq, cnt = np.unique(wave["host"].to_numpy(zero_copy_only=False), return_counts=True)
+        meta["hosts"] = (uniq, cnt)
+    return meta, wave
+
+
 class EpochCrawler:
     """Driver object holding shard handles + loop state."""
 
@@ -209,6 +231,16 @@ class EpochCrawler:
             return [getattr(s, method)() for s in self._shards]
         return [getattr(s, method)(*a) for s, a in zip(self._shards, per_shard_args)]
 
+    def _shard_call_refs(self, method: str, refs: list) -> list:
+        """Fan the SAME candidate-part refs to every shard; each shard
+        filters its own key partition from the object store (no driver
+        copy of the candidate tables)."""
+        import ray
+
+        return ray.get(
+            [getattr(s, method).remote(self.cfg.num_shards, *refs) for s in self._shards]
+        )
+
     def _contains(self, keys: np.ndarray) -> np.ndarray:
         """Batched membership across shards (one call per shard)."""
         sh = shard_of(keys, self.cfg.num_shards)
@@ -252,19 +284,52 @@ class EpochCrawler:
         self._offer(entries)
 
     # -- one epoch ----------------------------------------------------------
+    _assemble_remote = None
+
+    @classmethod
+    def _get_assemble_remote(cls):
+        if cls._assemble_remote is None:
+            import ray
+
+            # num_cpus=0: the worker/shard actors may hold every CPU
+            # slot (they're sized to the node); a 1-CPU assembly task
+            # would deadlock behind them.  The task is one concat+sort
+            # between waves, when those actors are idle anyway.
+            cls._assemble_remote = ray.remote(num_cpus=0, num_returns=2)(_assemble_wave)
+        return cls._assemble_remote
+
     def run_epoch(self) -> int:
-        """Process one wave; returns number of pages visited (0 → done)."""
+        """Process one wave; returns number of pages visited (0 → done).
+
+        With Ray the wave NEVER lands on the driver: shard drains flow
+        as object refs into the :func:`_assemble_wave` task, workers
+        self-select rows from its output object, and the candidate
+        tables flow as refs straight to the frontier shards (each
+        filters its key partition from plasma, zero-copy).  The driver
+        handles only scalars: W, candidate counts, basename counts,
+        timings."""
         t0 = time.perf_counter()
-        parts = [p for p in self._shard_call("drain") if p is not None and p.num_rows]
-        t_drain = time.perf_counter() - t0
-        if not parts:
-            return 0
-        wave = pa.concat_tables(parts)
-        wave = wave.take(pc.sort_indices(wave, sort_keys=[("priority", "ascending")]))
-        W = wave.num_rows
-        wave = wave.append_column("seq", pa.array(self.visited_count + np.arange(W), type=pa.int64()))
-        wave = wave.append_column("wavepos", pa.array(np.arange(W), type=pa.int64()))
-        wave = wave.append_column("epoch", pa.array(np.full(W, self.epoch), type=pa.int32()))
+        wave = None
+        wave_ref = None
+        if self._use_ray:
+            import ray
+
+            part_refs = [s.drain.remote() for s in self._shards]
+            meta_ref, wave_ref = self._get_assemble_remote().remote(
+                self.visited_count, self.epoch, self.cfg.routing == "host", *part_refs
+            )
+            meta = ray.get(meta_ref)
+            W = meta["W"]
+            t_drain = time.perf_counter() - t0
+            if W == 0:
+                return 0
+        else:
+            parts = [p for p in self._shard_call("drain") if p is not None and p.num_rows]
+            t_drain = time.perf_counter() - t0
+            if not parts:
+                return 0
+            meta, wave = _assemble_wave(self.visited_count, self.epoch, False, *parts)
+            W = meta["W"]
 
         vdir = os.path.join(self.workdir, "visited", f"epoch={self.epoch}")
         bl = frozenset(
@@ -279,53 +344,62 @@ class EpochCrawler:
                 ray.get([w.set_blocklist.remote(bl) for w in self._workers])
 
         t_fetch = time.perf_counter()
+        cand_refs = None
+        cands_local = None
         if self._use_ray and W >= self.cfg.ray_wave_threshold:
             import ray
 
             K = len(self._workers)
             # bucket-affine routing: worker (url_key % NB) % K — each
             # worker's corpus-bucket cache stays a fixed 1/K subset
-            # instead of every worker faulting in every bucket.  The
-            # wave ships once via ray.put; workers self-select rows.
-            wave_ref = ray.put(wave)
+            # instead of every worker faulting in every bucket.
             salt_map = None
             if self.cfg.routing == "host":
                 # hot-host salting: a host holding more than 2 fair
                 # shares of the wave spreads across S workers (rate/S
                 # per bucket — SURVEY §7.5)
-                hosts_np = wave["host"].to_numpy(zero_copy_only=False)
-                uniq, cnt = np.unique(hosts_np, return_counts=True)
+                uniq, cnt = meta["hosts"]
                 fair = max(1, -(-W // K))
                 salt_map = {
                     str(h): int(min(K, -(-c // fair)))
                     for h, c in zip(uniq, cnt)
                     if c > 2 * fair
                 }
-            results = ray.get(
-                [
-                    w.process_shared.remote(
-                        wave_ref, i, K, self.num_buckets, vdir, self.cfg.routing, salt_map
-                    )
-                    for i, w in enumerate(self._workers)
-                ]
-            )
+            triplets = [
+                w.process_shared.options(num_returns=3).remote(
+                    wave_ref, i, K, self.num_buckets, vdir, self.cfg.routing, salt_map
+                )
+                for i, w in enumerate(self._workers)
+            ]
+            cand_refs = [t[0] for t in triplets]
+            non200_lists = ray.get([t[1] for t in triplets])
+            timings = ray.get([t[2] for t in triplets])
             self._epoch_workers_used = list(self._workers)
         else:
-            results = [self._local_worker.process(wave, vdir, 0)]
+            if wave is None:
+                import ray
+
+                wave = ray.get(wave_ref)
+            cands_local, non200, tm = self._local_worker.process(wave, vdir, 0)
+            non200_lists, timings = [non200], [tm]
             self._epoch_workers_used = None
         t_fetch = time.perf_counter() - t_fetch
 
         t_cand = time.perf_counter()
-        cand_parts = [c for c, _, _ in results if c is not None and c.num_rows]
-        cands = pa.concat_tables(cand_parts) if cand_parts else _empty_cand_table()
         # frontier-ops metric counts every gauntlet-emitted candidate
         # (pre chunk-dedup) so the number is partition-invariant
-        n_cands = sum(t[2].get("cands_raw", 0) for t in results)
-        self._record_skips(cands)
-        self._admit(cands, W)
+        n_cands = sum(t.get("cands_raw", 0) for t in timings)
+        if cand_refs is not None:
+            n_ok = sum(t.get("n_ok", 0) for t in timings)
+            self._shard_call_refs("record_skips_parts", cand_refs)
+            self._admit_parts(cand_refs, W, n_ok)
+        else:
+            cands = cands_local if cands_local is not None else _empty_cand_table()
+            self._record_skips(cands)
+            self._admit(cands, W)
         t_cand = time.perf_counter() - t_cand
 
-        for _, non200, _ in results:  # epoch-consistent basename guard counts
+        for non200 in non200_lists:  # epoch-consistent basename guard counts
             for u in non200:
                 b = U.basename_of(u)
                 if b is not None:
@@ -339,14 +413,14 @@ class EpochCrawler:
                 "candidates": int(n_cands),
                 "fetch_sec": round(t_fetch, 4),
                 "worker_max": {
-                    k: round(max((t[2][k] for t in results), default=0.0), 4)
+                    k: round(max((t[k] for t in timings), default=0.0), 4)
                     for k in ("fetch", "write", "extract")
                 },
                 "worker_top": sorted(
-                    ((t[2]["rows"], t[2]["extract"]) for t in results),
+                    ((t["rows"], t["extract"]) for t in timings),
                     key=lambda x: -x[1],
                 )[:5],
-                "worker_sum_rows": int(sum(t[2]["rows"] for t in results)),
+                "worker_sum_rows": int(sum(t["rows"] for t in timings)),
                 "frontier_sec": round(t_cand, 4),
                 "drain_sec": round(t_drain, 4),
                 "total_sec": round(time.perf_counter() - t0, 4),
@@ -420,12 +494,41 @@ class EpochCrawler:
             self._shard_call("commit_stash")
             return
         self._shard_call("abort_stash")
-        # exact sequential enqueue simulation (caps bind) — see module
-        # docstring; iterates ALL candidates in priority order because a
-        # dropped first occurrence lets a later duplicate win.  The
-        # chunk-deduped table lacks those duplicates, so pull the full
-        # pre-dedup candidates back from the workers (rare: caps bind
-        # only in the final wave or two).
+        self._admit_exact(wave_size)
+
+    def _admit_parts(self, cand_refs: list, wave_size: int, n_ok: int) -> None:
+        """Ref-based admit: candidate parts never touch the driver —
+        every shard pulls the refs and filters its own ok-partition.
+        Cap logic identical to :meth:`_admit` (n_ok = Σ per-worker
+        deduped ok counts is an upper bound on admissions)."""
+        if n_ok == 0:
+            return
+        V, W, cfg = self.visited_count, wave_size, self.cfg
+        if (
+            V + W + n_ok <= cfg.max_visited_urls
+            and (W - 1) + n_ok <= cfg.max_queue_length
+        ):
+            self._shard_call_refs("admit_direct_parts", cand_refs)
+            return
+        counts = self._shard_call_refs("try_admit_parts", cand_refs)
+        n_unseen = int(sum(counts))
+        if (
+            V + W + n_unseen <= cfg.max_visited_urls
+            and (W - 1) + n_unseen <= cfg.max_queue_length
+        ):
+            self._shard_call("commit_stash")
+            return
+        self._shard_call("abort_stash")
+        self._admit_exact(wave_size)
+
+    def _admit_exact(self, wave_size: int) -> None:
+        """Exact sequential enqueue simulation (caps bind) — see module
+        docstring; iterates ALL candidates in priority order because a
+        dropped first occurrence lets a later duplicate win.  The
+        chunk-deduped table lacks those duplicates, so pull the full
+        pre-dedup candidates back from the workers (rare: caps bind
+        only in the final wave or two)."""
+        V, W, cfg = self.visited_count, wave_size, self.cfg
         ok = self._full_ok_candidates()
         keys = ok["url_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
         prios = ok["priority"].to_numpy(zero_copy_only=False)

@@ -140,6 +140,43 @@ class FrontierShardState:
         self._stash = cands.take(pa.array(win_idx)).select(self.DISPATCH_COLS)
         return int(len(win_idx))
 
+    # -- ref-based variants: the driver fans the SAME candidate-part
+    # object refs to every shard; each shard filters its key partition
+    # here (plasma shared-memory reads — no driver copy)
+    def _partition_of(self, num_shards: int, parts, tag: str) -> pa.Table | None:
+        import pyarrow.compute as pc
+
+        parts = [p for p in parts if p is not None and p.num_rows]
+        if not parts:
+            return None
+        t = pa.concat_tables(parts)
+        t = t.filter(pc.equal(t["tag"], tag))
+        if not t.num_rows:
+            return None
+        mine = shard_of(t["url_key"].to_numpy(zero_copy_only=False), num_shards) == self.shard_id
+        t = t.filter(pa.array(mine))
+        return t if t.num_rows else None
+
+    def admit_direct_parts(self, num_shards: int, *parts) -> int:
+        sub = self._partition_of(num_shards, parts, "ok")
+        if sub is None:
+            self._stash = None
+            return 0
+        return self.admit_direct(sub)
+
+    def try_admit_parts(self, num_shards: int, *parts) -> int:
+        sub = self._partition_of(num_shards, parts, "ok")
+        if sub is None:
+            self._stash = None
+            return 0
+        return self.try_admit(sub)
+
+    def record_skips_parts(self, num_shards: int, *parts) -> int:
+        sub = self._partition_of(num_shards, parts, "skip")
+        if sub is None:
+            return 0
+        return self.record_skips(sub)
+
     def admit_direct(self, cands: pa.Table) -> int:
         """Single-call admit for the common case where even admitting
         EVERY candidate cannot violate the caps (driver checks the

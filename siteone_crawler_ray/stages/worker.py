@@ -154,10 +154,18 @@ class CrawlWorker:
         self._last_full = cands
         if cands is not None and cands.num_rows:
             cands = _chunk_dedup(cands)
+        n_ok = (
+            int(pc.sum(pc.equal(cands["tag"], "ok")).as_py() or 0)
+            if cands is not None and cands.num_rows
+            else 0
+        )
         t3 = time.perf_counter()
         timing = {
             "rows": chunk.num_rows,
             "cands_raw": cands_raw,
+            # deduped ok-count: the driver's cap upper bound without
+            # ever pulling the candidate table
+            "n_ok": n_ok,
             "fetch": round(t1 - t0, 4),
             "write": round(t2 - t1, 4),
             "extract": round(t3 - t2, 4),
