@@ -438,7 +438,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id", "text"], override_num_blocks=32
                                ).map_batches(combined, batch_format="pyarrow")
 
-    def ivf_knn(sf_dir: str):
+    def ann_knn(sf_dir: str):
+        """Approximate nearest neighbour: IVF (centroid cells) and LSH
+        (random-hyperplane buckets) top-10 in one tagged table
+        (which ∈ {ivf, lsh}) — the two ANN scale paths share a slot;
+        recall vs exact brute force is pytest-measured."""
         import os as _os
 
         import numpy as np
@@ -447,42 +451,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow.parquet as pq
         import ray.data as rd
 
-        from siteone_crawler_ray.stages.similarity import knn_ivf
+        from siteone_crawler_ray.stages.similarity import knn_ivf, knn_lsh
 
         q = (
             pq.read_table(_os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
             .filter(pc.equal(pc.field("vec_id"), 0))["embedding"]
             .to_pylist()[0]
         )
-        t = knn_ivf(
-            rd.read_parquet(_os.path.join(sf_dir, "embeddings.parquet"),
-                            columns=["vec_id", "embedding"], override_num_blocks=16),
-            np.array(q), k=10,
-        )
-        return pa.table({"vec_id": t["vec_id"], "rank": t["rank"].cast(pa.int64())})
 
-    def lsh_knn(sf_dir: str):
-        import os as _os
+        def _ds():
+            return rd.read_parquet(_os.path.join(sf_dir, "embeddings.parquet"),
+                                   columns=["vec_id", "embedding"], override_num_blocks=16)
 
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-        import ray.data as rd
-
-        from siteone_crawler_ray.stages.similarity import knn_lsh
-
-        q = (
-            pq.read_table(_os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-            .filter(pc.equal(pc.field("vec_id"), 0))["embedding"]
-            .to_pylist()[0]
-        )
-        t = knn_lsh(
-            rd.read_parquet(_os.path.join(sf_dir, "embeddings.parquet"),
-                            columns=["vec_id", "embedding"], override_num_blocks=16),
-            np.array(q), k=10,
-        )
-        return pa.table({"vec_id": t["vec_id"], "rank": t["rank"].cast(pa.int64())})
+        ivf = knn_ivf(_ds(), np.array(q), k=10)
+        lsh = knn_lsh(_ds(), np.array(q), k=10)
+        return pa.table({
+            "which": pa.array(["ivf"] * ivf.num_rows + ["lsh"] * lsh.num_rows, pa.string()),
+            "vec_id": pa.concat_arrays([ivf["vec_id"].combine_chunks(),
+                                        lsh["vec_id"].combine_chunks()]),
+            "rank": pa.concat_arrays([ivf["rank"].combine_chunks().cast(pa.int64()),
+                                      lsh["rank"].combine_chunks().cast(pa.int64())]),
+        })
 
     def media_stages(sf_dir: str):
         """the three multimodal actor-pool stages (image decode, audio
@@ -567,8 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_checks": page_checks,
         "minhash_pairs": minhash_pairs,
         "content_signatures": content_signatures,
-        "ivf_knn": ivf_knn,
-        "lsh_knn": lsh_knn,
+        "ann_knn": ann_knn,
         "media_stages": media_stages,
     }
 

@@ -137,3 +137,83 @@ def global_agg(ds, specs) -> dict:
             fn = {"sum": pc.sum, "min": pc.min, "max": pc.max}[pk]
             out[name] = fn(parts[f"{col}_{pk}"]).as_py()
     return out
+
+
+def exact_rank_value(ds, col: str, rank: int | None = None, *, rank_fn=None,
+                     num_bins: int = 8192,
+                     collect_threshold: int = 1_000_000) -> float | None:
+    """Exact value at 0-based ``rank`` of the sorted column — the
+    distributed nearest-rank selection.
+
+    Small inputs (≤ collect_threshold rows) collect the column (one
+    pass).  Large inputs use histogram bisection: pass 1 computes
+    (count, min, max) partials; pass 2 bins every value into a shared
+    histogram (per-block partial bincounts); the driver locates the
+    bin containing the rank and pass 3 collects ONLY that bin's values
+    (≈ n/num_bins rows) for the final exact select — no O(n) driver
+    pull at any point."""
+    import ray
+    import numpy as np
+
+    stats = global_agg(ds.select_columns([col]),
+                       [("n", None, "count"), ("lo", col, "min"), ("hi", col, "max")])
+    n = int(stats["n"])
+    if n == 0:
+        return None
+    if rank_fn is not None:
+        rank = rank_fn(n)
+    rank = max(0, min(rank, n - 1))
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    if n <= collect_threshold or lo == hi:
+        import pyarrow as pa
+
+        vals = np.concatenate([
+            ray.get(r)[col].to_numpy(zero_copy_only=False)
+            for r in ds.select_columns([col]).to_arrow_refs()
+        ] or [np.empty(0)])
+        return float(np.partition(vals, rank)[rank])
+
+    width = (hi - lo) / num_bins
+
+    def bin_of(x: np.ndarray) -> np.ndarray:
+        return np.clip(((x - lo) / width).astype(np.int64), 0, num_bins - 1)
+
+    def hist_partial(batch) -> "pa.Table":
+        import pyarrow as pa
+
+        x = batch[col].to_numpy(zero_copy_only=False)
+        counts = np.bincount(bin_of(x), minlength=num_bins)
+        return pa.table({"h": pa.array(counts, pa.int64())})
+
+    parts = [ray.get(r) for r in
+             ds.select_columns([col]).map_batches(hist_partial, batch_format="pyarrow").to_arrow_refs()]
+    hist = np.zeros(num_bins, dtype=np.int64)
+    for p in parts:
+        hist += p["h"].to_numpy(zero_copy_only=False)
+    cum = np.cumsum(hist)
+    b = int(np.searchsorted(cum, rank + 1))
+    rank_in_bin = rank - (int(cum[b - 1]) if b else 0)
+
+    def bin_filter(batch) -> "pa.Table":
+        import pyarrow as pa
+
+        x = batch[col].to_numpy(zero_copy_only=False)
+        return pa.table({col: pa.array(x[bin_of(x) == b])})
+
+    vals = np.concatenate([
+        ray.get(r)[col].to_numpy(zero_copy_only=False)
+        for r in ds.select_columns([col]).map_batches(bin_filter, batch_format="pyarrow").to_arrow_refs()
+    ] or [np.empty(0)])
+    return float(np.partition(vals, rank_in_bin)[rank_in_bin])
+
+
+def distributed_nearest_rank_percentile(ds, col: str, p: int, **kw) -> float | None:
+    """Reference nearest-rank percentile (basic_stats.rs:14-21:
+    rank = round_half_up(p/100·(n−1))) computed distributed-exactly —
+    the rank derives from the count already measured inside
+    exact_rank_value's stats pass (no extra pass)."""
+    import math
+
+    return exact_rank_value(
+        ds, col, rank_fn=lambda n: int(math.floor((p / 100.0) * (n - 1) + 0.5)), **kw
+    )

@@ -70,15 +70,19 @@ def basic_stats(visited_ds) -> pa.Table:
             ("max_time", "request_time", "max"),
         ],
     )
+    from ..functions.agg import distributed_nearest_rank_percentile
+
     html = visited_ds.filter(
         expr=f"content_type == {ContentType.HTML} and status_code == 200"
     ).select_columns(["request_time"])
-    times = _to_table(html)
-    arr = times["request_time"].to_numpy() if times is not None else np.empty(0)
-    if len(arr) == 0:
-        all_t = _to_table(visited_ds.select_columns(["request_time"]))
-        arr = all_t["request_time"].to_numpy() if all_t is not None else np.empty(0)
-    p90 = reference_percentile(arr, 90)
+    # exact nearest-rank p90 without an O(n) driver pull: histogram
+    # bisection at scale, single collect below the threshold
+    v = distributed_nearest_rank_percentile(html, "request_time", 90)
+    if v is None:
+        v = distributed_nearest_rank_percentile(
+            visited_ds.select_columns(["request_time"]), "request_time", 90
+        )
+    p90 = float(round_away([v], 3)[0]) if v is not None else 0.0
 
     def r3(v):
         return float(round_away([v], 3)[0])

@@ -86,3 +86,32 @@ def test_external_links_and_findings(crawl):
     assert all(";" not in e or len(e.split(";")) <= 5 for e in ext["examples"].to_pylist())
     pf = reports.page_findings(ds)
     assert sum(pf["n"].to_pylist()) == res.metrics["visited"]
+
+
+def test_distributed_exact_rank(ray_session):
+    """Histogram-bisection rank selection equals the in-memory sort at
+    every rank, including the forced large-input path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siteone_crawler_ray.functions.agg import (
+        distributed_nearest_rank_percentile,
+        exact_rank_value,
+    )
+
+    rng = np.random.default_rng(4)
+    vals = np.round(rng.random(5000) * 0.1, 5)  # request-time-like
+    t = pa.table({"x": pa.array(vals)})
+    ds = rd.from_arrow([t.slice(i, 500) for i in range(0, 5000, 500)])
+    v_sorted = np.sort(vals)
+    for rank in (0, 1, 2499, 4498, 4999):
+        # forced histogram path (collect_threshold=1)
+        got = exact_rank_value(ds, "x", rank, collect_threshold=1)
+        assert got == v_sorted[rank], rank
+    # nearest-rank percentile formula matches the reference kernel
+    import math
+
+    rank = int(math.floor(0.9 * (len(vals) - 1) + 0.5))
+    p = distributed_nearest_rank_percentile(ds, "x", 90, collect_threshold=1)
+    assert p == v_sorted[rank]
