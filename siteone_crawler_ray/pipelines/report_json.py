@@ -41,24 +41,38 @@ def _table_block(apl_code: str, t: pa.Table) -> dict:
     }
 
 
-def build_report(res, visited_ds, config=None) -> dict:
-    findings_t = RP.page_findings(visited_ds)
-    status_t = RP.count_by_status(visited_ds)
+def build_report(res, visited_ds, config=None, table_cache: dict | None = None) -> dict:
+    """``table_cache`` (optional dict keyed by the report function name)
+    lets a caller that already computed some report tables over the SAME
+    visited dataset reuse them instead of re-running the aggregation —
+    the reference's analyzers likewise run once per crawl and feed every
+    output format from the same in-memory results."""
+
+    def get(fn, *args):
+        if table_cache is None:
+            return fn(*args)
+        key = fn.__name__
+        if key not in table_cache:
+            table_cache[key] = fn(*args)
+        return table_cache[key]
+
+    findings_t = get(RP.page_findings, visited_ds)
+    status_t = get(RP.count_by_status, visited_ds)
     findings = SC.findings_from_reports(findings_t, status_t)
     quality = SC.score(findings)
     tables = {
-        "content-types": RP.content_type_table(visited_ds),
-        "source-domains": RP.source_domains_table(visited_ds),
-        "fastest-urls": RP.fastest_table(visited_ds),
-        "slowest-urls": RP.slowest_table(visited_ds),
-        "non-unique-titles": RP.title_uniqueness_table(visited_ds),
-        "404-pages": RP.page404_table(visited_ds),
-        "redirects": RP.redirects_table(visited_ds),
-        "http-headers": RP.headers_inventory_table(visited_ds),
-        "caching": RP.caching_table(visited_ds),
-        "skipped-urls": RP.skipped_by_reason_table(res.skipped),
+        "content-types": get(RP.content_type_table, visited_ds),
+        "source-domains": get(RP.source_domains_table, visited_ds),
+        "fastest-urls": get(RP.fastest_table, visited_ds),
+        "slowest-urls": get(RP.slowest_table, visited_ds),
+        "non-unique-titles": get(RP.title_uniqueness_table, visited_ds),
+        "404-pages": get(RP.page404_table, visited_ds),
+        "redirects": get(RP.redirects_table, visited_ds),
+        "http-headers": get(RP.headers_inventory_table, visited_ds),
+        "caching": get(RP.caching_table, visited_ds),
+        "skipped-urls": get(RP.skipped_by_reason_table, res.skipped),
     }
-    stats = RP.basic_stats(visited_ds).to_pylist()[0]
+    stats = get(RP.basic_stats, visited_ds).to_pylist()[0]
     results = res.visited_table(columns=RESULT_COLUMNS).to_pylist()
     return {
         "crawler": ENGINE,
@@ -75,8 +89,9 @@ def build_report(res, visited_ds, config=None) -> dict:
     }
 
 
-def write_report_json(res, visited_ds, path: str, config=None) -> dict:
-    report = build_report(res, visited_ds, config)
+def write_report_json(res, visited_ds, path: str, config=None,
+                      table_cache: dict | None = None) -> dict:
+    report = build_report(res, visited_ds, config, table_cache=table_cache)
     with open(path, "w") as f:
         json.dump(report, f, default=str)
     return report

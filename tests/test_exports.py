@@ -345,3 +345,58 @@ def test_html_report_exporter(crawl_result, tmp_path):
     assert "content-types" in only and "source-domains" not in only
     # XSS-safety: table cells are escaped
     assert "<script" not in only.lower()
+
+
+def test_format_helpers():
+    """utils.rs formatting fixtures (sizes :88-103, durations :105-116,
+    ages :118-137, truncation :280-344, transport codes :364-403)."""
+    from siteone_crawler_ray.functions.format import (
+        formatted_age,
+        formatted_duration,
+        formatted_size,
+        status_code_str,
+        truncate_in_two_thirds,
+        truncate_url,
+    )
+
+    assert formatted_size(0) == "0 B"
+    assert formatted_size(1023) == "1023 B"
+    assert formatted_size(1024) == "1 kB"
+    assert formatted_size(1536, 1) == "1.5 kB"
+    assert formatted_size(5 * 1024 * 1024) == "5 MB"
+    assert formatted_duration(0.25) == "250 ms"
+    assert formatted_duration(1.5) == "1.5 s"
+    assert formatted_duration(2.0) == "2 s"
+    assert formatted_duration(42.7) == "42 s"
+    assert formatted_age(30) == "30 sec(s)"
+    assert formatted_age(90) == "1.5 min(s)"
+    assert formatted_age(7200) == "2 hour(s)"
+    assert formatted_age(172800) == "2 day(s)"
+    t = truncate_in_two_thirds("abcdefghijklmnopqrstuvwxyz", 12, "~")
+    assert len(t) == 12 and t.startswith("abcdefgh") and t.endswith("yz") and "~" in t
+    u = truncate_url("https://h.test/very/long/path", 100, strip_hostname="h.test")
+    assert u == "/very/long/path"
+    assert status_code_str(-1) == "-1:CON"
+    assert status_code_str(-2, short=False) == "-2:TIMEOUT"
+    assert status_code_str(200) == "200"
+
+
+def test_text_report_exporter(crawl_result, tmp_path):
+    """TextOutput analogue (text_output.rs:57-420): banner + padded
+    visited-URL table + per-analyzer ASCII sections."""
+    import ray.data as rd
+
+    from siteone_crawler_ray.pipelines.report_text import write_text_report
+
+    res, _ = crawl_result
+    ds = rd.from_arrow(res.visited_table())
+    path = str(tmp_path / "report.txt")
+    text = write_text_report(res, ds, path)
+    with open(path) as f:
+        assert f.read() == text
+    assert "siteone-crawler-ray" in text
+    assert "URL" in text and "| Status | Type" in text
+    for section in ("=== summary", "=== content-types", "=== caching", "=== quality-scores"):
+        assert section in text, section
+    # every visited row rendered
+    assert text.count("\n") > res.metrics["visited"]
