@@ -260,6 +260,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         for chk, ok in zip(support["check"].to_pylist(), support["n_ok"].to_pylist()):
             keys.append(f"support:{chk}")
             vals.append(float(ok))
+        # text + HTML writers render from the same cached report dict
+        from siteone_crawler_ray.pipelines.report_html import write_html_report
+        from siteone_crawler_ray.pipelines.report_text import write_text_report
+
+        html = write_html_report(res, _visited_ds(res),
+                                 path.replace(".json", ".html"), table_cache=cache)
+        txt = write_text_report(res, _visited_ds(res),
+                                path.replace(".json", ".txt"), table_cache=cache)
+        keys += ["export:html_bytes", "export:text_bytes"]
+        vals += [float(len(html)), float(len(txt))]
         return pa.table({"key": pa.array(keys, pa.string()), "value": pa.array(vals, pa.float64())})
 
     def markdown_pages(sf_dir: str):

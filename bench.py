@@ -244,6 +244,15 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
 
 
 def main() -> int:
+    # hang watchdog: a wedged Ray session (observed once: a fresh local
+    # cluster starting while the previous one tears down) would
+    # otherwise block forever; dump all stacks and exit non-zero so the
+    # caller records a diagnosable failure instead
+    import faulthandler
+    import sys as _sys
+
+    faulthandler.dump_traceback_later(1800, exit=True, file=_sys.stderr)
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--frontier", action="store_true")

@@ -115,10 +115,13 @@ def render_html_report(report: dict, allowed_sections: list[str] | None = None) 
 
 
 def write_html_report(res, visited_ds, path: str, config=None,
-                      allowed_sections: list[str] | None = None) -> str:
+                      allowed_sections: list[str] | None = None,
+                      table_cache: dict | None = None) -> str:
     from .report_json import build_report
 
-    html = render_html_report(build_report(res, visited_ds, config), allowed_sections)
+    html = render_html_report(
+        build_report(res, visited_ds, config, table_cache=table_cache), allowed_sections
+    )
     with open(path, "w") as f:
         f.write(html)
     return html
