@@ -159,7 +159,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         t = pa.table({"url": docs["doc_id"]})
         step = max(1, -(-t.num_rows // 16))
         urls = rd.from_arrow([t.slice(i, step) for i in range(0, t.num_rows, step)])
-        ds = flat_crawl(path, urls, concurrency=4).select_columns(["status_code", "content_type"])
+        # no select_columns here: on a computed (actor-stage) dataset it
+        # triggers a schema-validation limit-1 execution that re-runs
+        # the fetch; the grouped_agg partial only touches its key
+        # columns anyway
+        ds = flat_crawl(path, urls, concurrency=4)
         out = grouped_agg(ds, ["status_code", "content_type"], [("n", None, "count")])
         return pa.table({
             "status_code": out["status_code"].cast(pa.int64()),

@@ -19,6 +19,29 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+
+def block_refs(ds) -> list:
+    """Execute the Dataset ONCE and return its block object refs.
+
+    ``Dataset.to_arrow_refs()`` runs the pipeline a second time with a
+    ``limit=1`` plan just to derive the schema — for an actor-pool
+    stage that re-spins the whole pool.  The ref-bundle iterator
+    executes exactly once."""
+    return [r for bundle in ds.iter_internal_ref_bundles() for r in bundle.block_refs]
+
+
+def collect_blocks(ds) -> list[pa.Table]:
+    """Execute once → non-empty Arrow blocks on the driver (for the
+    tiny partial-combine step only — never on unreduced data)."""
+    import ray
+
+    out = []
+    for r in block_refs(ds):
+        b = ray.get(r)
+        if b.num_rows:
+            out.append(b)
+    return out
+
 _PARTIAL_KIND = {"sum": "sum", "mean": "sum", "min": "min", "max": "max"}
 # how to merge a partial column at the final combine
 _MERGE_KIND = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
@@ -76,8 +99,7 @@ def grouped_agg(ds, keys: list[str], specs) -> pa.Table:
     import ray
 
     partial = make_partial_fn(keys, specs)
-    blocks = [ray.get(r) for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()]
-    blocks = [b for b in blocks if b.num_rows]
+    blocks = collect_blocks(ds.map_batches(partial, batch_format="pyarrow"))
     if not blocks:  # fully-empty input: derive the partial schema from
         # an empty block so the combine still type-checks (ADVICE r1)
         empty = ds.schema().base_schema.empty_table()
@@ -99,10 +121,8 @@ def partial_topk(ds, k: int, sort_cols: list[str], descending=None) -> pa.Table:
         idx = pc.sort_indices(batch, sort_keys=keys)
         return batch.take(idx.slice(0, k))
 
-    parts = [
-        ray.get(r) for r in ds.map_batches(block_topk, batch_format="pyarrow").to_arrow_refs()
-    ]
-    parts = [p for p in parts if p.num_rows] or [ds.schema().base_schema.empty_table()]
+    parts = collect_blocks(ds.map_batches(block_topk, batch_format="pyarrow"))
+    parts = parts or [ds.schema().base_schema.empty_table()]
     merged = pa.concat_tables(parts, promote_options="permissive")
     idx = pc.sort_indices(merged, sort_keys=keys)
     return merged.take(idx.slice(0, k))
@@ -123,8 +143,8 @@ def global_agg(ds, specs) -> dict:
             )
         return pa.table(row)
 
-    blocks = [ray.get(r) for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()]
-    parts = pa.concat_tables([b for b in blocks if b.num_rows], promote_options="permissive")
+    blocks = collect_blocks(ds.map_batches(partial, batch_format="pyarrow"))
+    parts = pa.concat_tables(blocks, promote_options="permissive")
     n = pc.sum(parts["__n"]).as_py()
     out = {}
     for name, col, kind in specs:
@@ -168,8 +188,8 @@ def exact_rank_value(ds, col: str, rank: int | None = None, *, rank_fn=None,
         import pyarrow as pa
 
         vals = np.concatenate([
-            ray.get(r)[col].to_numpy(zero_copy_only=False)
-            for r in ds.select_columns([col]).to_arrow_refs()
+            b[col].to_numpy(zero_copy_only=False)
+            for b in collect_blocks(ds.select_columns([col]))
         ] or [np.empty(0)])
         return float(np.partition(vals, rank)[rank])
 
@@ -185,8 +205,8 @@ def exact_rank_value(ds, col: str, rank: int | None = None, *, rank_fn=None,
         counts = np.bincount(bin_of(x), minlength=num_bins)
         return pa.table({"h": pa.array(counts, pa.int64())})
 
-    parts = [ray.get(r) for r in
-             ds.select_columns([col]).map_batches(hist_partial, batch_format="pyarrow").to_arrow_refs()]
+    parts = collect_blocks(
+        ds.select_columns([col]).map_batches(hist_partial, batch_format="pyarrow"))
     hist = np.zeros(num_bins, dtype=np.int64)
     for p in parts:
         hist += p["h"].to_numpy(zero_copy_only=False)
@@ -201,8 +221,9 @@ def exact_rank_value(ds, col: str, rank: int | None = None, *, rank_fn=None,
         return pa.table({col: pa.array(x[bin_of(x) == b])})
 
     vals = np.concatenate([
-        ray.get(r)[col].to_numpy(zero_copy_only=False)
-        for r in ds.select_columns([col]).map_batches(bin_filter, batch_format="pyarrow").to_arrow_refs()
+        b[col].to_numpy(zero_copy_only=False)
+        for b in collect_blocks(
+            ds.select_columns([col]).map_batches(bin_filter, batch_format="pyarrow"))
     ] or [np.empty(0)])
     return float(np.partition(vals, rank_in_bin)[rank_in_bin])
 

@@ -344,11 +344,9 @@ def findings_summary(findings_ds) -> pa.Table:
             [([], "count_all")]
         )
 
-    parts = [
-        ray.get(r)
-        for r in findings_ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
-    ]
-    parts = [p for p in parts if p.num_rows]
+    from .agg import collect_blocks
+
+    parts = collect_blocks(findings_ds.map_batches(partial, batch_format="pyarrow"))
     if not parts:
         return pa.table({"category": pa.array([], pa.string()), "rule": pa.array([], pa.string()),
                          "severity": pa.array([], pa.string()), "n": pa.array([], pa.int64())})

@@ -41,10 +41,9 @@ def _read(sf_dir: str, table: str, columns=None, blocks: int = 32):
 
 
 def _collect(ds) -> pa.Table:
-    import ray
+    from ..functions.agg import collect_blocks
 
-    blocks = [ray.get(r) for r in ds.to_arrow_refs()]
-    blocks = [b for b in blocks if b.num_rows]
+    blocks = collect_blocks(ds)
     return pa.concat_tables(blocks).combine_chunks() if blocks else None
 
 

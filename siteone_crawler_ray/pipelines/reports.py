@@ -24,10 +24,9 @@ from ..types import ContentType
 
 
 def _to_table(ds) -> pa.Table:
-    import ray
+    from ..functions.agg import collect_blocks
 
-    blocks = [ray.get(r) for r in ds.to_arrow_refs()]
-    blocks = [b for b in blocks if b.num_rows]
+    blocks = collect_blocks(ds)
     return pa.concat_tables(blocks) if blocks else None
 
 

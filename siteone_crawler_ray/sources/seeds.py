@@ -60,7 +60,9 @@ def read_url_list(path: str) -> tuple[list[str], list[str]]:
                                     "_": pa.array([""] * len(g) + ["bad"] * len(b))})
 
     ds = rd.read_text(path).map_batches(parse, batch_format="pyarrow")
-    rows = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+    from ..functions.agg import collect_blocks
+
+    rows = pa.concat_tables(collect_blocks(ds))
     good = [u for u, m in zip(rows["url"].to_pylist(), rows["_"].to_pylist()) if m == ""]
     bad = [u for u, m in zip(rows["url"].to_pylist(), rows["_"].to_pylist()) if m == "bad"]
     return good, bad

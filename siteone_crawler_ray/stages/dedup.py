@@ -88,7 +88,9 @@ def _partitioned_exchange(ds, key_col: str, fn, num_partitions: int = 32) -> lis
     import ray
     import pyarrow.compute as pc
 
-    refs = ds.to_arrow_refs()
+    from ..functions.agg import block_refs as _block_refs
+
+    refs = _block_refs(ds)
 
     @ray.remote
     def one_partition(p: int, P: int, *blocks) -> pa.Table:
@@ -144,12 +146,11 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     # block; the residue combines with one tiny hash agg.  Scale path
     # (residue too big for one node): groupby("content_hash").min —
     # the hash-partition exchange — instead of the driver combine.
-    parts = [
-        ray.get(r)
-        for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
-    ]
+    from ..functions.agg import collect_blocks
+
+    parts = collect_blocks(ds.map_batches(partial, batch_format="pyarrow"))
     merged = (
-        pa.concat_tables([p for p in parts if p.num_rows])
+        pa.concat_tables(parts)
         .group_by("content_hash", use_threads=False)
         .aggregate([(id_col, "min")])
     )
@@ -278,13 +279,14 @@ def minhash_dedup_pairs(ds, *, id_col="doc_id", text_col="text", num_perm=64,
         sh = pa.ListArray.from_arrays(pa.array(o, pa.int32()), pa.array(h, pa.uint64()))
         return pa.table({id_col: b[id_col], "sh": sh})
 
+    from ..functions.agg import collect_blocks as _collect_blocks
+
     tbl = pa.concat_tables(
-        [
-            ray.get(r)
-            for r in ds.select_columns([id_col, text_col])
-            .map_batches(prune_and_hash, batch_format="pyarrow")
-            .to_arrow_refs()
-        ]
+        _collect_blocks(
+            ds.select_columns([id_col, text_col]).map_batches(
+                prune_and_hash, batch_format="pyarrow"
+            )
+        )
     ).combine_chunks()
     # exact Jaccard on hashed shingle sets — identical semantics to
     # string-set Jaccard.  The shingle index (one sorted-unique uint64
@@ -326,7 +328,7 @@ def minhash_dedup_pairs(ds, *, id_col="doc_id", text_col="text", num_perm=64,
     step = max(1, -(-cand.num_rows // 32))
     vds = rd.from_arrow([cand.slice(i, step) for i in range(0, cand.num_rows, step)])
     verified = pa.concat_tables(
-        [ray.get(r) for r in vds.map_batches(verify, batch_format="pyarrow").to_arrow_refs()]
+        _collect_blocks(vds.map_batches(verify, batch_format="pyarrow"))
     )
     out = verified.filter(pc.greater_equal(verified["jaccard"], threshold))
     return out.take(pc.sort_indices(out, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))
@@ -461,9 +463,11 @@ def embedding_dup_pairs(ds, *, id_col="vec_id", vec_col="embedding", threshold=0
             "nvec": pa.FixedSizeListArray.from_arrays(pa.array(m.ravel()), m.shape[1]),
         })
 
-    refs = ds.select_columns([id_col, vec_col]).map_batches(
-        normalize, batch_format="pyarrow"
-    ).to_arrow_refs()
+    from ..functions.agg import block_refs as _block_refs2
+
+    refs = _block_refs2(
+        ds.select_columns([id_col, vec_col]).map_batches(normalize, batch_format="pyarrow")
+    )
 
     @ray.remote
     def tile(bi: pa.Table, bj: pa.Table) -> pa.Table:

@@ -27,8 +27,13 @@ from ..functions.hashing import xxh64_strings
 from ..functions.robots import ASSET_EXTENSION_RE, RobotsIndex
 from ..types import SPAN_KIND_TO_SOURCE, SkippedReason
 
-# priority packing: (source wave position) * 2^20 + extraction index
-PRIO_SHIFT = 1 << 20
+# priority packing: (source wave position) * 2^24 + extraction index.
+# The shift caps the intra-page extraction index at ~16.7M spans per
+# page before priorities would collide and corrupt BFS order; the
+# gauntlet raises if a page ever exceeds it (a 16M-link page is
+# adversarial input, not crawl data).  Headroom: wavepos up to 2^39
+# still fits int64.
+PRIO_SHIFT = 1 << 24
 
 
 def _origin_of(b: str) -> str:
@@ -285,9 +290,15 @@ class CandidateGauntlet:
         out_url = np.where(tag == "ok", url, skip_url)[keep]
         kept = batch.take(pa.array(keep))
         keys = xxh64_strings(list(out_url))
+        extract_idx = kept["extract_idx"].to_numpy(zero_copy_only=False)
+        if len(extract_idx) and int(extract_idx.max()) >= PRIO_SHIFT:
+            raise ValueError(
+                f"page exceeds {PRIO_SHIFT} extracted spans — priority packing "
+                "would collide and corrupt BFS order (raise PRIO_SHIFT)"
+            )
         prio = (
             kept["source_wavepos"].to_numpy(zero_copy_only=False) * PRIO_SHIFT
-            + kept["extract_idx"].to_numpy(zero_copy_only=False)
+            + extract_idx
         )
         hosts = U.hosts_of(out_url)
         return pa.table(

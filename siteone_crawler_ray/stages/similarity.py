@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..functions.agg import collect_blocks as _collect_blocks
+
 
 def _as_matrix(col) -> np.ndarray:
     return np.vstack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
@@ -55,7 +57,7 @@ def knn_bruteforce(ds, query_vecs: np.ndarray, k: int = 10,
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    t = pa.concat_tables([ray.get(r) for r in parts.to_arrow_refs()])
+    t = pa.concat_tables(_collect_blocks(parts))
     qs = t["query_idx"].to_numpy(zero_copy_only=False)
     ids = t[id_col].to_numpy(zero_copy_only=False)
     cos = t["cosine"].to_numpy(zero_copy_only=False)
@@ -97,7 +99,7 @@ def knn_ivf(ds, query_vecs: np.ndarray, k: int = 10, nlist: int = 16, nprobe: in
     import ray
 
     sample = ds.select_columns([vec_col]).limit(4096)
-    smat = _normalize(_as_matrix(pa.concat_tables([ray.get(r) for r in sample.to_arrow_refs()])[vec_col]))
+    smat = _normalize(_as_matrix(pa.concat_tables(_collect_blocks(sample))[vec_col]))
     cent = kmeans_centroids(smat, nlist, seed=seed)
     q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
     probe_cells = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
@@ -127,7 +129,7 @@ def knn_ivf(ds, query_vecs: np.ndarray, k: int = 10, nlist: int = 16, nprobe: in
                          "cosine": pa.array(np.concatenate(out_c))})
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    t = pa.concat_tables([ray.get(r) for r in parts.to_arrow_refs()])
+    t = pa.concat_tables(_collect_blocks(parts))
     qs = t["query_idx"].to_numpy(zero_copy_only=False)
     ids = t[id_col].to_numpy(zero_copy_only=False)
     cos = t["cosine"].to_numpy(zero_copy_only=False)
@@ -204,9 +206,7 @@ def knn_lsh(ds, query_vecs: np.ndarray, k: int = 10, *, nbits: int = 4,
             }
         )
 
-    t = pa.concat_tables(
-        [ray.get(r) for r in ds.map_batches(candidates, batch_format="pyarrow").to_arrow_refs()]
-    )
+    t = pa.concat_tables(_collect_blocks(ds.map_batches(candidates, batch_format="pyarrow")))
     qs_np = t["query_idx"].to_numpy(zero_copy_only=False)
     ids = t[id_col].to_numpy(zero_copy_only=False)
     cos = t["cosine"].to_numpy(zero_copy_only=False)
@@ -250,8 +250,7 @@ def ivf_build_index(ds, index_path: str, *, nlist: int = 16,
     import ray
 
     sample = ds.select_columns([vec_col]).limit(4096)
-    smat = _normalize(_as_matrix(
-        pa.concat_tables([ray.get(r) for r in sample.to_arrow_refs()])[vec_col]))
+    smat = _normalize(_as_matrix(pa.concat_tables(_collect_blocks(sample))[vec_col]))
     cent = kmeans_centroids(smat, nlist, seed=seed)
     cref = ray.put(cent)
 
