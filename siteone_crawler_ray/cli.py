@@ -1,0 +1,261 @@
+"""CLI crawl entry point — the reference's main path re-expressed.
+
+Mirrors the option surface and post-crawl pipeline of the reference CLI
+(/root/reference/src/main.rs:7-67, options/core_options.rs,
+engine/manager.rs:57-465): crawl → analyzers → exporters (sitemap →
+offline → markdown → JSON/text/HTML report) → quality gate with the
+reference's exit codes (0 ok / 3 no pages crawled / 10 CI gate failed —
+manager.rs:458-464).
+
+Corpus mode: ``--corpus`` points at a bucketed interleaved-document
+store (sources/corpus.py); fetches are keyed lookups.  robots.txt
+bodies load from ``<corpus>/robots.json`` when present.
+
+Run locally::
+
+    python -m siteone_crawler_ray.cli --url https://site-000.test/p/00000 \
+        --corpus /tmp/corpus --workdir /tmp/crawl --output-json-file report.json
+
+or on a cluster (the north rule's submission form)::
+
+    ray job submit --working-dir . -- python -m siteone_crawler_ray.cli ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="siteone-crawler-ray",
+        description="Ray-Data-native crawl engine (reference-compatible options)",
+    )
+    p.add_argument("--url", action="append", default=[], help="seed URL (repeatable)")
+    p.add_argument("--url-list", help="file with one URL per line (flat crawl seeds)")
+    p.add_argument("--corpus", required=True, help="bucketed interleaved-document corpus dir")
+    p.add_argument("--workdir", required=True, help="checkpoint/lineage directory")
+    # crawl limits (README.md:546-573 defaults)
+    p.add_argument("--max-visited-urls", type=int, default=10000)
+    p.add_argument("--max-queue-length", type=int, default=9000)
+    p.add_argument("--max-url-length", type=int, default=2083)
+    p.add_argument("--max-depth", type=int, default=None)
+    p.add_argument("--max-reqs-per-sec", type=float, default=None)
+    p.add_argument("--max-non200-per-basename", type=int, default=5)
+    # URL filtering (crawler.rs:1018-1187 gauntlet options)
+    p.add_argument("--allowed-domain", action="append", default=[])
+    p.add_argument("--allowed-domain-for-external-files", action="append", default=[])
+    p.add_argument("--include-regex", action="append", default=[])
+    p.add_argument("--ignore-regex", action="append", default=[])
+    p.add_argument("--transform-url", action="append", default=[])
+    p.add_argument("--remove-query-params", action="store_true")
+    p.add_argument("--keep-query-param", action="append", default=[])
+    p.add_argument("--force-relative-urls", action="store_true")
+    p.add_argument("--ignore-robots-txt", action="store_true")
+    # physical execution
+    p.add_argument("--workers", type=int, default=None, help="fetch worker actors")
+    p.add_argument("--num-shards", type=int, default=8, help="frontier shards")
+    p.add_argument("--routing", choices=["bucket", "host"], default="bucket")
+    p.add_argument("--resume", action="store_true", help="resume from checkpoints in workdir")
+    p.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (local mode)")
+    # outputs (manager.rs:468-656 exporter chain)
+    p.add_argument("--output-json-file")
+    p.add_argument("--output-text-file")
+    p.add_argument("--output-html-file")
+    p.add_argument("--html-report-options", help="comma-separated section allowlist")
+    p.add_argument("--sitemap-xml-file")
+    p.add_argument("--offline-export-dir")
+    p.add_argument("--markdown-export-dir")
+    p.add_argument("--markdown-aggregate-file")
+    # quality gate (ci_gate.rs:34-202)
+    p.add_argument("--max-404-errors", type=int, default=None)
+    p.add_argument("--min-quality-score", type=float, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
+    args = build_parser().parse_args(argv)
+
+    if init_ray:
+        import ray
+
+        if not ray.is_initialized():
+            kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+            ray.init(address="local", include_dashboard=False, logging_level="ERROR", **kw)
+
+    from .pipelines.crawl import CrawlConfig, EpochCrawler
+
+    seeds = list(args.url)
+    if args.url_list:
+        from .sources.seeds import parse_url_list_text
+
+        with open(args.url_list) as f:
+            seeds += parse_url_list_text(f.read())
+    if not seeds:
+        print("no seed URLs (--url / --url-list)", file=sys.stderr)
+        return 2
+
+    robots = {}
+    robots_path = os.path.join(args.corpus, "robots.json")
+    if os.path.exists(robots_path) and not args.ignore_robots_txt:
+        with open(robots_path) as f:
+            robots = json.load(f)
+
+    cfg = CrawlConfig(
+        max_visited_urls=args.max_visited_urls,
+        max_queue_length=args.max_queue_length,
+        max_url_length=args.max_url_length,
+        max_depth=args.max_depth,
+        max_non200_per_basename=args.max_non200_per_basename,
+        max_reqs_per_sec=args.max_reqs_per_sec,
+        remove_query_params=args.remove_query_params,
+        keep_query_params=tuple(args.keep_query_param),
+        allowed_domains_crawl=tuple(args.allowed_domain),
+        allowed_domains_static=tuple(args.allowed_domain_for_external_files),
+        include_regex=tuple(args.include_regex),
+        ignore_regex=tuple(args.ignore_regex),
+        transform_url=tuple(args.transform_url),
+        force_relative_urls=args.force_relative_urls,
+        ignore_robots_txt=args.ignore_robots_txt,
+        num_shards=args.num_shards,
+        fetch_concurrency=args.workers,
+        routing=args.routing,
+    )
+    crawler = EpochCrawler(args.corpus, seeds, robots, args.workdir, cfg)
+    if args.resume:
+        crawler.resume()
+    res = crawler.run()
+
+    n = res.metrics["visited"]
+    print(f"crawled {n} URLs in {res.metrics['total_sec']}s "
+          f"({res.metrics['pages_per_sec']} pages/s)", file=sys.stderr)
+    if n == 0:
+        return 3  # manager.rs:458-464
+
+    # ---- post-crawl exporter chain (manager.rs:468-656 order) ----
+    from .pipelines import reports as RP
+
+    visited_ds = res.visited_ds()
+    table_cache: dict = {}
+
+    if args.sitemap_xml_file:
+        RP.write_sitemap_xml(RP.sitemap_urls(visited_ds), args.sitemap_xml_file)
+
+    if args.offline_export_dir:
+        _export_offline(res, seeds[0], args.offline_export_dir)
+
+    if args.markdown_export_dir or args.markdown_aggregate_file:
+        _export_markdown(res, args.markdown_export_dir, args.markdown_aggregate_file)
+
+    report = None
+    if args.output_json_file:
+        from .pipelines.report_json import write_report_json
+
+        report = write_report_json(res, visited_ds, args.output_json_file,
+                                   config=cfg, table_cache=table_cache)
+    if args.output_text_file:
+        from .pipelines.report_text import write_text_report
+
+        write_text_report(res, visited_ds, args.output_text_file,
+                          config=cfg, table_cache=table_cache)
+    if args.output_html_file:
+        from .pipelines.report_html import write_html_report
+
+        sections = args.html_report_options.split(",") if args.html_report_options else None
+        write_html_report(res, visited_ds, args.output_html_file, config=cfg,
+                          allowed_sections=sections, table_cache=table_cache)
+
+    # ---- quality gate (ci_gate.rs:34-202; exit 10 on failure) ----
+    if args.max_404_errors is not None or args.min_quality_score is not None:
+        from .pipelines import scoring as SC
+
+        findings = SC.findings_from_reports(
+            table_cache.get("page_findings") or RP.page_findings(visited_ds),
+            table_cache.get("count_by_status") or RP.count_by_status(visited_ds),
+        )
+        rep = SC.score(findings)
+        status_t = table_cache.get("count_by_status") or RP.count_by_status(visited_ds)
+        n_404 = 0
+        for code, cnt in zip(status_t["status_code"].to_pylist(), status_t["n"].to_pylist()):
+            if code == 404:
+                n_404 = int(cnt)
+        code, violations = SC.ci_gate(
+            rep, findings, n_404,
+            SC.CiGateConfig(min_quality_score=args.min_quality_score,
+                            max_404s=args.max_404_errors),
+        )
+        for v in violations:
+            print(f"CI gate: {v}", file=sys.stderr)
+        if code:
+            return 10
+    return 0
+
+
+def _export_offline(res, initial_url: str, out_dir: str) -> None:
+    """Offline website export: rewrite every visited HTML body and write
+    it (plus redirect stubs) at its offline path
+    (offline_website_exporter.rs flow)."""
+    from .functions.html_extract import spans_to_html
+    from .functions.offline import OfflineRewriter, convert_url_to_relative, redirect_stub_html
+
+    from .functions.offline import OfflineUrl
+
+    rw = OfflineRewriter(initial_url, allowed_crawl=("*",))
+    # export FILE paths anchor at the site root (depth 0), while link
+    # rewriting inside each body uses the page itself as base
+    root_base = OfflineUrl.parse(initial_url).origin() + "/"
+    t = res.visited_table(columns=["url", "spans", "status_code"])
+    os.makedirs(out_dir, exist_ok=True)
+    for url, spans, status in zip(t["url"].to_pylist(), t["spans"].to_pylist(),
+                                  t["status_code"].to_pylist()):
+        if spans is None:
+            continue
+        rel = convert_url_to_relative(initial_url, root_base, url,
+                                      allowed_static=rw.allowed_static,
+                                      allowed_crawl=rw.allowed_crawl)
+        if rel.startswith(("http://", "https://", "#")) or ".." in rel:
+            continue
+        path = os.path.join(out_dir, rel.split("#")[0])
+        os.makedirs(os.path.dirname(path) or out_dir, exist_ok=True)
+        if 300 <= status < 400 and spans:
+            target = rw.convert(url, spans[0]["media_ref"])
+            body = redirect_stub_html(target)
+        else:
+            body = rw.rewrite_body(spans_to_html(spans), url)
+        with open(path, "w") as f:
+            f.write(body)
+
+
+def _export_markdown(res, out_dir: str | None, aggregate_file: str | None) -> None:
+    """Markdown export: per-page .md files and/or the aggregated
+    single-file form (markdown_exporter.rs flow)."""
+    import pyarrow as pa
+
+    from .functions.offline import convert_url_to_relative
+    from .stages.export import aggregate_markdown, spans_to_markdown
+
+    from .functions.offline import OfflineUrl
+
+    t = res.visited_table(columns=["url", "spans"])
+    md = spans_to_markdown(t)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        for url, body in zip(md["url"].to_pylist(), md["markdown"].to_pylist()):
+            root_base = OfflineUrl.parse(url).origin() + "/"
+            rel = convert_url_to_relative(url, root_base, url)
+            if ".." in rel or rel.startswith(("http://", "https://", "#")):
+                continue
+            path = os.path.join(out_dir, rel.rsplit(".", 1)[0] + ".md")
+            os.makedirs(os.path.dirname(path) or out_dir, exist_ok=True)
+            with open(path, "w") as f:
+                f.write(body)
+    if aggregate_file:
+        with open(aggregate_file, "w") as f:
+            f.write(aggregate_markdown(md))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -400,3 +400,55 @@ def test_text_report_exporter(crawl_result, tmp_path):
         assert section in text, section
     # every visited row rendered
     assert text.count("\n") > res.metrics["visited"]
+
+
+def test_cli_end_to_end(ray_session, tmp_path):
+    """CLI main path (main.rs:7-67 / manager.rs:57-465 analogue):
+    crawl → exporters → reports → exit code."""
+    import json
+    import os
+
+    from siteone_crawler_ray.cli import main
+    from siteone_crawler_ray.sources.corpus import make_graph_corpus, write_corpus
+
+    tabs = make_graph_corpus(seed=21, hosts=2, total_pages=120)
+    cp = str(tmp_path / "corpus")
+    write_corpus(tabs["documents"], cp, num_buckets=4)
+    with open(os.path.join(cp, "robots.json"), "w") as f:
+        json.dump(dict(zip(tabs["robots"]["host"].to_pylist(),
+                           tabs["robots"]["body"].to_pylist())), f)
+    out = tmp_path / "out"
+    out.mkdir()
+    rc = main([
+        "--url", tabs["seeds"]["url"].to_pylist()[0],
+        "--corpus", cp,
+        "--workdir", str(tmp_path / "work"),
+        "--allowed-domain", "*",
+        "--workers", "2", "--num-shards", "4",
+        "--output-json-file", str(out / "report.json"),
+        "--output-text-file", str(out / "report.txt"),
+        "--output-html-file", str(out / "report.html"),
+        "--sitemap-xml-file", str(out / "sitemap.xml"),
+        "--offline-export-dir", str(out / "offline"),
+        "--markdown-aggregate-file", str(out / "site.md"),
+    ], init_ray=False)
+    assert rc == 0
+    rep = json.loads((out / "report.json").read_text())
+    assert rep["stats"]["total_urls"] > 0
+    assert "siteone-crawler-ray" in (out / "report.txt").read_text()
+    assert (out / "report.html").read_text().startswith("<!DOCTYPE html>")
+    assert "<urlset" in (out / "sitemap.xml").read_text()
+    # offline export wrote rewritten page files
+    offline_files = [os.path.join(dp, f) for dp, _, fs in os.walk(out / "offline") for f in fs]
+    assert len(offline_files) > 10
+    html0 = open(next(f for f in offline_files if f.endswith(".html"))).read()
+    assert "<a " not in html0 or 'href="' in html0
+    assert (out / "site.md").read_text().strip()
+    # CI gate failure path → exit 10
+    rc10 = main([
+        "--url", tabs["seeds"]["url"].to_pylist()[0],
+        "--corpus", cp, "--workdir", str(tmp_path / "work2"),
+        "--allowed-domain", "*", "--workers", "2", "--num-shards", "4",
+        "--min-quality-score", "11.0",
+    ], init_ray=False)
+    assert rc10 == 10
