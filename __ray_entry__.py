@@ -798,6 +798,144 @@ def oracle_sql() -> dict[str, str]:
             SELECT reason, count(*) AS n
             FROM read_parquet('{skipped_glob}') GROUP BY reason
         """,
+        # external-links analyzer: target counts + 5 lexicographically
+        # smallest example sources, re-derived from the arithmetic link
+        # graph (dead links on off-seed hosts are external targets too)
+        "report_external_links": """
+            WITH nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+            pl AS (
+              SELECT d.doc_id AS src, (d.doc_id*31 + g.d*97 + 1) % p.n AS tgt
+              FROM documents d CROSS JOIN nd p CROSS JOIN range(6) g(d)
+              WHERE d.doc_id % 43 <> 11
+            ),
+            ext AS (
+              SELECT printf('https://site-%03d.test/p/%05d',
+                            CAST(tgt % 8 AS INT), CAST(tgt // 8 AS INT))
+                     || CASE WHEN (tgt // 8) % 11 = 3
+                             THEN printf('?a=%d&b=%d', CAST((tgt//8)%7 AS INT),
+                                         CAST((tgt//8)%5 AS INT))
+                             ELSE '' END AS url,
+                     printf('https://site-%03d.test/p/%05d',
+                            CAST(src % 8 AS INT), CAST(src // 8 AS INT))
+                     || CASE WHEN (src // 8) % 11 = 3
+                             THEN printf('?a=%d&b=%d', CAST((src//8)%7 AS INT),
+                                         CAST((src//8)%5 AS INT))
+                             ELSE '' END AS source
+              FROM pl WHERE tgt % 8 <> 0
+              UNION ALL
+              SELECT printf('https://site-%03d.test/p/%05d',
+                            CAST(d.doc_id % 8 AS INT), CAST(100000 + d.doc_id AS INT)),
+                     printf('https://site-%03d.test/p/%05d',
+                            CAST(d.doc_id % 8 AS INT), CAST(d.doc_id // 8 AS INT))
+                     || CASE WHEN (d.doc_id // 8) % 11 = 3
+                             THEN printf('?a=%d&b=%d', CAST((d.doc_id//8)%7 AS INT),
+                                         CAST((d.doc_id//8)%5 AS INT))
+                             ELSE '' END
+              FROM documents d
+              WHERE d.doc_id % 43 <> 11 AND d.doc_id % 13 = 5 AND d.doc_id % 8 <> 0
+            )
+            SELECT url, count(*) AS n,
+                   array_to_string(list_sort(list_distinct(list(source)))[1:5], ';') AS examples
+            FROM ext GROUP BY url
+        """,
+        # live-HTML regex battery over rendered pages: per-source_attr
+        # counts re-derived arithmetically (a_href=6/page + dead links;
+        # one img/script/css link per page; redirect docs render empty)
+        "html_link_extract": """
+            WITH c AS (
+              SELECT count(*) FILTER (WHERE doc_id % 43 <> 11) AS np,
+                     count(*) FILTER (WHERE doc_id % 43 <> 11 AND doc_id % 13 = 5) AS nd
+              FROM documents)
+            SELECT source_attr, n FROM (
+              SELECT 10 AS source_attr, np * 6 + nd AS n FROM c
+              UNION ALL SELECT 20, np FROM c
+              UNION ALL SELECT 30, np FROM c
+              UNION ALL SELECT 50, np FROM c
+            ) WHERE n > 0
+        """,
+        # spans→markdown converter, verified STRING-EXACT per page: the
+        # oracle rebuilds every visited page's markdown from documents
+        # (titles, text, link lines with the same to/x prefixes, dead
+        # links, image lines, redirect arrows) on top of the BFS CTE
+        "markdown_pages": """
+            WITH RECURSIVE
+            nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+            edges AS (
+              SELECT d.doc_id AS src, (d.doc_id * 31 + g.d * 97 + 1) % p.n AS dst
+              FROM documents d CROSS JOIN nd p CROSS JOIN range(6) g(d)
+              WHERE d.doc_id % 43 <> 11
+              UNION ALL
+              SELECT d.doc_id,
+                     CASE WHEN (d.doc_id * 31 + 7) % p.n = d.doc_id
+                          THEN (d.doc_id + 1) % p.n ELSE (d.doc_id * 31 + 7) % p.n END
+              FROM documents d CROSS JOIN nd p WHERE d.doc_id % 43 = 11
+            ),
+            reach(id, depth) AS (
+              SELECT t.h::BIGINT, 0 FROM range(8) t(h)
+              UNION
+              SELECT e.dst, r.depth + 1 FROM reach r JOIN edges e ON e.src = r.id
+              WHERE r.depth < 40 AND NOT (e.dst % 8 = 1 AND e.dst // 8 = 9)
+            ),
+            pages AS (SELECT DISTINCT id FROM reach),
+            pageurl AS (
+              SELECT id,
+                     printf('https://site-%03d.test/p/%05d', CAST(id % 8 AS INT), CAST(id // 8 AS INT))
+                     || CASE WHEN (id // 8) % 11 = 3
+                             THEN printf('?a=%d&b=%d', CAST((id//8)%7 AS INT), CAST((id//8)%5 AS INT))
+                             ELSE '' END AS url
+              FROM pages
+            ),
+            linkmd AS (
+              SELECT p.id,
+                     string_agg(
+                       '[' || CASE WHEN ((p.id*31 + g.d*97 + 1) % n.n) % 8 = p.id % 8 OR g.d % 3 = 0
+                                   THEN 'to ' ELSE 'x ' END
+                           || CAST((p.id*31 + g.d*97 + 1) % n.n AS VARCHAR) || ']('
+                           || printf('https://site-%03d.test/p/%05d',
+                                     CAST(((p.id*31 + g.d*97 + 1) % n.n) % 8 AS INT),
+                                     CAST(((p.id*31 + g.d*97 + 1) % n.n) // 8 AS INT))
+                           || CASE WHEN (((p.id*31 + g.d*97 + 1) % n.n) // 8) % 11 = 3
+                                   THEN printf('?a=%d&b=%d',
+                                               CAST((((p.id*31 + g.d*97 + 1) % n.n) // 8) % 7 AS INT),
+                                               CAST((((p.id*31 + g.d*97 + 1) % n.n) // 8) % 5 AS INT))
+                                   ELSE '' END
+                           || ')',
+                       chr(10) || chr(10) ORDER BY g.d) AS links
+              FROM pages p CROSS JOIN nd n CROSS JOIN range(6) g(d)
+              WHERE p.id % 43 <> 11
+              GROUP BY p.id, n.n
+            )
+            SELECT u.url,
+                   CASE WHEN p.id % 43 = 11 THEN
+                     (SELECT chr(8594) || ' ' ||
+                             printf('https://site-%03d.test/p/%05d',
+                                    CAST((CASE WHEN (p.id*31+7) % n.n = p.id THEN (p.id+1) % n.n
+                                          ELSE (p.id*31+7) % n.n END) % 8 AS INT),
+                                    CAST((CASE WHEN (p.id*31+7) % n.n = p.id THEN (p.id+1) % n.n
+                                          ELSE (p.id*31+7) % n.n END) // 8 AS INT))
+                             || CASE WHEN ((CASE WHEN (p.id*31+7) % n.n = p.id THEN (p.id+1) % n.n
+                                            ELSE (p.id*31+7) % n.n END) // 8) % 11 = 3
+                                     THEN printf('?a=%d&b=%d',
+                                          CAST(((CASE WHEN (p.id*31+7) % n.n = p.id THEN (p.id+1) % n.n
+                                                 ELSE (p.id*31+7) % n.n END) // 8) % 7 AS INT),
+                                          CAST(((CASE WHEN (p.id*31+7) % n.n = p.id THEN (p.id+1) % n.n
+                                                 ELSE (p.id*31+7) % n.n END) // 8) % 5 AS INT))
+                                     ELSE '' END || chr(10)
+                      FROM nd n)
+                   ELSE
+                     '# ' || CASE WHEN p.id % 5 = 0 THEN 'Duplicate Title' ELSE 'Doc ' || p.id END
+                     || chr(10)||chr(10) || d.text || chr(10)||chr(10) || l.links
+                     || CASE WHEN p.id % 13 = 5
+                             THEN chr(10)||chr(10) || '[dead](/p/' || printf('%05d', CAST(100000 + p.id AS INT)) || ')'
+                             ELSE '' END
+                     || chr(10)||chr(10) || '![](/static/img/' || CAST(p.id % 64 AS VARCHAR) || '.png)'
+                     || chr(10)
+                   END AS markdown
+            FROM pages p
+            JOIN pageurl u ON u.id = p.id
+            LEFT JOIN documents d ON d.doc_id = p.id
+            LEFT JOIN linkmd l ON l.id = p.id
+        """,
         # ---- relational / window / training shapes ------------------------
         "pricing_summary": """
             SELECT l_returnflag, count(*) AS n,
