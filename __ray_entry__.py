@@ -936,6 +936,140 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN documents d ON d.doc_id = p.id
             LEFT JOIN linkmd l ON l.id = p.id
         """,
+        # DOM-walking HTML→Markdown over rendered pages, verified
+        # STRING-EXACT: text paragraph, the consecutive-link table row
+        # (6 links + dead link), image line; head/title excluded;
+        # redirect docs render empty
+        "html_markdown": """
+            WITH nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+            linkcells AS (
+              SELECT d.doc_id AS id,
+                     string_agg(
+                       '[' || CASE WHEN ((d.doc_id*31 + g.d*97 + 1) % n.n) % 8 = d.doc_id % 8 OR g.d % 3 = 0
+                                   THEN 'to ' ELSE 'x ' END
+                           || CAST((d.doc_id*31 + g.d*97 + 1) % n.n AS VARCHAR) || ']('
+                           || printf('https://site-%03d.test/p/%05d',
+                                     CAST(((d.doc_id*31 + g.d*97 + 1) % n.n) % 8 AS INT),
+                                     CAST(((d.doc_id*31 + g.d*97 + 1) % n.n) // 8 AS INT))
+                           || CASE WHEN (((d.doc_id*31 + g.d*97 + 1) % n.n) // 8) % 11 = 3
+                                   THEN printf('?a=%d&b=%d',
+                                               CAST((((d.doc_id*31 + g.d*97 + 1) % n.n) // 8) % 7 AS INT),
+                                               CAST((((d.doc_id*31 + g.d*97 + 1) % n.n) // 8) % 5 AS INT))
+                                   ELSE '' END || ')',
+                       ' | ' ORDER BY g.d) AS cells
+              FROM documents d CROSS JOIN nd n CROSS JOIN range(6) g(d)
+              WHERE d.doc_id % 43 <> 11
+              GROUP BY d.doc_id, n.n
+            )
+            SELECT printf('https://site-%03d.test/p/%05d', CAST(d.doc_id % 8 AS INT), CAST(d.doc_id // 8 AS INT))
+                   || CASE WHEN (d.doc_id // 8) % 11 = 3
+                           THEN printf('?a=%d&b=%d', CAST((d.doc_id//8)%7 AS INT), CAST((d.doc_id//8)%5 AS INT))
+                           ELSE '' END AS url,
+                   CASE WHEN d.doc_id % 43 = 11 THEN ''
+                   ELSE d.text || chr(10)||chr(10) || '| ' || l.cells
+                        || CASE WHEN d.doc_id % 13 = 5
+                                THEN ' | [dead](/p/' || printf('%05d', CAST(100000 + d.doc_id AS INT)) || ')'
+                                ELSE '' END
+                        || ' |' || chr(10)||chr(10)
+                        || '![](/static/img/' || CAST(d.doc_id % 64 AS VARCHAR) || '.png)' || chr(10)
+                   END AS markdown
+            FROM documents d LEFT JOIN linkcells l ON l.id = d.doc_id
+        """,
+        # offline-website exporter, verified via md5 of the FULL rewritten
+        # body: the oracle rebuilds every page's rewritten HTML (all
+        # href/src attributes converted to offline relative paths, query
+        # -hash file names, redirect stubs) and every export path
+        "offline_export": """
+            WITH nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+            tinfo AS (
+              SELECT d.doc_id AS id, g.d AS d,
+                     (d.doc_id*31 + g.d*97 + 1) % n.n AS t,
+                     ((d.doc_id*31 + g.d*97 + 1) % n.n) % 8 AS th,
+                     ((d.doc_id*31 + g.d*97 + 1) % n.n) // 8 AS tp,
+                     d.doc_id % 8 AS sh
+              FROM documents d CROSS JOIN nd n CROSS JOIN range(6) g(d)
+              WHERE d.doc_id % 43 <> 11
+            ),
+            acell AS (
+              SELECT id, d,
+                '<a href="' ||
+                CASE WHEN th = sh THEN '../'
+                     WHEN th = 0 THEN '../../'
+                     WHEN sh = 0 THEN '../'
+                     ELSE '../../' END ||
+                CASE WHEN th <> sh AND th <> 0 THEN printf('_site-%03d.test/', CAST(th AS INT)) ELSE '' END ||
+                'p/' || printf('%05d', CAST(tp AS INT)) ||
+                CASE WHEN tp % 11 = 3
+                     THEN '.' || left(md5(printf('a=%d&b=%d', CAST(tp%7 AS INT), CAST(tp%5 AS INT))), 10)
+                     ELSE '' END || '.html">' ||
+                CASE WHEN th = sh OR d % 3 = 0 THEN 'to ' ELSE 'x ' END || CAST(t AS VARCHAR) || '</a>' AS cell
+              FROM tinfo
+            ),
+            links AS (SELECT id, string_agg(cell, '' ORDER BY d) AS s FROM acell GROUP BY id),
+            rinfo AS (
+              SELECT d.doc_id AS id,
+                     (CASE WHEN (d.doc_id*31+7) % n.n = d.doc_id THEN (d.doc_id+1) % n.n
+                           ELSE (d.doc_id*31+7) % n.n END) % 8 AS th,
+                     (CASE WHEN (d.doc_id*31+7) % n.n = d.doc_id THEN (d.doc_id+1) % n.n
+                           ELSE (d.doc_id*31+7) % n.n END) // 8 AS tp,
+                     d.doc_id % 8 AS sh
+              FROM documents d CROSS JOIN nd n WHERE d.doc_id % 43 = 11
+            ),
+            stub AS (
+              SELECT id,
+                CASE WHEN th = sh THEN '../'
+                     WHEN th = 0 THEN '../../'
+                     WHEN sh = 0 THEN '../'
+                     ELSE '../../' END ||
+                CASE WHEN th <> sh AND th <> 0 THEN printf('_site-%03d.test/', CAST(th AS INT)) ELSE '' END ||
+                'p/' || printf('%05d', CAST(tp AS INT)) ||
+                CASE WHEN tp % 11 = 3
+                     THEN '.' || left(md5(printf('a=%d&b=%d', CAST(tp%7 AS INT), CAST(tp%5 AS INT))), 10)
+                     ELSE '' END || '.html' AS rel,
+                printf('https://site-%03d.test/p/%05d', CAST(th AS INT), CAST(tp AS INT))
+                || CASE WHEN tp % 11 = 3
+                        THEN printf('?a=%d&b=%d', CAST(tp%7 AS INT), CAST(tp%5 AS INT))
+                        ELSE '' END AS raw
+              FROM rinfo
+            ),
+            bodies AS (
+              SELECT d.doc_id AS id,
+               '<!DOCTYPE html><html><head><title>' ||
+               CASE WHEN d.doc_id % 5 = 0 THEN 'Duplicate Title' ELSE 'Doc ' || d.doc_id END ||
+               '</title><link rel="stylesheet" href="../static/css/site.css"></head><body><p>' || d.text || '</p>'
+               || l.s
+               || CASE WHEN d.doc_id % 13 = 5
+                       THEN '<a href="../p/' || printf('%05d', CAST(100000+d.doc_id AS INT)) || '.html">dead</a>'
+                       ELSE '' END
+               || '<img src="../static/img/' || CAST(d.doc_id % 64 AS VARCHAR) || '.png">'
+               || '<script src="../static/js/chunk-' || CAST(d.doc_id % 16 AS VARCHAR) || '.js"></script>'
+               || '</body></html>' AS b
+              FROM documents d JOIN links l ON l.id = d.doc_id
+              WHERE d.doc_id % 43 <> 11
+              UNION ALL
+              SELECT id,
+                '<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) || '<head>' || chr(10)
+                || '<meta http-equiv="refresh" content="0; url=' || rel || '">' || chr(10)
+                || '<link rel="canonical" href="' || rel || '">' || chr(10)
+                || '</head>' || chr(10) || '<body>' || chr(10)
+                || '<p>Redirecting to <a href="' || rel || '">' || raw || '</a></p>' || chr(10)
+                || '</body>' || chr(10) || '</html>' || chr(10)
+              FROM stub
+            )
+            SELECT printf('https://site-%03d.test/p/%05d', CAST(id % 8 AS INT), CAST(id // 8 AS INT))
+                   || CASE WHEN (id // 8) % 11 = 3
+                           THEN printf('?a=%d&b=%d', CAST((id//8)%7 AS INT), CAST((id//8)%5 AS INT))
+                           ELSE '' END AS url,
+                   CASE WHEN id % 8 = 0 THEN '../' ELSE '../' END ||
+                   CASE WHEN id % 8 <> 0 THEN printf('_site-%03d.test/', CAST(id % 8 AS INT)) ELSE '' END ||
+                   'p/' || printf('%05d', CAST(id // 8 AS INT)) ||
+                   CASE WHEN (id // 8) % 11 = 3
+                        THEN '.' || left(md5(printf('a=%d&b=%d', CAST((id//8)%7 AS INT), CAST((id//8)%5 AS INT))), 10)
+                        ELSE '' END || '.html' AS offline_path,
+                   left(md5(b), 12) AS body_md5,
+                   length(b)::BIGINT AS n_bytes
+            FROM bodies
+        """,
         # ---- relational / window / training shapes ------------------------
         "pricing_summary": """
             SELECT l_returnflag, count(*) AS n,

@@ -53,6 +53,12 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
+    # hang watchdog (see bench.py): dump stacks + exit instead of
+    # blocking forever on a wedged Ray session
+    import faulthandler
+
+    faulthandler.dump_traceback_later(1800, exit=True, file=sys.stderr)
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     # report-table oracles read the engine's visited/skipped parquet at
