@@ -1070,6 +1070,40 @@ def oracle_sql() -> dict[str, str]:
                    length(b)::BIGINT AS n_bytes
             FROM bodies
         """,
+        # per-page analyzer battery over rendered HTML: rule counts
+        # re-derived arithmetically (rendered pages lack lang/main/
+        # canonical/og/h1/meta-description; imgs lack alt; redirect
+        # docs render empty → missing-title)
+        "page_checks": """
+            WITH c AS (
+              SELECT count(*) FILTER (WHERE doc_id % 43 <> 11) AS np,
+                     count(*) AS total,
+                     count(*) FILTER (WHERE doc_id % 43 = 11) AS nr
+              FROM documents)
+            SELECT category, rule, severity, n FROM (
+              SELECT 'accessibility' AS category, 'img-missing-alt' AS rule,
+                     'WARNING' AS severity, np AS n FROM c
+              UNION ALL SELECT 'accessibility', 'missing-html-lang', 'CRITICAL', total FROM c
+              UNION ALL SELECT 'accessibility', 'missing-main-landmark', 'WARNING', total FROM c
+              UNION ALL SELECT 'seo', 'missing-canonical', 'INFO', total FROM c
+              UNION ALL SELECT 'seo', 'missing-description', 'NOTICE', total FROM c
+              UNION ALL SELECT 'seo', 'missing-h1', 'WARNING', total FROM c
+              UNION ALL SELECT 'seo', 'missing-opengraph', 'INFO', total FROM c
+              UNION ALL SELECT 'seo', 'missing-title', 'WARNING', nr FROM c
+            ) WHERE n > 0
+        """,
+        # visited-table finding summary (the check() precedence: the
+        # later assignment wins — description overrides title rules)
+        "report_findings": f"""
+            WITH v AS ({V})
+            SELECT CASE WHEN spans IS NULL THEN 'non-page'
+                        WHEN coalesce(description, '\x01') = '' THEN 'missing-description'
+                        WHEN length(coalesce(title, '')) > 60 THEN 'long-title'
+                        WHEN coalesce(title, '\x01') = '' THEN 'missing-title'
+                        ELSE 'ok' END AS finding,
+                   count(*) AS n
+            FROM v GROUP BY finding
+        """,
         # ---- relational / window / training shapes ------------------------
         "pricing_summary": """
             SELECT l_returnflag, count(*) AS n,
