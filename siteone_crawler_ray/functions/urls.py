@@ -148,6 +148,8 @@ def canonicalize(
 # rstrip set (notably a bare trailing "&").
 _FAST_ABS_BAD_RE = re.compile(r"""[\s"'<>{}\[\]\\#%]|&\#|&amp|\./|/\.""")
 _FAST_TRAILING_STRIP = ("&", '"', "'", "\t", " ")
+# already-canonical absolute URL: lowercase scheme+host, explicit path
+_CANON_FULL_RE = re.compile(r"^(https?)://([a-z0-9.\-]+)(?::(\d+))?(/[^?#]*)(\?[^#]*)?$")
 _CANON_ORIGIN_RE = re.compile(r"^(https?)://[a-z0-9.\-]+(?::(\d+))?$")
 
 
@@ -161,7 +163,26 @@ def canonicalize_fast(href: str, base_url: str) -> str | None:
     Safe = starts with single ``/``; no whitespace/quotes/brackets,
     ``#``, ``%``, entities, or dot segments; base origin lowercase
     http(s) with no default port spelled out."""
-    if href[:1] != "/" or href[:2] == "//" or _FAST_ABS_BAD_RE.search(href):
+    if href[:1] != "/":
+        # absolute branch: an href that is ALREADY in canonical form
+        # passes through unchanged (lowercase scheme+host, no default
+        # port, explicit path, no fragment/encodings/dot segments) —
+        # the dominant case for same-site absolute links
+        if href[:7] != "http://" and href[:8] != "https://":
+            return None
+        m = _CANON_FULL_RE.match(href)
+        if m is None or _FAST_ABS_BAD_RE.search(href):
+            return None
+        if href.endswith("?") or href.endswith(_FAST_TRAILING_STRIP):
+            return None
+        port = m.group(3)
+        if port and ((m.group(1) == "http" and port == "80")
+                     or (m.group(1) == "https" and port == "443")):
+            return None
+        if m.group(5) == "?":  # bare query
+            return None
+        return href
+    if href[:2] == "//" or _FAST_ABS_BAD_RE.search(href):
         return None
     if href.endswith("?"):  # empty query: the renderer drops the bare "?"
         return None

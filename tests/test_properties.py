@@ -125,3 +125,26 @@ def test_canonicalize_fast_trailing_question_mark():
     assert U.canonicalize_fast("/a?", base) is None
     assert U.canonicalize("/a?", base) == "https://x.test/a"
     assert U.canonicalize_fast("/a?b=1", base) == "https://x.test/a?b=1"
+
+
+@settings(max_examples=300, deadline=None)
+@given(absolute_urls())
+def test_canonicalize_fast_absolute_branch(url):
+    """Already-canonical absolute URLs pass through the fast path and
+    always agree with the full canonicalizer."""
+    fast = U.canonicalize_fast(url, "https://other.test/base")
+    if fast is not None:
+        assert fast == U.canonicalize(url, "https://other.test/base")
+
+
+def test_canonicalize_fast_absolute_rejections():
+    base = "https://b.test/x"
+    # must decline: uppercase host, default port, fragment, no path,
+    # dot segments, bare query, entities
+    for href in ("HTTPS://a.test/p", "https://a.test:443/p", "https://a.test/p#f",
+                 "https://a.test", "https://a.test/a/../b", "https://a.test/p?",
+                 "https://a.test/p?a=1&amp;b=2"):
+        assert U.canonicalize_fast(href, base) is None, href
+    # accepts and passes through canonical forms
+    assert U.canonicalize_fast("https://a.test/p?a=1", base) == "https://a.test/p?a=1"
+    assert U.canonicalize_fast("http://a.test:8080/p", base) == "http://a.test:8080/p"
