@@ -43,26 +43,47 @@ def _corpus_key(sf_dir: str) -> str:
 
 def _corpus_for(sf_dir: str) -> tuple[str, list[str], dict[str, str]]:
     """Build (once per sf_dir) the interleaved corpus + seeds derived from
-    the testdata documents table; cache under /tmp."""
+    the testdata documents table; cache under /tmp.  Seeds/robots persist
+    next to the corpus so warm processes skip the span-building pass."""
+    import json
+
+    path = os.path.join("/tmp", _corpus_key(sf_dir))
+    driver_json = os.path.join(path, "_driver.json")
+    if os.path.exists(driver_json):
+        _CORPUS_CACHE[sf_dir] = path
+        with open(driver_json) as f:
+            d = json.load(f)
+        return path, d["seeds"], d["robots"]
+
     from siteone_crawler_ray.sources.corpus import (
         interleaved_from_testdata,
         write_corpus,
     )
 
-    path = os.path.join("/tmp", _corpus_key(sf_dir))
-
     tabs = interleaved_from_testdata(sf_dir)
-    if sf_dir not in _CORPUS_CACHE:
-        if not os.path.exists(os.path.join(path, "_meta.json")):
-            write_corpus(tabs["documents"], path, num_buckets=128)
-        _CORPUS_CACHE[sf_dir] = path
+    if not os.path.exists(os.path.join(path, "_meta.json")):
+        write_corpus(tabs["documents"], path, num_buckets=128)
+    _CORPUS_CACHE[sf_dir] = path
     seeds = tabs["seeds"]["url"].to_pylist()
     robots = dict(zip(tabs["robots"]["host"].to_pylist(), tabs["robots"]["body"].to_pylist()))
+    with open(driver_json, "w") as f:
+        json.dump({"seeds": seeds, "robots": robots}, f)
     return path, seeds, robots
 
 
 _CRAWL_RESULTS: dict[str, Any] = {}
 _REPORT_TABLE_CACHE: dict[str, dict] = {}
+_TABS_CACHE: dict[str, Any] = {}
+
+
+def _tabs(sf_dir: str):
+    """interleaved corpus tables, derived once per (sf_dir, process) —
+    several rendered-HTML queries share them."""
+    if sf_dir not in _TABS_CACHE:
+        from siteone_crawler_ray.sources.corpus import interleaved_from_testdata
+
+        _TABS_CACHE[sf_dir] = interleaved_from_testdata(sf_dir)
+    return _TABS_CACHE[sf_dir]
 
 
 def _workdir_for(sf_dir: str) -> str:
@@ -152,10 +173,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from siteone_crawler_ray.functions.agg import grouped_agg
         from siteone_crawler_ray.pipelines.flat import flat_crawl
-        from siteone_crawler_ray.sources.corpus import interleaved_from_testdata
 
         path, seeds, _ = _corpus_for(sf_dir)
-        docs = interleaved_from_testdata(sf_dir)["documents"]
+        docs = _tabs(sf_dir)["documents"]
         t = pa.table({"url": docs["doc_id"]})
         step = max(1, -(-t.num_rows // 16))
         urls = rd.from_arrow([t.slice(i, step) for i in range(0, t.num_rows, step)])
@@ -178,9 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data as rd
 
         from siteone_crawler_ray.functions.agg import grouped_agg
-        from siteone_crawler_ray.sources.corpus import interleaved_from_testdata
-
-        tabs = interleaved_from_testdata(sf_dir)
+        tabs = _tabs(sf_dir)
 
         def kinds(batch: pa.Table) -> pa.Table:
             spans = batch["spans"]
@@ -222,9 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data as rd
 
         from siteone_crawler_ray.pipelines.reports import external_links_table
-        from siteone_crawler_ray.sources.corpus import interleaved_from_testdata
-
-        tabs = interleaved_from_testdata(sf_dir)
+        tabs = _tabs(sf_dir)
         docs = tabs["documents"]
         step = max(1, -(-docs.num_rows // 16))
         ds = rd.from_arrow([docs.slice(i, step) for i in range(0, docs.num_rows, step)])
@@ -292,9 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from siteone_crawler_ray.functions.html_extract import spans_to_html
         from siteone_crawler_ray.functions.html_markdown import html_to_markdown_batch
-        from siteone_crawler_ray.sources.corpus import interleaved_from_testdata
-
-        docs = interleaved_from_testdata(sf_dir)["documents"]
+        docs = _tabs(sf_dir)["documents"]
 
         def render(batch: pa.Table) -> pa.Table:
             return pa.table({
@@ -320,9 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from siteone_crawler_ray.functions.html_extract import spans_to_html
         from siteone_crawler_ray.functions.offline import OfflineRewriter, redirect_stub_html
-        from siteone_crawler_ray.sources.corpus import interleaved_from_testdata
-
-        tabs = interleaved_from_testdata(sf_dir)
+        tabs = _tabs(sf_dir)
         docs = tabs["documents"]
         initial = tabs["seeds"]["url"].to_pylist()[0]
 
@@ -368,9 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from siteone_crawler_ray.functions.agg import grouped_agg
         from siteone_crawler_ray.functions.html_extract import html_extract_batch, spans_to_html
-        from siteone_crawler_ray.sources.corpus import interleaved_from_testdata
-
-        tabs = interleaved_from_testdata(sf_dir)
+        tabs = _tabs(sf_dir)
 
         def render(batch: pa.Table) -> pa.Table:
             spans = batch["spans"].to_pylist()
@@ -397,9 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from siteone_crawler_ray.functions.html_extract import spans_to_html
         from siteone_crawler_ray.functions.page_checks import findings_summary, page_checks_batch
-        from siteone_crawler_ray.sources.corpus import interleaved_from_testdata
-
-        docs = interleaved_from_testdata(sf_dir)["documents"]
+        docs = _tabs(sf_dir)["documents"]
 
         def render(batch: pa.Table) -> pa.Table:
             return pa.table({
