@@ -233,17 +233,22 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
         results[n] = best
     lo, hi = min(levels), max(levels)
     eff_min = (results[lo]["crawl_sec"] / results[hi]["crawl_sec"]) / (hi / lo)
-    # median of interleaved-pair ratios (rep i of each level shares an
-    # ambient window) — the noise-robust secondary estimate
+    # PRIMARY estimator: median of interleaved-pair ratios — rep i of
+    # each level runs back-to-back in the same ambient window, so the
+    # additive sandbox noise cancels within each pair; this pairing
+    # design exists specifically for this sandbox's load swings.  The
+    # min-of-reps (timeit convention) stays as a secondary field — its
+    # two minima can come from different ambient windows, which biases
+    # it toward the most favorable estimate.
     ratios = sorted(
         a["crawl_sec"] / b["crawl_sec"] for a, b in zip(runs[lo], runs[hi])
     )
     eff_median = ratios[len(ratios) // 2] / (hi / lo)
     report = {
         "metric": "crawl_scaling_efficiency",
-        "value": round(eff_min, 3),
-        "value_median_pairs": round(eff_median, 3),
-        "unit": f"(T{lo}/T{hi})/{hi // lo}, min-of-3 reps (timeit convention)",
+        "value": round(eff_median, 3),
+        "value_min_of_reps": round(eff_min, 3),
+        "unit": f"(T{lo}/T{hi})/{hi // lo}, median of interleaved-pair ratios",
         "levels": {str(n): results[n] for n in levels},
         "sf": sf_dir,
     }

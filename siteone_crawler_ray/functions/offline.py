@@ -391,6 +391,14 @@ _SRCSET_RE = re.compile(
 _META_URL_RE = re.compile(
     r"""(<meta[^>]*)(url)\s*(=)\s*(['"]?)([^'">]+)['"]?(")""", re.I | re.M
 )
+# Escaped attributes inside inline JSON/JS (e.g. Astro island props
+# ``href\"...\"``) — html_processor.rs:111 (RE_ESCAPED_HREF_SRC). Groups map
+# to the same callback: start, attr_raw (strips the backslash+quote),
+# assignment, quote (``\"``), value, end.
+_ESCAPED_HREF_SRC_RE = re.compile(
+    r"""(.)(href\\["']|src\\["'])([:=])(\\["'])([^"'\\]+)\\["'](.)""",
+    re.I | re.S,
+)
 
 
 class OfflineRewriter:
@@ -457,6 +465,7 @@ class OfflineRewriter:
         body = _HREF_SRC_RE.sub(cb, body)
         body = _SRCSET_RE.sub(cb, body)
         body = _META_URL_RE.sub(cb, body)
+        body = _ESCAPED_HREF_SRC_RE.sub(cb, body)
         return body
 
     def __call__(self, batch):

@@ -644,14 +644,19 @@ class EpochCrawler:
         self.epoch = e + 1
         self.visited_count = manifest["visited_count"]
         self.basename_counts = dict(manifest["basename_counts"])
-        # drop visited dirs from epochs after the checkpoint (partial work)
-        vroot = os.path.join(self.workdir, "visited")
-        if os.path.isdir(vroot):
-            import shutil
+        # drop visited AND shard-checkpoint dirs from epochs after the
+        # checkpoint (partial work): a crash between shard checkpoint
+        # writes and the manifest replace leaves a stale shards/epoch=N
+        # dir whose skip rows are NOT in the restored _skip_seen —
+        # _collect_skipped would double-count / phantom-include them.
+        import shutil
 
-            for d in os.listdir(vroot):
-                if int(d.split("=")[1]) > e:
-                    shutil.rmtree(os.path.join(vroot, d))
+        for sub in ("visited", "shards"):
+            root = os.path.join(self.workdir, sub)
+            if os.path.isdir(root):
+                for d in os.listdir(root):
+                    if int(d.split("=")[1]) > e:
+                        shutil.rmtree(os.path.join(root, d))
         return True
 
     # -- full run ------------------------------------------------------------

@@ -147,6 +147,46 @@ def test_resume_reproduces_uninterrupted_run(tmp_workdir):
     assert sorted(full.skipped.to_pylist(), key=str) == sorted(res.skipped.to_pylist(), key=str)
 
 
+def test_resume_prunes_stale_shard_epoch_dirs(tmp_workdir):
+    """A crash between shard checkpoint writes and the manifest replace
+    leaves a shards/epoch=N dir with no covering manifest; resume() must
+    remove it so _collect_skipped doesn't double-count its skip rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tabs = make_graph_corpus(seed=42, hosts=4, total_pages=200, out_degree=5)
+    cp, seeds, robots = _setup(tmp_workdir, tabs)
+    cfg = CrawlConfig(use_ray=False, num_shards=4)
+
+    full = EpochCrawler(cp, seeds, robots, os.path.join(tmp_workdir, "full"), cfg).run()
+
+    part_dir = os.path.join(tmp_workdir, "part")
+    c1 = EpochCrawler(cp, seeds, robots, part_dir, cfg)
+    c1.seed()
+    c1.run_epoch()
+    c1.run_epoch()
+    # simulate the torn checkpoint: a post-manifest shard epoch dir with
+    # phantom skip rows that the restored filters have never seen
+    stale = os.path.join(part_dir, "shards", "epoch=99")
+    os.makedirs(stale)
+    pq.write_table(
+        pa.table({
+            "url": ["https://phantom.test/x"],
+            "url_key": pa.array([123456789], pa.uint64()),
+            "reason": pa.array([1], pa.int8()),
+            "source_uq_id": ["deadbeef"],
+            "source_attr": pa.array([1], pa.int8()),
+        }),
+        os.path.join(stale, "skips-0.parquet"),
+    )
+
+    c2 = EpochCrawler(cp, seeds, robots, part_dir, cfg)
+    assert c2.resume()
+    assert not os.path.isdir(stale), "stale shard epoch dir not pruned"
+    res = c2.run()
+    assert sorted(full.skipped.to_pylist(), key=str) == sorted(res.skipped.to_pylist(), key=str)
+
+
 def test_depth_include_ignore_transform_parity(tmp_workdir):
     """--max-depth, --include/--ignore regex, --transform-url parity
     (crawler.rs:1146-1338, 1680-1724)."""

@@ -147,6 +147,26 @@ def test_rewriter_body_attributes():
     assert 'href="https://other.test/q"' in out  # disallowed external stays absolute
 
 
+def test_rewriter_escaped_attrs_in_inline_json():
+    # html_processor.rs:111 RE_ESCAPED_HREF_SRC: Astro island props carry
+    # escaped href\"...\" / src\"...\" inside inline JSON — the fourth
+    # rewrite pass must convert them too.
+    rw = OfflineRewriter("https://site-000.test/p/00000", allowed_static=(), allowed_crawl=())
+    body = (
+        '<astro-island props="{&quot;x&quot;:1}">'
+        '<script>{"href\\":\\"https://site-000.test/p/00003\\","a":1,'
+        '"src\\"=\\"/static/img/7.png\\",}</script>'
+        '<a href="https://site-000.test/p/00004">plain</a>'
+    )
+    out = rw.rewrite_body(body, "https://site-000.test/p/00001")
+    assert '"href\\":\\"../p/00003.html\\"' in out
+    assert '"src\\"=\\"../static/img/7.png\\"' in out
+    assert 'href="../p/00004.html"' in out  # normal pass still works
+    # non-http scheme and fragment stay untouched in escaped form
+    body2 = '{"href\\":\\"mailto:x@y.z\\"} {"href\\":\\"#frag\\"}'
+    assert rw.rewrite_body(body2, "https://site-000.test/p/00001") == body2
+
+
 def test_rewriter_batch_and_redirect_stub():
     import pyarrow as pa
 
