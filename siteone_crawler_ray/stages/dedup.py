@@ -76,28 +76,82 @@ def _shingle_hashes(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
     return (np.concatenate(hashes) if hashes else np.empty(0, np.uint64)), offsets
 
 
+# Above this many exchanged rows the broadcast-filter exchange (every
+# partition task pulls every block) switches to the scatter exchange
+# (every row moves exactly once).  On one node the broadcast reads are
+# zero-copy plasma and faster for the small band/skip tables this is
+# used on; on a multi-node cluster the broadcast path is up-to-P×
+# network amplification of the exchanged table, so large tables must
+# take the scatter path.  Tests monkeypatch this to force either path.
+_SCATTER_THRESHOLD_ROWS = 4_000_000
+
+# exact_dedup: residue row count above which the min-per-hash combine
+# runs as a key-partitioned exchange instead of one driver-side agg.
+_EXACT_DRIVER_COMBINE_ROWS = 4_000_000
+
+
+def _key_mod(block: pa.Table, key_col: str, P: int) -> np.ndarray:
+    """key % P as int64, bit-stable for int64 OR uint64 key columns."""
+    keys = block[key_col].to_numpy(zero_copy_only=False)
+    return (keys.view(np.uint64) if keys.dtype == np.int64 else keys.astype(np.uint64)) % np.uint64(P)
+
+
+def _scatter_exchange(refs, key_col: str, fn, num_partitions: int) -> list[pa.Table]:
+    """Row-moves-once hash shuffle on raw Ray tasks: stage 1 splits each
+    block into ``P`` key partitions (scatter — each sub-table becomes
+    its own object), stage 2 task ``p`` concatenates partition ``p``
+    across all blocks and applies ``fn``.  Same exactness guarantee as
+    the broadcast path (identical key ⇒ identical partition) with each
+    row crossing the wire once."""
+    import ray
+
+    @ray.remote
+    def scatter(block: pa.Table, P: int):
+        part = _key_mod(block, key_col, P)
+        return tuple(block.filter(pa.array(part == p)) for p in range(P))
+
+    @ray.remote
+    def gather(*parts) -> pa.Table:
+        parts = [x for x in parts if x is not None and x.num_rows]
+        if not parts:
+            return None
+        return fn(pa.concat_tables(parts))
+
+    cols = [
+        scatter.options(num_returns=num_partitions).remote(r, num_partitions) for r in refs
+    ]
+    if num_partitions == 1:  # num_returns=1 yields a bare ref, not a list
+        cols = [[c] for c in cols]
+    out = ray.get(
+        [gather.remote(*[cols[i][p] for i in range(len(refs))]) for p in range(num_partitions)]
+    )
+    return [t for t in out if t is not None and t.num_rows]
+
+
 def _partitioned_exchange(ds, key_col: str, fn, num_partitions: int = 32) -> list[pa.Table]:
-    """Hash-partitioned all-to-all without driver materialization: the
+    """Hash-partitioned all-to-all without driver materialization.
+
+    Small exchanged tables (≤ ``_SCATTER_THRESHOLD_ROWS``): the
     Dataset's blocks stay in the object store; ``num_partitions`` tasks
     each pull the blocks (shared-memory reads node-locally), filter to
-    ``key % P == p`` and apply ``fn`` to their partition.  Rows with an
-    identical key always land in the same partition, so a per-bucket
-    ``fn`` (pairing, grouping) is exact.  Equivalent to
-    ``ds.groupby(key % P).map_groups(fn)`` but with one vectorized
-    filter per (task, block) instead of a sort-based shuffle."""
+    ``key % P == p`` and apply ``fn`` to their partition.  Large tables
+    switch to :func:`_scatter_exchange`, where each row moves exactly
+    once.  Rows with an identical key always land in the same
+    partition, so a per-bucket ``fn`` (pairing, grouping) is exact.
+    Equivalent to ``ds.groupby(key % P).map_groups(fn)`` without the
+    sort-based shuffle."""
     import ray
-    import pyarrow.compute as pc
 
-    from ..functions.agg import block_refs as _block_refs
-
-    refs = _block_refs(ds)
+    bundles = list(ds.iter_internal_ref_bundles())
+    refs = [r for b in bundles for r in b.block_refs]
+    counts = [b.num_rows() for b in bundles]
+    total = None if any(c is None for c in counts) else sum(counts)
+    if total is None or total > _SCATTER_THRESHOLD_ROWS:
+        return _scatter_exchange(refs, key_col, fn, num_partitions)
 
     @ray.remote
     def one_partition(p: int, P: int, *blocks) -> pa.Table:
-        parts = []
-        for b in blocks:
-            keys = b[key_col].to_numpy(zero_copy_only=False)
-            parts.append(b.filter(pa.array(keys % np.uint64(P) == p)))
+        parts = [b.filter(pa.array(_key_mod(b, key_col, P) == p)) for b in blocks]
         parts = [x for x in parts if x.num_rows]
         if not parts:
             return None
@@ -143,18 +197,29 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     import ray.data as rd
 
     # partial per-block dedup leaves ≤ one row per distinct text per
-    # block; the residue combines with one tiny hash agg.  Scale path
-    # (residue too big for one node): groupby("content_hash").min —
-    # the hash-partition exchange — instead of the driver combine.
-    from ..functions.agg import collect_blocks
+    # block.  A small residue combines with one tiny driver-side hash
+    # agg; above _EXACT_DRIVER_COMBINE_ROWS (at 10⁹ distinct hashes the
+    # residue IS the dataset) the combine runs as a key-partitioned
+    # exchange — min-per-hash is exact because identical hashes land in
+    # one partition — and the result stays distributed.
+    def combine(tbl: pa.Table) -> pa.Table:
+        merged = tbl.group_by("content_hash", use_threads=False).aggregate([(id_col, "min")])
+        return merged.select([f"{id_col}_min"]).rename_columns([id_col])
 
-    parts = collect_blocks(ds.map_batches(partial, batch_format="pyarrow"))
-    merged = (
-        pa.concat_tables(parts)
-        .group_by("content_hash", use_threads=False)
-        .aggregate([(id_col, "min")])
-    )
-    return rd.from_arrow(merged.select([f"{id_col}_min"]).rename_columns([id_col]))
+    residue = ds.map_batches(partial, batch_format="pyarrow")
+    bundles = list(residue.iter_internal_ref_bundles())
+    counts = [b.num_rows() for b in bundles]
+    refs = [r for b in bundles for r in b.block_refs]
+    total = None if any(c is None for c in counts) else sum(counts)
+    if total is not None and total <= _EXACT_DRIVER_COMBINE_ROWS:
+        parts = [t for t in ray.get(refs) if t.num_rows]
+        if not parts:
+            return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64())}))
+        return rd.from_arrow(combine(pa.concat_tables(parts)))
+    out = _scatter_exchange(refs, "content_hash", combine, num_partitions=32)
+    if not out:
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64())}))
+    return rd.from_arrow(out)
 
 
 def minhash_signatures(batch: pa.Table, *, id_col="doc_id", text_col="text",
@@ -258,57 +323,75 @@ def minhash_dedup_pairs(ds, *, id_col="doc_id", text_col="text", num_perm=64,
     if cand.num_rows == 0:
         return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
-    # verification: broadcast the candidate id set, prune texts per batch
-    # (only candidate texts ever leave the workers)
+    # verification is PARTITION-LOCAL: each pair is owned by partition
+    # hash(id_a) % P; a doc's shingle set is routed (replicated) only to
+    # the partitions that verify one of its pairs, so no task — and not
+    # the driver — ever holds the full candidate shingle index.  The
+    # driver handles only the id-level routing table (one row per
+    # candidate id, no text/shingles).
     import pyarrow.compute as pc
 
-    need = pa.array(np.unique(np.concatenate([
-        cand["id_a"].to_numpy(zero_copy_only=False),
-        cand["id_b"].to_numpy(zero_copy_only=False),
-    ])))
-    need_ref = ray.put(need)
+    P = 32
+    ia_all = cand["id_a"].to_numpy(zero_copy_only=False)
+    ib_all = cand["id_b"].to_numpy(zero_copy_only=False)
+    pair_part = ia_all.view(np.uint64) % np.uint64(P)
+    # routing table: (doc id → partitions that need its shingles)
+    route = np.unique(
+        np.stack([np.concatenate([ia_all, ib_all]),
+                  np.concatenate([pair_part, pair_part]).view(np.int64)], axis=1),
+        axis=0,
+    )
+    route_ref = ray.put((route[:, 0], route[:, 1]))
+    pairs_ref = ray.put((ia_all, ib_all, pair_part))
 
-    def prune_and_hash(batch: pa.Table) -> pa.Table:
-        """Filter to candidate docs and shingle-hash them in the same
-        distributed pass — the driver only assembles arrays."""
-        b = batch.filter(pc.is_in(batch[id_col], value_set=ray.get(need_ref)))
-        if not b.num_rows:
-            return pa.table({id_col: pa.array([], batch[id_col].type),
-                             "sh": pa.array([], pa.list_(pa.uint64()))})
+    def prune_hash_route(batch: pa.Table) -> pa.Table:
+        """Filter to candidate docs, shingle-hash them, and emit one
+        (part, id, sh) row per partition that needs the doc — all in
+        the same distributed pass."""
+        route_ids, route_parts = ray.get(route_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sel = np.nonzero(np.isin(ids, route_ids))[0]
+        empty = pa.table({"part": pa.array([], pa.int64()),
+                          id_col: pa.array([], batch[id_col].type),
+                          "sh": pa.array([], pa.list_(pa.uint64()))})
+        if not len(sel):
+            return empty
+        b = batch.take(pa.array(sel))
         h, o = _shingle_hashes(b[text_col].to_numpy(zero_copy_only=False), shingle_k)
         sh = pa.ListArray.from_arrays(pa.array(o, pa.int32()), pa.array(h, pa.uint64()))
-        return pa.table({id_col: b[id_col], "sh": sh})
+        t = pa.table({id_col: b[id_col], "sh": sh})
+        # replicate each doc row once per target partition (route_ids is
+        # sorted by (id, part): searchsorted gives each doc's run)
+        doc_ids = ids[sel]
+        lo = np.searchsorted(route_ids, doc_ids, side="left")
+        hi = np.searchsorted(route_ids, doc_ids, side="right")
+        take = np.repeat(np.arange(len(doc_ids)), hi - lo)
+        parts = np.concatenate([route_parts[l:h] for l, h in zip(lo, hi)]) if len(doc_ids) else np.array([], np.int64)
+        rep = t.take(pa.array(take))
+        return pa.table({"part": pa.array(parts, pa.int64()),
+                         id_col: rep[id_col], "sh": rep["sh"]})
 
-    from ..functions.agg import collect_blocks as _collect_blocks
-
-    tbl = pa.concat_tables(
-        _collect_blocks(
-            ds.select_columns([id_col, text_col]).map_batches(
-                prune_and_hash, batch_format="pyarrow"
-            )
-        )
-    ).combine_chunks()
-    # exact Jaccard on hashed shingle sets — identical semantics to
-    # string-set Jaccard.  The shingle index (one sorted-unique uint64
-    # array per candidate doc) is broadcast once via ray.put and the
-    # pair verification fans out over map_batches (the pair count can
-    # reach O(docs²·dup-rate) — driver-side verification was the
-    # pipeline's long pole).
-    sh_col = tbl["sh"].combine_chunks() if isinstance(tbl["sh"], pa.ChunkedArray) else tbl["sh"]
-    hashes = pc.list_flatten(sh_col).to_numpy(zero_copy_only=False)
-    lens = pc.list_value_length(sh_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    offs = np.concatenate([[0], np.cumsum(lens)])
-    ids_sorted_idx = np.argsort(tbl[id_col].to_numpy(zero_copy_only=False), kind="stable")
-    ids_sorted = tbl[id_col].to_numpy(zero_copy_only=False)[ids_sorted_idx]
-    index_ref = ray.put((ids_sorted, ids_sorted_idx, hashes, offs))
-
-    def verify(batch: pa.Table) -> pa.Table:
-        idx_ids, idx_pos, hs, of = ray.get(index_ref)
-        ia = batch["id_a"].to_numpy(zero_copy_only=False)
-        ib = batch["id_b"].to_numpy(zero_copy_only=False)
-        ja = np.empty(len(ia))
+    def verify_partition(sub: pa.Table) -> pa.Table:
+        """One partition's docs → exact Jaccard for the pairs this
+        partition owns (hash(id_a) % P == part).  Exact Jaccard on
+        hashed shingle sets — identical semantics to string-set
+        Jaccard."""
+        part = int(sub["part"][0].as_py())
+        ia_full, ib_full, pp = ray.get(pairs_ref)
+        mine = pp == np.uint64(part)
+        ia, ib = ia_full[mine], ib_full[mine]
+        if not len(ia):
+            return None
+        sh_col = sub["sh"].combine_chunks() if isinstance(sub["sh"], pa.ChunkedArray) else sub["sh"]
+        hs = pc.list_flatten(sh_col).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(sh_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        of = np.concatenate([[0], np.cumsum(lens)])
+        local_ids = sub[id_col].to_numpy(zero_copy_only=False)
+        idx_pos = np.argsort(local_ids, kind="stable")
+        idx_ids = local_ids[idx_pos]
         ra = idx_pos[np.searchsorted(idx_ids, ia)]
         rb = idx_pos[np.searchsorted(idx_ids, ib)]
+        ja = np.empty(len(ia))
         for i in range(len(ia)):
             A = hs[of[ra[i]] : of[ra[i] + 1]]
             B = hs[of[rb[i]] : of[rb[i] + 1]]
@@ -319,17 +402,17 @@ def minhash_dedup_pairs(ds, *, id_col="doc_id", text_col="text", num_perm=64,
             inter = int(np.count_nonzero(B[pos] == A))
             union = len(A) + len(B) - inter
             ja[i] = 1.0 if union == 0 else inter / union
-        return pa.table(
-            {"id_a": batch["id_a"], "id_b": batch["id_b"], "jaccard": pa.array(np.round(ja, 6))}
-        )
+        return pa.table({"id_a": pa.array(ia), "id_b": pa.array(ib),
+                         "jaccard": pa.array(np.round(ja, 6))})
 
-    import ray.data as rd
-
-    step = max(1, -(-cand.num_rows // 32))
-    vds = rd.from_arrow([cand.slice(i, step) for i in range(0, cand.num_rows, step)])
-    verified = pa.concat_tables(
-        _collect_blocks(vds.map_batches(verify, batch_format="pyarrow"))
+    routed = ds.select_columns([id_col, text_col]).map_batches(
+        prune_hash_route, batch_format="pyarrow"
     )
+    verified_parts = _partitioned_exchange(routed, "part", verify_partition, num_partitions=P)
+    if not verified_parts:
+        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    verified = pa.concat_tables(verified_parts)
     out = verified.filter(pc.greater_equal(verified["jaccard"], threshold))
     return out.take(pc.sort_indices(out, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))
 

@@ -72,6 +72,60 @@ def knn_bruteforce(ds, query_vecs: np.ndarray, k: int = 10,
     return pa.table({c: pa.array(np.concatenate(v)) for c, v in rows.items()})
 
 
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _row_priorities(m: np.ndarray, seed: int) -> np.ndarray:
+    """Content-derived uint64 priority per row (seeded splitmix-style
+    mix over the float64 bytes) — the sampling key for bottom-k
+    priority sampling.  Deterministic across runs/partitionings."""
+    u = np.ascontiguousarray(m, dtype=np.float64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        h = np.full(len(u), (np.uint64(seed) * _GOLD) ^ np.uint64(0x85EBCA6B), dtype=np.uint64)
+        for j in range(u.shape[1]):
+            h = (h ^ u[:, j]) * _GOLD
+            h ^= h >> np.uint64(29)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+    return h
+
+
+def sample_vectors(ds, vec_col: str = "embedding", n: int = 4096, seed: int = 3) -> np.ndarray:
+    """Deterministic distributed uniform sample of ≤ ``n`` vectors.
+
+    Bottom-k priority sampling: every row gets a content-derived
+    pseudo-random priority, each block keeps its local bottom-``n``
+    rows (a ``map_batches`` partial), the driver merges the small
+    partials and keeps the global bottom-``n``.  Uniform regardless of
+    input order or partitioning — unlike ``ds.limit(n)``, which takes
+    the FIRST blocks and collapses the k-means centroids to one region
+    when the input is sorted/clustered by topic.  Driver merge holds at
+    most ``n × num_blocks`` tiny rows; above ~10⁴ blocks interpose one
+    combining ``map_batches`` pass over the partials."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch[vec_col])
+        h = _row_priorities(m, seed)
+        if len(h) > n:
+            keep = np.argpartition(h, n - 1)[:n]
+            m, h = m[keep], h[keep]
+        return pa.table({
+            "_priority": pa.array(h),
+            vec_col: pa.FixedSizeListArray.from_arrays(
+                pa.array(np.ascontiguousarray(m).ravel()), m.shape[1]),
+        })
+
+    t = pa.concat_tables(
+        _collect_blocks(ds.select_columns([vec_col]).map_batches(partial, batch_format="pyarrow")),
+        promote_options="permissive",
+    )
+    h = t["_priority"].to_numpy(zero_copy_only=False)
+    m = _as_matrix(t[vec_col])
+    order = np.argsort(h, kind="stable")[:n]
+    return m[order]
+
+
 def kmeans_centroids(mat: np.ndarray, nlist: int, iters: int = 5, seed: int = 3) -> np.ndarray:
     """Deterministic Lloyd's k-means on normalized vectors."""
     rng = np.random.default_rng(seed)
@@ -90,16 +144,18 @@ def kmeans_centroids(mat: np.ndarray, nlist: int, iters: int = 5, seed: int = 3)
 
 
 def knn_ivf(ds, query_vecs: np.ndarray, k: int = 10, nlist: int = 16, nprobe: int = 4,
-            id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 3) -> pa.Table:
+            id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 3,
+            train_sample: int = 4096) -> pa.Table:
     """IVF approximate top-k: probe the nprobe nearest centroid cells.
 
-    Centroids are trained on a driver-side sample (deterministic);
-    assignment + probing are map_batches passes.  At 100 TB the cell
-    assignment becomes the partition key of the stored index."""
+    Centroids are trained on a deterministic UNIFORM distributed sample
+    (:func:`sample_vectors` — not the first blocks, which are biased on
+    topic-sorted input); assignment + probing are map_batches passes.
+    At 100 TB the cell assignment becomes the partition key of the
+    stored index."""
     import ray
 
-    sample = ds.select_columns([vec_col]).limit(4096)
-    smat = _normalize(_as_matrix(pa.concat_tables(_collect_blocks(sample))[vec_col]))
+    smat = _normalize(sample_vectors(ds, vec_col, n=train_sample, seed=seed))
     cent = kmeans_centroids(smat, nlist, seed=seed)
     q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
     probe_cells = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
@@ -249,8 +305,7 @@ def ivf_build_index(ds, index_path: str, *, nlist: int = 16,
 
     import ray
 
-    sample = ds.select_columns([vec_col]).limit(4096)
-    smat = _normalize(_as_matrix(pa.concat_tables(_collect_blocks(sample))[vec_col]))
+    smat = _normalize(sample_vectors(ds, vec_col, n=4096, seed=seed))
     cent = kmeans_centroids(smat, nlist, seed=seed)
     cref = ray.put(cent)
 

@@ -177,6 +177,116 @@ def test_knn_lsh_recall_vs_bruteforce(ray_session):
     assert cos == sorted(cos, reverse=True)
 
 
+def test_ivf_sample_unbiased_on_sorted_input(ray_session):
+    """IVF centroid training must use a uniform distributed sample, not
+    the first blocks: on topic-sorted input, ``limit(n)`` sees only the
+    first cluster, the centroids collapse, and nprobe recall craters.
+    ``sample_vectors`` (bottom-k priority sampling) covers every
+    cluster and restores recall.  All seeded → deterministic."""
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.similarity import (
+        _normalize,
+        kmeans_centroids,
+        knn_bruteforce,
+        knn_ivf,
+        sample_vectors,
+    )
+
+    rng = np.random.default_rng(23)
+    nclu, per, dim = 5, 1000, 16
+    centers = _normalize(rng.standard_normal((nclu, dim)))
+    # sorted by cluster: rows 0..999 are cluster 0, 1000..1999 cluster 1, …
+    mat = np.concatenate(
+        [centers[c] * 4 + rng.standard_normal((per, dim)) * 0.6 for c in range(nclu)]
+    )
+    ids = np.arange(nclu * per)
+    m = _normalize(mat)
+    t = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.FixedSizeListArray.from_arrays(pa.array(mat.ravel()), dim),
+    })
+    ds = rd.from_arrow([t.slice(i, 250) for i in range(0, len(ids), 250)])
+    queries = [mat[c * per + j] for c in range(nclu) for j in (3, 17, 41)]
+
+    def mean_recall(cent, nprobe, k=10):
+        assign = np.argmax(m @ cent.T, axis=1)
+        hits = 0
+        for q in queries:
+            qn = q / np.linalg.norm(q)
+            probes = np.argsort(-(qn @ cent.T))[:nprobe]
+            cand = np.nonzero(np.isin(assign, probes))[0]
+            got = set(ids[cand][np.argsort(-(m[cand] @ qn))[:k]])
+            want = set(ids[np.argsort(-(m @ qn))[:k]])
+            hits += len(got & want)
+        return hits / (len(queries) * k)
+
+    # the old first-blocks "sample": rows 0..255, all from cluster 0
+    cent_first = kmeans_centroids(_normalize(mat[:256]), nlist=8)
+    assert mean_recall(cent_first, nprobe=1) < 0.6
+    assert mean_recall(cent_first, nprobe=2) < 0.8
+
+    # distributed priority sample: every cluster represented ~uniformly
+    smat = _normalize(sample_vectors(ds, "embedding", n=256, seed=3))
+    assert smat.shape == (256, dim)
+    cov = np.bincount(np.argmax(smat @ _normalize(centers).T, axis=1), minlength=nclu)
+    assert (cov >= 256 // nclu * 0.5).all(), f"cluster coverage skewed: {cov}"
+    cent_samp = kmeans_centroids(smat, nlist=8)
+    assert mean_recall(cent_samp, nprobe=1) >= 0.8
+    assert mean_recall(cent_samp, nprobe=2) >= 0.9
+
+    # the full knn_ivf path (which now trains on sample_vectors) matches
+    q = queries[9]  # a cluster-3 query — worst case for the old sample
+    exact = set(knn_bruteforce(ds, q, k=10)["vec_id"].to_pylist())
+    approx = set(knn_ivf(ds, q, k=10, nlist=8, nprobe=2, train_sample=256)["vec_id"].to_pylist())
+    assert len(exact & approx) >= 9
+
+    # determinism across calls (content-hash priorities, no RNG state)
+    assert np.array_equal(smat, _normalize(sample_vectors(ds, "embedding", n=256, seed=3)))
+
+
+def test_exchange_scatter_path_identical(ray_session, monkeypatch):
+    """Forcing the row-moves-once scatter exchange (the multi-node
+    scale path) must give byte-identical minhash/simhash results to the
+    broadcast-filter path used for small tables."""
+    import ray.data as rd
+
+    import siteone_crawler_ray.stages.dedup as dd
+
+    texts = []
+    base = " ".join("tok%03d" % i for i in range(80))
+    for i in range(40):
+        texts.append((i, base if i % 4 == 0 else base.replace("tok000", "tok%03d" % (100 + i))))
+    t = pa.table({"doc_id": pa.array([i for i, _ in texts], pa.int64()),
+                  "text": pa.array([s for _, s in texts], pa.string())})
+    ds = rd.from_arrow([t.slice(i, 8) for i in range(0, 40, 8)])
+
+    broad_mh = dd.minhash_dedup_pairs(ds, threshold=0.5)
+    broad_sh = dd.simhash_dedup_pairs(ds, max_hamming=8)
+    monkeypatch.setattr(dd, "_SCATTER_THRESHOLD_ROWS", 0)
+    scat_mh = dd.minhash_dedup_pairs(ds, threshold=0.5)
+    scat_sh = dd.simhash_dedup_pairs(ds, max_hamming=8)
+    assert broad_mh.equals(scat_mh)
+    assert broad_sh.equals(scat_sh)
+    assert broad_mh.num_rows > 0  # the comparison is non-trivial
+
+
+def test_exact_dedup_scale_fallback(ray_session, monkeypatch):
+    """Above the residue threshold exact_dedup must combine via the
+    key-partitioned exchange, not the driver, with identical output."""
+    import ray.data as rd
+
+    import siteone_crawler_ray.stages.dedup as dd
+
+    t = pa.table({"doc_id": pa.array(np.arange(200), pa.int64()),
+                  "text": pa.array(["txt%d" % (i % 60) for i in range(200)], pa.string())})
+    ds = rd.from_arrow([t.slice(i, 50) for i in range(0, 200, 50)])
+    want = sorted(dd.exact_dedup(ds).to_pandas()["doc_id"])
+    monkeypatch.setattr(dd, "_EXACT_DRIVER_COMBINE_ROWS", 0)
+    got = sorted(dd.exact_dedup(ds).to_pandas()["doc_id"])
+    assert got == want == list(range(60))
+
+
 def test_exact_jaccard_kernel():
     from siteone_crawler_ray.stages.dedup import jaccard
 
