@@ -504,9 +504,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
 
     def media_stages(sf_dir: str):
-        """the three multimodal actor-pool stages (image decode, audio
-        frame-sample, video frame-sample) in one tagged summary table
-        (modality, n) — schemas + batch plumbing are pytest-verified."""
+        """REAL multimodal decode end-to-end: BMP images and WAV PCM
+        audio decode with the pure-numpy codecs (decoder='real'), video
+        frame-samples with the honest fake (no codec-free video
+        container exists).  One row per media item with analytic
+        content (stages/multimodal.py synthesize_real_media_table) so
+        the DuckDB oracle recomputes every value arithmetically."""
         import pyarrow as pa
         import ray.data as rd
 
@@ -515,22 +518,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ImageDecodeStage,
             VideoFrameSampleStage,
             decode_pipeline,
-            synthesize_media_table,
+            synthesize_real_media_table,
         )
 
-        media = synthesize_media_table(128)
-        rows = []
-        for modality, stage in (("image", ImageDecodeStage),
-                                ("audio", AudioFrameSampleStage),
-                                ("video", VideoFrameSampleStage)):
-            # one actor per stage: the gate's 128-row demo table fits a
-            # single batch stream; pool sizing is exercised in pytest
-            out = decode_pipeline(rd.from_arrow(media), modality, stage, concurrency=1)
-            rows.append((modality, out.count()))
-        return pa.table({
-            "modality": pa.array([r[0] for r in rows], pa.string()),
-            "n": pa.array([r[1] for r in rows], pa.int64()),
-        })
+        media = synthesize_real_media_table(240)
+        ds = rd.from_arrow([media.slice(i, 30) for i in range(0, media.num_rows, 30)])
+        img = decode_pipeline(ds, "image", ImageDecodeStage, concurrency=2, decoder="real")
+        aud = decode_pipeline(ds, "audio", AudioFrameSampleStage, concurrency=2, decoder="real")
+        vid = decode_pipeline(ds, "video", VideoFrameSampleStage, concurrency=2, frames=8)
+
+        def img_row(b: pa.Table) -> pa.Table:
+            feats = b["features"].to_pylist()
+            return pa.table({
+                "media_id": b["media_id"], "kind": pa.array(["image"] * b.num_rows),
+                "width": b["width"].cast(pa.int64()), "height": b["height"].cast(pa.int64()),
+                "mean_pixel": pa.array([int(round(f[0] * 255)) for f in feats], pa.int64()),
+                "duration_us": pa.array([0] * b.num_rows, pa.int64()),
+                "rms_energy": pa.array([0] * b.num_rows, pa.int64()),
+                "n_frames": pa.array([0] * b.num_rows, pa.int64()),
+            })
+
+        def aud_row(b: pa.Table) -> pa.Table:
+            fe = b["frame_energy"].to_pylist()
+            durs = b["duration_sec"].to_pylist()
+            return pa.table({
+                "media_id": b["media_id"], "kind": pa.array(["audio"] * b.num_rows),
+                "width": pa.array([0] * b.num_rows, pa.int64()),
+                "height": pa.array([0] * b.num_rows, pa.int64()),
+                "mean_pixel": pa.array([0] * b.num_rows, pa.int64()),
+                "duration_us": pa.array([int(round(d * 1e6)) for d in durs], pa.int64()),
+                "rms_energy": pa.array([int(round(e[0])) for e in fe], pa.int64()),
+                "n_frames": pa.array([0] * b.num_rows, pa.int64()),
+            })
+
+        vid_counts = (
+            vid.map_batches(
+                lambda b: pa.table({"media_id": b["media_id"],
+                                    "one": pa.array([1] * b.num_rows, pa.int64())}),
+                batch_format="pyarrow",
+            )
+        )
+        from siteone_crawler_ray.functions.agg import collect_blocks as _cb
+        vt = pa.concat_tables(_cb(vid_counts)).group_by("media_id").aggregate([("one", "sum")])
+
+        def vid_row(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "media_id": t["media_id"], "kind": pa.array(["video"] * n),
+                "width": pa.array([0] * n, pa.int64()), "height": pa.array([0] * n, pa.int64()),
+                "mean_pixel": pa.array([0] * n, pa.int64()),
+                "duration_us": pa.array([0] * n, pa.int64()),
+                "rms_energy": pa.array([0] * n, pa.int64()),
+                "n_frames": t["one_sum"].cast(pa.int64()),
+            })
+
+        parts = (
+            _cb(img.map_batches(img_row, batch_format="pyarrow"))
+            + _cb(aud.map_batches(aud_row, batch_format="pyarrow"))
+            + [vid_row(vt)]
+        )
+        out = pa.concat_tables(parts)
+        import pyarrow.compute as pc
+        return out.take(pc.sort_indices(out, sort_keys=[("media_id", "ascending")]))
 
     return {
         # ---- oracle-backed block (checked first) --------------------------
@@ -1235,5 +1284,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        # real-codec multimodal decode: the media corpus is analytic in
+        # the index i (synthesize_real_media_table), so every decoded
+        # value — BMP dims & mean pixel, WAV duration & RMS energy,
+        # video frame count — has a closed form the engine must hit
+        # exactly after real RIFF/BMP parsing.
+        "media_stages": """
+            SELECT printf('m%05d', CAST(i AS INT)) AS media_id,
+                   CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   (CASE WHEN i % 3 = 0 THEN 16 + (i % 8) * 4 ELSE 0 END)::BIGINT AS width,
+                   (CASE WHEN i % 3 = 0 THEN 12 + (i % 5) * 4 ELSE 0 END)::BIGINT AS height,
+                   (CASE WHEN i % 3 = 0 THEN (i * 7) % 256 ELSE 0 END)::BIGINT AS mean_pixel,
+                   (CASE WHEN i % 3 = 1 THEN (400 + (i % 7) * 100) * 125 ELSE 0 END)::BIGINT AS duration_us,
+                   (CASE WHEN i % 3 = 1 THEN 1000 + 10 * i ELSE 0 END)::BIGINT AS rms_energy,
+                   (CASE WHEN i % 3 = 2 THEN 3 + (i % 5) ELSE 0 END)::BIGINT AS n_frames
+            FROM range(240) t(i)
+            ORDER BY media_id
         """,
     }

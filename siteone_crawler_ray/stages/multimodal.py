@@ -1,13 +1,19 @@
-"""Multimodal column plumbing — binary payload stages with stubbed codecs.
+"""Multimodal column plumbing — binary payload stages.
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
-metadata, processed by actor-pool ``map_batches`` stages.  The actual
-codec libraries (PIL/ffmpeg/torchaudio) are NOT in this container, so
-the decode kernels are deterministic fakes behind ``decoder="fake"``
-(the default) and raise ``NotImplementedError`` for ``decoder="real"``
-— but all of the Ray-side plumbing is real and tested: schema, batch
-sizing for wide binary rows, actor signature, zero-copy binary column
-handling, and output layout.
+metadata, processed by actor-pool ``map_batches`` stages.
+
+Codec support is honest about the environment: ``decoder="real"``
+decodes the UNCOMPRESSED containers this module implements in pure
+numpy — RIFF/WAVE 16-bit PCM (``decode_wav``) and Windows BMP 24-bit
+(``decode_bmp``), both public formats — and raises
+``NotImplementedError`` for compressed formats (PNG/JPEG/MP3/MP4),
+whose codec libraries (PIL/ffmpeg) are NOT in this container.
+``decoder="fake"`` (the default for arbitrary payloads) derives
+deterministic metadata from the payload hash so the Ray-side plumbing
+— schema, batch sizing for wide binary rows, actor signature,
+zero-copy binary column handling, output layout — is exercised on any
+input.
 
 At scale: binary columns dominate block size → pair these stages with
 small ``batch_size`` and a larger ``DataContext.target_max_block_size``
@@ -15,6 +21,8 @@ so blocks are not split absurdly small (ray_guide pitfalls).
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -47,11 +55,125 @@ def synthesize_media_table(n: int = 64, seed: int = 5) -> pa.Table:
     )
 
 
+# ---- real uncompressed-container codecs (pure numpy, public formats) -----
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """int16 mono samples → RIFF/WAVE 16-bit PCM bytes."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, sample_rate, sample_rate * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """RIFF/WAVE 16-bit PCM → (sample_rate, channels, int16 samples).
+
+    Walks the chunk list (fmt / data can be preceded by LIST etc.);
+    raises ``NotImplementedError`` for non-PCM or non-16-bit."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos:pos + 4], struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_tag != 1:
+                raise NotImplementedError("compressed WAV (non-PCM) is not supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise NotImplementedError("malformed WAV: missing fmt/data chunk")
+    if bits != 16:
+        raise NotImplementedError(f"{bits}-bit PCM not supported (16-bit only)")
+    return rate, channels, np.frombuffer(data, dtype="<i2")
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → 24-bit uncompressed BMP bytes (bottom-up
+    rows, BGR order, rows padded to 4 bytes — the classic layout)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row = ((w * 3 + 3) // 4) * 4
+    body = np.zeros((h, row), dtype=np.uint8)
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # flip rows, RGB→BGR
+    data = body.tobytes()
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return hdr + info + data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → (H, W, 3) uint8 RGB."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise NotImplementedError("not a BMP payload")
+    offset = struct.unpack("<I", payload[10:14])[0]
+    _, w, h, _, bpp, comp = struct.unpack("<IiiHHI", payload[14:34])
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit uncompressed BMP supported (got {bpp}-bit comp={comp})")
+    row = ((w * 3 + 3) // 4) * 4
+    flip = h > 0
+    h = abs(h)
+    body = np.frombuffer(payload, dtype=np.uint8, count=h * row, offset=offset).reshape(h, row)
+    px = body[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR→RGB
+    return px[::-1] if flip else px
+
+
+def synthesize_real_media_table(n: int = 240) -> pa.Table:
+    """Deterministic media corpus with REAL container payloads where an
+    uncompressed format exists: BMP images (``i % 3 == 0``), WAV PCM
+    audio (``i % 3 == 1``); video rows (``i % 3 == 2``) stay synthetic
+    (no codec-free video container).  Content is analytic in ``i`` so
+    decode output has a closed-form arithmetic oracle:
+
+    - image ``i``: width ``16+(i%8)*4``, height ``12+(i%5)*4``, every
+      pixel channel ``(i*7)%256`` → mean pixel is exactly that value.
+    - audio ``i``: 8 kHz, ``400+(i%7)*100`` samples, alternating
+      ±(1000+10·i) square wave → RMS energy is exactly ``1000+10·i``,
+      duration ``n_samples/8000``.
+    - video ``i``: ``256·(3+(i%5))`` bytes → ``3+(i%5)`` fake frames.
+    """
+    kinds, payloads, mimes = [], [], []
+    for i in range(n):
+        m = i % 3
+        if m == 0:
+            w, h = 16 + (i % 8) * 4, 12 + (i % 5) * 4
+            px = np.full((h, w, 3), (i * 7) % 256, dtype=np.uint8)
+            kinds.append("image")
+            payloads.append(encode_bmp(px))
+            mimes.append("image/bmp")
+        elif m == 1:
+            ns, amp = 400 + (i % 7) * 100, 1000 + 10 * i
+            samples = np.full(ns, amp, dtype=np.int16)
+            samples[1::2] *= -1
+            kinds.append("audio")
+            payloads.append(encode_wav(samples, 8000))
+            mimes.append("audio/wav")
+        else:
+            kinds.append("video")
+            payloads.append(bytes((i + j) % 256 for j in range(256 * (3 + (i % 5)))))
+            mimes.append("video/mp4")
+    return pa.table({
+        "media_id": pa.array([f"m{i:05d}" for i in range(n)], pa.string()),
+        "kind": pa.array(kinds, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(mimes, pa.string()),
+    })
+
+
 class ImageDecodeStage:
-    """Actor stage: binary payload → (width, height, channels) + feature
-    vector.  ``decoder='real'`` raises NotImplementedError (PIL absent);
-    ``'fake'`` derives dimensions deterministically from the payload hash
-    so downstream layout code is fully exercisable."""
+    """Actor stage: binary payload → (width, height, n_bytes) + feature
+    vector.  ``decoder='real'`` decodes uncompressed BMP via
+    :func:`decode_bmp` (features: overall + per-channel pixel means,
+    /255) and raises NotImplementedError for compressed formats (PIL
+    absent); ``'fake'`` derives dimensions deterministically from the
+    payload hash so downstream layout code is exercisable on any
+    input."""
 
     def __init__(self, decoder: str = "fake", feature_dim: int = 8):
         if decoder not in ("fake", "real"):
@@ -60,9 +182,26 @@ class ImageDecodeStage:
         self.feature_dim = feature_dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decoder == "real":
-            raise NotImplementedError("image codec libraries are not available in this environment")
         payloads = batch["payload"].to_numpy(zero_copy_only=False)
+        if self.decoder == "real":
+            w = np.empty(len(payloads), np.int32)
+            ht = np.empty(len(payloads), np.int32)
+            sizes = np.empty(len(payloads), np.int64)
+            feats = np.zeros((len(payloads), self.feature_dim))
+            for i, p in enumerate(payloads):
+                px = decode_bmp(p)  # raises NotImplementedError for non-BMP
+                ht[i], w[i] = px.shape[0], px.shape[1]
+                sizes[i] = len(p)
+                means = px.reshape(-1, 3).mean(axis=0)
+                vals = [px.mean(), *means][: self.feature_dim]
+                feats[i, : len(vals)] = np.round(np.array(vals) / 255.0, 6)
+            return pa.table({
+                "media_id": batch["media_id"],
+                "width": pa.array(w),
+                "height": pa.array(ht),
+                "n_bytes": pa.array(sizes),
+                "features": pa.array(list(feats), pa.list_(pa.float64())),
+            })
         h = xxh64_strings([p for p in payloads])
         w = (h % np.uint64(1920)).astype(np.int32) + 16
         ht = ((h >> np.uint64(16)) % np.uint64(1080)).astype(np.int32) + 16
@@ -82,22 +221,28 @@ class ImageDecodeStage:
 
 
 class AudioFrameSampleStage:
-    """Actor stage: sample_rate/duration metadata + frame-level energy
-    sketch from a binary payload (fake decode; real raises)."""
+    """Actor stage: sample_rate/duration metadata + frame-level RMS
+    energy from a binary payload.  ``decoder='real'`` parses RIFF/WAVE
+    16-bit PCM via :func:`decode_wav` (energy over raw int16 values);
+    compressed audio raises.  ``'fake'`` treats the payload as 8-bit
+    samples for plumbing tests."""
 
     def __init__(self, decoder: str = "fake", frames: int = 4):
         self.decoder = decoder
         self.frames = frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decoder == "real":
-            raise NotImplementedError("audio codec libraries are not available in this environment")
         payloads = batch["payload"].to_numpy(zero_copy_only=False)
         energies = []
         durs = np.empty(len(payloads))
         for i, p in enumerate(payloads):
-            a = np.frombuffer(p, dtype=np.uint8).astype(np.float64)
-            durs[i] = len(a) / 8000.0
+            if self.decoder == "real":
+                rate, channels, samples = decode_wav(p)
+                a = samples.astype(np.float64)
+                durs[i] = len(samples) / channels / rate
+            else:
+                a = np.frombuffer(p, dtype=np.uint8).astype(np.float64)
+                durs[i] = len(a) / 8000.0
             chunks = np.array_split(a, self.frames) if len(a) else [np.zeros(1)] * self.frames
             energies.append([round(float(np.sqrt((c**2).mean())), 6) for c in chunks])
         return pa.table(
@@ -110,19 +255,36 @@ class AudioFrameSampleStage:
 
 
 class ImageResizeStage:
-    """Actor stage: (payload, target size) → resized payload stub +
-    output dims.  Real resize raises (PIL absent); fake truncates/pads
-    the payload to the target pixel budget so the wide-binary output
-    layout is exercised."""
+    """Actor stage: (payload, target size) → resized payload + output
+    dims.  ``decoder='real'`` area-average-resizes a decoded BMP to the
+    target and emits raw RGB bytes (compressed formats raise); fake
+    truncates/pads the payload to the target pixel budget so the
+    wide-binary output layout is exercised."""
 
     def __init__(self, decoder: str = "fake", target: tuple[int, int] = (224, 224)):
         self.decoder = decoder
         self.target = target
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decoder == "real":
-            raise NotImplementedError("image codec libraries are not available in this environment")
         tw, th = self.target
+        if self.decoder == "real":
+            payloads = batch["payload"].to_numpy(zero_copy_only=False)
+            out = []
+            for p in payloads:
+                px = decode_bmp(p).astype(np.float64)
+                h, w = px.shape[0], px.shape[1]
+                # area-average pooling over floor-boundary cells
+                ys = (np.arange(th + 1) * h) // th
+                xs = (np.arange(tw + 1) * w) // tw
+                col = np.add.reduceat(px, xs[:-1], axis=1) / np.maximum(np.diff(xs), 1)[None, :, None]
+                cell = np.add.reduceat(col, ys[:-1], axis=0) / np.maximum(np.diff(ys), 1)[:, None, None]
+                out.append(np.clip(np.rint(cell), 0, 255).astype(np.uint8).tobytes())
+            return pa.table({
+                "media_id": batch["media_id"],
+                "width": pa.array(np.full(len(out), tw, np.int32)),
+                "height": pa.array(np.full(len(out), th, np.int32)),
+                "payload": pa.array(out, pa.binary()),
+            })
         budget = tw * th // 256
         payloads = batch["payload"].to_numpy(zero_copy_only=False)
         out = [p[:budget].ljust(budget, b"\0") for p in payloads]
@@ -169,12 +331,15 @@ class VideoFrameSampleStage:
         )
 
 
-def decode_pipeline(media_ds, kind: str, stage_cls, concurrency: int = 2, batch_size: int = 16):
+def decode_pipeline(media_ds, kind: str, stage_cls, concurrency: int = 2, batch_size: int = 16,
+                    **stage_kwargs):
     """Wire a decode stage the scale-correct way: filter to the modality,
-    small batches (wide binary rows), actor pool."""
+    small batches (wide binary rows), actor pool.  ``stage_kwargs`` go to
+    the stage constructor (once per actor), e.g. ``decoder="real"``."""
     return media_ds.filter(expr=f"kind == '{kind}'").map_batches(
         stage_cls,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        fn_constructor_kwargs=stage_kwargs or None,
     )

@@ -272,6 +272,75 @@ def test_extra_columns_specs_and_stage(crawl_result):
     assert nums and all(v.isdigit() for v in nums)
 
 
+def test_extra_columns_xpath_and_reference_syntax():
+    """Parser + extraction fixtures from extra_column.rs:236-398 (its
+    inline #[test] mod): reference custom syntax, (len>) no-truncate,
+    default widths, xpath subset incl. /text(), /@attr, predicates."""
+    from siteone_crawler_ray.functions.extra_columns import (
+        parse_extra_columns,
+        xpath_extract,
+    )
+
+    # -- from_text parity -------------------------------------------------
+    (c,) = parse_extra_columns(["Title"])
+    assert c.kind == "predefined" and c.max_len == 20 and c.truncate  # default width
+    (c,) = parse_extra_columns(["Custom(50)"])
+    assert c.name == "Custom" and c.max_len == 50 and c.truncate
+    (c,) = parse_extra_columns(["Wide(30>)"])
+    assert c.name == "Wide" and c.max_len == 30 and not c.truncate
+    (c,) = parse_extra_columns(["X=regexp:<title>(.+?)</title>#1"])
+    assert c.kind == "regexp" and c.group == 1
+    assert c.pattern.search("<title>Hello</title>").group(1) == "Hello"
+    (c,) = parse_extra_columns(["X=xpath://h1"])
+    assert c.kind == "xpath" and c.xpath == "//h1" and c.group == 0
+    (c,) = parse_extra_columns(["Head=xpath://meta[@name='description']/@content#0(40>)"])
+    assert c.kind == "xpath" and c.group == 0 and c.max_len == 40 and not c.truncate
+    assert c.xpath == "//meta[@name='description']/@content"
+    # unrecognized method falls back to a standard (header) column
+    (c,) = parse_extra_columns(["X=invalid:foo"])
+    assert c.kind == "header"
+
+    # -- truncation (extra_column.rs:389-396): len-1 chars + ellipsis ------
+    (c,) = parse_extra_columns(["X(3)"])
+    assert c.truncated("Hello") == "He…"
+    assert c.truncated("Hi") == "Hi"
+
+    # -- xpath extraction (extra_column.rs:322-383) -------------------------
+    html = "<html><body><h1>Title</h1></body></html>"
+    assert xpath_extract(html, "//h1") == "Title"
+    assert xpath_extract("<html><body><h1>My Heading</h1></body></html>", "//h1/text()") == "My Heading"
+    html = '<html><body><a href="https://example.com">Link</a></body></html>'
+    assert xpath_extract(html, "//a/@href") == "https://example.com"
+    assert xpath_extract("<html><body><h1>Only H1</h1></body></html>", "//h2") is None
+    # predicates, child combinator, #index
+    html = (
+        '<html><head><meta name="description" content="  about us  ">'
+        '<meta name="keywords" content="k1"></head>'
+        "<body><div><p>first</p><p>second</p></div>"
+        '<ul><li class="x">a</li><li>b</li></ul></body></html>'
+    )
+    assert xpath_extract(html, "//meta[@name='description']/@content") == "about us"
+    assert xpath_extract(html, "//meta[name='keywords']/@content") == "k1"  # @-less predicate
+    assert xpath_extract(html, "//div/p", 1) == "second"
+    assert xpath_extract(html, "//ul//li", 0) == "a"
+    assert xpath_extract(html, "/html/body/div/p") == "first"
+    assert xpath_extract(html, "//li[@class='x']") == "a"
+    assert xpath_extract(html, "//div/p", 5) is None  # index out of range
+
+
+def test_extra_columns_xpath_stage(crawl_result):
+    from siteone_crawler_ray.functions.extra_columns import ExtraColumnsStage
+
+    res, _ = crawl_result
+    t = res.visited_table(columns=["url", "title", "description", "spans",
+                                   "content_type_header", "cache_control", "etag",
+                                   "content_encoding"])
+    out = ExtraColumnsStage(["H1=xpath://h1", "FirstHref=xpath://a/@href"])(t)
+    assert {"H1", "FirstHref"} <= set(out.schema.names)
+    hrefs = [v for v in out["FirstHref"].to_pylist() if v]
+    assert hrefs and all(h.startswith(("http", "/", ".", "#")) or h for h in hrefs)
+
+
 def test_json_report_shape(crawl_result, tmp_path):
     import json
 

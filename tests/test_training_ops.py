@@ -134,6 +134,52 @@ def test_multimodal_plumbing():
     assert a.equals(b)
 
 
+def test_real_codecs_roundtrip():
+    """Pure-numpy BMP/WAV codecs: encode→decode is exact, and the real
+    decode stages recover the analytic corpus values closed-form."""
+    import numpy as np
+
+    from siteone_crawler_ray.stages.multimodal import (
+        AudioFrameSampleStage,
+        ImageDecodeStage,
+        ImageResizeStage,
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+        synthesize_real_media_table,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)  # odd width → row padding
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+    samples = rng.integers(-30000, 30000, size=1001, dtype=np.int16)
+    rate, ch, back = decode_wav(encode_wav(samples, 8000))
+    assert rate == 8000 and ch == 1 and np.array_equal(back, samples)
+
+    media = synthesize_real_media_table(24)
+    img = media.filter(pa.compute.equal(media["kind"], "image"))
+    out = ImageDecodeStage(decoder="real")(img)
+    for mid, w, h, f in zip(out["media_id"].to_pylist(), out["width"].to_pylist(),
+                            out["height"].to_pylist(), out["features"].to_pylist()):
+        i = int(mid[1:])
+        assert w == 16 + (i % 8) * 4 and h == 12 + (i % 5) * 4
+        assert round(f[0] * 255) == (i * 7) % 256
+    aud = media.filter(pa.compute.equal(media["kind"], "audio"))
+    aout = AudioFrameSampleStage(decoder="real")(aud)
+    for mid, d, fe in zip(aout["media_id"].to_pylist(), aout["duration_sec"].to_pylist(),
+                          aout["frame_energy"].to_pylist()):
+        i = int(mid[1:])
+        assert abs(d - (400 + (i % 7) * 100) / 8000.0) < 1e-9
+        assert round(fe[0]) == 1000 + 10 * i  # constant-amplitude square wave
+    # real resize: constant image stays constant at any target size
+    rout = ImageResizeStage(decoder="real", target=(8, 8))(img.slice(0, 2))
+    for mid, payload in zip(rout["media_id"].to_pylist(), rout["payload"].to_pylist()):
+        i = int(mid[1:])
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        assert arr.shape == (8 * 8 * 3,) and (arr == (i * 7) % 256).all()
+
+
 def test_image_resize_and_video_frames(ray_session):
     import ray.data as rd
 
