@@ -481,7 +481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow.parquet as pq
         import ray.data as rd
 
-        from siteone_crawler_ray.stages.similarity import knn_ivf, knn_lsh
+        from siteone_crawler_ray.stages.similarity import knn_ivf, knn_lsh_bucketed
 
         q = (
             pq.read_table(_os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
@@ -494,7 +494,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["vec_id", "embedding"], override_num_blocks=16)
 
         ivf = knn_ivf(_ds(), np.array(q), k=10)
-        lsh = knn_lsh(_ds(), np.array(q), k=10)
+        # bucket co-located exchange path (pytest-proven identical to the
+        # broadcast-scan knn_lsh on any input)
+        lsh = knn_lsh_bucketed(_ds(), np.array(q), k=10)
         return pa.table({
             "which": pa.array(["ivf"] * ivf.num_rows + ["lsh"] * lsh.num_rows, pa.string()),
             "vec_id": pa.concat_arrays([ivf["vec_id"].combine_chunks(),

@@ -200,6 +200,48 @@ def knn_ivf(ds, query_vecs: np.ndarray, k: int = 10, nlist: int = 16, nprobe: in
     return pa.table({c: pa.array(np.concatenate(v)) for c, v in rows.items()})
 
 
+def _lsh_planes(ntables: int, nbits: int, dim: int, seed: int) -> np.ndarray:
+    """Seeded Gaussian hyperplanes shared by every LSH path."""
+    return np.random.default_rng(seed).standard_normal((ntables, nbits, dim))
+
+
+def _lsh_signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, dim) → (n, ntables) bucket ids (sign bits packed little-endian)."""
+    ntables, nbits, _ = planes.shape
+    powers = (1 << np.arange(nbits)).astype(np.int64)
+    out = np.empty((m.shape[0], ntables), dtype=np.int64)
+    for t in range(ntables):
+        out[:, t] = ((m @ planes[t].T) > 0) @ powers
+    return out
+
+
+def _topk_per_query(t: pa.Table, k: int, id_col: str) -> pa.Table:
+    """Final per-query top-k over merged (query_idx, id, cosine) partials.
+    Deterministic tie-break (-cosine, id); ranks 1..k."""
+    qs_np = t["query_idx"].to_numpy(zero_copy_only=False)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    cos = t["cosine"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -cos, qs_np))
+    qs_np, ids, cos = qs_np[order], ids[order], cos[order]
+    keep, rank = [], []
+    prev, r = None, 0
+    for i in range(len(qs_np)):
+        if qs_np[i] != prev:
+            prev, r = qs_np[i], 0
+        if r < k:
+            keep.append(i)
+            r += 1
+            rank.append(r)
+    return pa.table(
+        {
+            "query_idx": pa.array(qs_np[keep], pa.int32()),
+            id_col: pa.array(ids[keep]),
+            "cosine": pa.array(np.round(cos[keep], 6)),
+            "rank": pa.array(np.array(rank, dtype=np.int32)),
+        }
+    )
+
+
 def knn_lsh(ds, query_vecs: np.ndarray, k: int = 10, *, nbits: int = 4,
             ntables: int = 24, seed: int = 17,
             id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
@@ -210,24 +252,18 @@ def knn_lsh(ds, query_vecs: np.ndarray, k: int = 10, *, nbits: int = 4,
     vector (sign of projection on seeded Gaussian hyperplanes).  Query:
     candidates = vectors sharing a bucket with the query in ANY table
     (broadcast query signatures), then exact cosine rerank of only the
-    candidates.  At cluster scale each table's buckets are a
-    groupby-key → candidates co-locate without a broadcast matrix.
+    candidates.  Right for a HANDFUL of queries (the broadcast is
+    tiny); for large query sets use :func:`knn_lsh_bucketed`, which
+    co-locates by bucket via the partitioned exchange instead of
+    scanning every batch against every query signature.
     """
     import ray
 
-    rng = np.random.default_rng(seed)
     q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
-    dim = q.shape[1]
-    planes = rng.standard_normal((ntables, nbits, dim))
-    powers = (1 << np.arange(nbits)).astype(np.int64)
+    planes = _lsh_planes(ntables, nbits, q.shape[1], seed)
 
     def signatures(m: np.ndarray) -> np.ndarray:
-        """(n, dim) → (n, ntables) bucket ids."""
-        out = np.empty((m.shape[0], ntables), dtype=np.int64)
-        for t in range(ntables):
-            bits = (m @ planes[t].T) > 0
-            out[:, t] = bits @ powers
-        return out
+        return _lsh_signatures(m, planes)
 
     q_sigs = signatures(q)  # (nq, ntables)
     ref = ray.put((q, q_sigs))
@@ -263,28 +299,137 @@ def knn_lsh(ds, query_vecs: np.ndarray, k: int = 10, *, nbits: int = 4,
         )
 
     t = pa.concat_tables(_collect_blocks(ds.map_batches(candidates, batch_format="pyarrow")))
-    qs_np = t["query_idx"].to_numpy(zero_copy_only=False)
-    ids = t[id_col].to_numpy(zero_copy_only=False)
-    cos = t["cosine"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((ids, -cos, qs_np))
-    qs_np, ids, cos = qs_np[order], ids[order], cos[order]
-    keep, rank = [], []
-    prev, r = None, 0
-    for i in range(len(qs_np)):
-        if qs_np[i] != prev:
-            prev, r = qs_np[i], 0
-        if r < k:
-            keep.append(i)
-            r += 1
-            rank.append(r)
-    return pa.table(
-        {
-            "query_idx": pa.array(qs_np[keep], pa.int32()),
-            id_col: pa.array(ids[keep]),
-            "cosine": pa.array(np.round(cos[keep], 6)),
-            "rank": pa.array(np.array(rank, dtype=np.int32)),
-        }
-    )
+    return _topk_per_query(t, k, id_col)
+
+
+def knn_lsh_bucketed(ds, query_vecs: np.ndarray, k: int = 10, *, nbits: int = 4,
+                     ntables: int = 24, seed: int = 17,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     num_partitions: int = 16) -> pa.Table:
+    """LSH ANN with BUCKET CO-LOCATION — the large-query-set scale path.
+
+    Identical output to :func:`knn_lsh` (same hyperplanes → same bucket
+    membership → same candidate set → same exact rerank), but the
+    pairing never scans a batch against broadcast query signatures:
+
+    1. *Emit*: one ``(bucket_key, id)`` row per (vector, table), where
+       ``bucket_key = table << nbits | bucket`` — a ``map_batches``
+       pass.  Query vectors emit the same rows tagged ``query_idx``.
+    2. *Exchange*: rows hash-partition on ``bucket_key`` through the
+       dedup module's partitioned exchange (broadcast-filter for small
+       tables, row-moves-once scatter above its threshold), so every
+       bucket's vector rows and query rows meet in ONE partition.
+       Pairing inside the partition is a sort-merge on bucket_key.
+    3. *Rerank*: the deduped candidate (query_idx, vec_id) pairs are
+       broadcast (small — candidates only, not the corpus) and each
+       batch computes exact cosines for ITS candidate vectors only;
+       per-query top-k merges on the driver.
+
+    At 100 TB step 2 is the only all-to-all and it moves ``ntables``
+    int64 rows per vector, never the embeddings; step 3 re-reads the
+    (pruned) embedding column once.
+    """
+    import ray
+
+    from .dedup import _partitioned_exchange
+
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    planes = _lsh_planes(ntables, nbits, q.shape[1], seed)
+    tshift = np.uint64(nbits)
+    tidx = np.arange(ntables, dtype=np.uint64)
+
+    def bucket_keys(m: np.ndarray) -> np.ndarray:
+        """(n, dim) → (n, ntables) uint64 combined (table, bucket) keys."""
+        sigs = _lsh_signatures(m, planes).astype(np.uint64)
+        return (tidx[None, :] << tshift) | sigs
+
+    # -- step 1: emit bucket rows ------------------------------------------
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keys = bucket_keys(_normalize(_as_matrix(batch[vec_col])))
+        return pa.table({
+            "bucket_key": pa.array(keys.ravel(), pa.uint64()),
+            "idx": pa.array(np.repeat(ids.astype(np.int64), ntables)),
+            "is_query": pa.array(np.zeros(keys.size, dtype=np.bool_)),
+        })
+
+    qkeys = bucket_keys(q)
+    qrows = pa.table({
+        "bucket_key": pa.array(qkeys.ravel(), pa.uint64()),
+        "idx": pa.array(np.repeat(np.arange(len(q), dtype=np.int64), ntables)),
+        "is_query": pa.array(np.ones(qkeys.size, dtype=np.bool_)),
+    })
+    import ray.data as rd
+
+    bucket_ds = ds.map_batches(emit, batch_format="pyarrow").union(rd.from_arrow(qrows))
+
+    # -- step 2: co-located pairing ----------------------------------------
+    def pair_partition(part: pa.Table) -> pa.Table:
+        isq = part["is_query"].to_numpy(zero_copy_only=False)
+        keys = part["bucket_key"].to_numpy(zero_copy_only=False)
+        idx = part["idx"].to_numpy(zero_copy_only=False)
+        qk, qi = keys[isq], idx[isq]
+        vk, vi = keys[~isq], idx[~isq]
+        if not len(qk) or not len(vk):
+            return pa.table({"query_idx": pa.array([], pa.int64()),
+                             "cand_id": pa.array([], pa.int64())})
+        vorder = np.argsort(vk, kind="stable")
+        vk, vi = vk[vorder], vi[vorder]
+        lo = np.searchsorted(vk, qk, side="left")
+        hi = np.searchsorted(vk, qk, side="right")
+        runs = hi - lo
+        out_q = np.repeat(qi, runs)
+        # vector ids covered by each query's [lo, hi) run, concatenated
+        out_v = vi[np.concatenate([np.arange(a, b) for a, b in zip(lo, hi)])] \
+            if runs.sum() else np.empty(0, np.int64)
+        return pa.table({"query_idx": pa.array(out_q), "cand_id": pa.array(out_v)})
+
+    parts = _partitioned_exchange(bucket_ds, "bucket_key", pair_partition,
+                                  num_partitions=num_partitions)
+    if parts:
+        cand = pa.concat_tables(parts)
+        pairs = np.unique(np.stack([
+            cand["query_idx"].to_numpy(zero_copy_only=False),
+            cand["cand_id"].to_numpy(zero_copy_only=False),
+        ], axis=1), axis=0)
+    else:
+        pairs = np.empty((0, 2), dtype=np.int64)
+
+    # -- step 3: exact rerank of candidates only ---------------------------
+    # candidate ids sorted, with each id's query list (CSR layout)
+    cid_sorted = pairs[np.lexsort((pairs[:, 0], pairs[:, 1]))]
+    cand_ids, starts = np.unique(cid_sorted[:, 1], return_index=True)
+    bounds = np.append(starts, len(cid_sorted))
+    qlists = cid_sorted[:, 0]
+    ref = ray.put((q, cand_ids, bounds, qlists))
+
+    def rerank(batch: pa.Table) -> pa.Table:
+        qm, cids, bnds, qls = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(cids):
+            return pa.table({"query_idx": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        pos = np.searchsorted(cids, ids)
+        mask = (pos < len(cids)) & (cids[np.minimum(pos, len(cids) - 1)] == ids)
+        if not mask.any():
+            return pa.table({"query_idx": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        m = _normalize(_as_matrix(batch[vec_col]))[mask]
+        sel_ids, sel_pos = ids[mask], pos[mask]
+        out_q, out_id, out_c = [], [], []
+        for row, (vid, p) in enumerate(zip(sel_ids, sel_pos)):
+            qs = qls[bnds[p]:bnds[p + 1]]
+            out_q.append(qs)
+            out_id.append(np.full(len(qs), vid, dtype=np.int64))
+            out_c.append(qm[qs] @ m[row])
+        return pa.table({"query_idx": pa.array(np.concatenate(out_q)),
+                         id_col: pa.array(np.concatenate(out_id)),
+                         "cosine": pa.array(np.concatenate(out_c))})
+
+    t = pa.concat_tables(_collect_blocks(ds.map_batches(rerank, batch_format="pyarrow")))
+    return _topk_per_query(t, k, id_col)
 
 
 def ivf_build_index(ds, index_path: str, *, nlist: int = 16,

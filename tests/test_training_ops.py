@@ -202,6 +202,30 @@ def test_image_resize_and_video_frames(ray_session):
         ImageResizeStage(decoder="real")(t)
 
 
+def test_knn_lsh_bucketed_matches_broadcast(ray_session):
+    """The co-located exchange path (emit bucket rows → hash-partition →
+    sort-merge pairing → candidate-only rerank) must return EXACTLY the
+    broadcast-scan path's table: same buckets → same candidates → same
+    exact cosines → same tie-broken top-k."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.similarity import knn_lsh, knn_lsh_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    emb = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = np.array(emb["embedding"].to_pylist()[:5])  # multi-query
+    ds = rd.from_arrow([emb.slice(i, 64) for i in range(0, emb.num_rows, 64)])
+    a = knn_lsh(ds, vecs, k=10)
+    b = knn_lsh_bucketed(ds, vecs, k=10)
+    assert a.equals(b), f"\n{a.to_pandas()}\nvs\n{b.to_pandas()}"
+    # single-query too (degenerate shapes)
+    a1 = knn_lsh(ds, vecs[0], k=7)
+    b1 = knn_lsh_bucketed(ds, vecs[0], k=7, num_partitions=4)
+    assert a1.equals(b1)
+
+
 def test_knn_lsh_recall_vs_bruteforce(ray_session):
     import numpy as np
     import pyarrow.parquet as pq
