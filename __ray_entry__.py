@@ -1287,6 +1287,32 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         """,
+        # MinHash+LSH near-dup: the engine's VERIFY stage computes exact
+        # char-5-shingle Jaccard for every banding candidate, and on the
+        # fixed test corpora LSH banding has full recall for pairs at
+        # jaccard >= 0.5 (verified at sf0.001 and sf0.01), so the output
+        # equals the exhaustive exact-Jaccard pair table SQL computes.
+        # Shingles here are byte==char (ASCII corpus); windows
+        # max(1, len-4) match _shingle_hashes / jaccard().
+        "minhash_pairs": """
+            WITH sh AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
+              FROM documents,
+                   LATERAL (SELECT unnest(range(1, greatest(1, length(text) - 4) + 1)) AS i) t
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, round(c / (na.n + nb.n - c), 6) AS jaccard
+            FROM inter
+            JOIN sizes na ON na.doc_id = id_a
+            JOIN sizes nb ON nb.doc_id = id_b
+            WHERE c / (na.n + nb.n - c) >= 0.5
+            ORDER BY id_a, id_b
+        """,
         # real-codec multimodal decode: the media corpus is analytic in
         # the index i (synthesize_real_media_table), so every decoded
         # value — BMP dims & mean pixel, WAV duration & RMS energy,
