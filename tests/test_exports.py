@@ -408,10 +408,33 @@ def test_html_report_exporter(crawl_result, tmp_path):
                     "fastest-urls", "http-headers", "visited-urls"):
         assert section in html, section
     assert f"{res.metrics['visited']} URLs" in html
+    # tabbed layout (template.html mechanics): one radio + label + panel
+    # per tab, pure-CSS :checked wiring, first tab checked
+    n_tabs = html.count('class="tabs__radio"')
+    assert n_tabs >= 10
+    assert html.count('class="tabs__title') == n_tabs
+    assert html.count('class="tabs__tab ') == n_tabs
+    assert ':checked ~ main .tabs__tab-0' in html and 'id="tab-radio-0" name="tabs" class="tabs__radio" checked' in html
+    # per-tab drill-down: each report table renders its rows inside its panel
+    import re as _re
+
+    for apl in ("content-types", "source-domains", "http-headers", "caching",
+                "fastest-urls", "redirects", "404-pages"):
+        m = _re.search(rf"<h2>{apl}</h2><table><thead>(.*?)</thead><tbody>(.*?)</tbody>", html)
+        assert m, apl
+        assert "<th>" in m.group(1), apl
+    # badge rules (report.rs:1639-1810): count badges with severity colors
+    assert _re.search(r'class="badge (red|orange|green|blue|neutral)"', html)
+    # tab order: summary before visited-urls before content-types (report.rs:134-160)
+    assert html.index(">Summary ") < html.index(">visited-urls ") < html.index(">content-types ")
     # section allowlist (report.rs:223-230)
     only = write_html_report(res, ds, str(tmp_path / "r2.html"),
                              allowed_sections=["summary", "content-types"])
     assert "content-types" in only and "source-domains" not in only
+    # reference section names also work: "headers" selects http-headers
+    hdr = write_html_report(res, ds, str(tmp_path / "r3.html"),
+                            allowed_sections=["headers"])
+    assert "http-headers" in hdr and "content-types" not in hdr
     # XSS-safety: table cells are escaped
     assert "<script" not in only.lower()
 
