@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--keep-query-param", action="append", default=[])
     p.add_argument("--force-relative-urls", action="store_true")
     p.add_argument("--ignore-robots-txt", action="store_true")
+    # extra columns (extra_column.rs:102-160; comma-separated like the
+    # reference's --extra-columns / -ec, repeatable to avoid comma
+    # collisions inside regexp specs)
+    p.add_argument("--extra-columns", action="append", default=[],
+                   help="Title(20),X-Cache,H1=xpath://h1/text()(40),...")
     # physical execution
     p.add_argument("--workers", type=int, default=None, help="fetch worker actors")
     p.add_argument("--num-shards", type=int, default=8, help="frontier shards")
@@ -141,6 +146,10 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
     visited_ds = res.visited_ds()
     table_cache: dict = {}
 
+    extras_specs = [s.strip() for arg in args.extra_columns
+                    for s in arg.split(",") if s.strip()]
+    extras_table = _extra_columns_table(res, extras_specs) if extras_specs else None
+
     if args.sitemap_xml_file:
         RP.write_sitemap_xml(RP.sitemap_urls(visited_ds), args.sitemap_xml_file)
 
@@ -155,12 +164,14 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
         from .pipelines.report_json import write_report_json
 
         report = write_report_json(res, visited_ds, args.output_json_file,
-                                   config=cfg, table_cache=table_cache)
+                                   config=cfg, table_cache=table_cache,
+                                   extras_table=extras_table)
     if args.output_text_file:
         from .pipelines.report_text import write_text_report
 
         write_text_report(res, visited_ds, args.output_text_file,
-                          config=cfg, table_cache=table_cache)
+                          config=cfg, table_cache=table_cache,
+                          extras_table=extras_table)
     if args.output_html_file:
         from .pipelines.report_html import write_html_report
 
@@ -192,6 +203,25 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
         if code:
             return 10
     return 0
+
+
+def _extra_columns_table(res, specs: list[str]):
+    """--extra-columns evaluation as a streaming map_batches pass over
+    the visited parts (crawler.rs:927-934 applies extraction per fetched
+    page; here the compiled specs ride into an actor-compatible stage).
+    Returns a small driver table of ``url`` + one string column per
+    spec — bounded by max_visited_urls, like the report result rows."""
+    import pyarrow as pa
+
+    from .functions.extra_columns import ExtraColumnsStage, parse_extra_columns
+
+    names = [c.name for c in parse_extra_columns(specs)]
+    ds = res.visited_ds().map_batches(ExtraColumnsStage(specs), batch_format="pyarrow")
+    batches = list(ds.select_columns(["url", *names]).iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return pa.table({"url": pa.array([], pa.string()),
+                         **{n: pa.array([], pa.string()) for n in names}})
+    return pa.concat_tables(batches, promote_options="permissive")
 
 
 def _export_offline(res, initial_url: str, out_dir: str) -> None:

@@ -41,12 +41,20 @@ def _table_block(apl_code: str, t: pa.Table) -> dict:
     }
 
 
-def build_report(res, visited_ds, config=None, table_cache: dict | None = None) -> dict:
+def build_report(res, visited_ds, config=None, table_cache: dict | None = None,
+                 extras_table: pa.Table | None = None) -> dict:
     """``table_cache`` (optional dict keyed by the report function name)
     lets a caller that already computed some report tables over the SAME
     visited dataset reuse them instead of re-running the aggregation —
     the reference's analyzers likewise run once per crawl and feed every
-    output format from the same in-memory results."""
+    output format from the same in-memory results.
+
+    ``extras_table`` (optional, ``url`` + one string column per
+    ``--extra-columns`` spec, from functions/extra_columns.py) feeds the
+    per-result ``extras`` object and ``extraColumnsFromAnalysis`` the
+    way the reference's json_output.rs:105-131 does: each result row
+    carries ``{name: value}``; with no extra columns the field is the
+    reference's empty-array sentinel."""
 
     def get(fn, *args):
         if table_cache is None:
@@ -74,6 +82,17 @@ def build_report(res, visited_ds, config=None, table_cache: dict | None = None) 
     }
     stats = get(RP.basic_stats, visited_ds).to_pylist()[0]
     results = res.visited_table(columns=RESULT_COLUMNS).to_pylist()
+    extra_names: list[str] = []
+    if extras_table is not None:
+        extra_names = [c for c in extras_table.schema.names if c != "url"]
+        by_url = {
+            row["url"]: {k: row[k] for k in extra_names} for row in extras_table.to_pylist()
+        }
+        for row in results:
+            row["extras"] = by_url.get(row["url"], {k: "" for k in extra_names})
+    else:
+        for row in results:
+            row["extras"] = []  # json_output.rs:105 empty-array sentinel
     return {
         "crawler": ENGINE,
         "options": (asdict(config) if config is not None else {}),
@@ -85,13 +104,17 @@ def build_report(res, visited_ds, config=None, table_cache: dict | None = None) 
         ],
         "tables": [_table_block(k, t) for k, t in tables.items()],
         "qualityScores": {"categories": quality.scores, "total": quality.total},
-        "extraColumnsFromAnalysis": ["Title", "Description"],
+        "extraColumnsFromAnalysis": ["Title", "Description",
+                                     *(n for n in extra_names
+                                       if n not in ("Title", "Description"))],
     }
 
 
 def write_report_json(res, visited_ds, path: str, config=None,
-                      table_cache: dict | None = None) -> dict:
-    report = build_report(res, visited_ds, config, table_cache=table_cache)
+                      table_cache: dict | None = None,
+                      extras_table: pa.Table | None = None) -> dict:
+    report = build_report(res, visited_ds, config, table_cache=table_cache,
+                          extras_table=extras_table)
     with open(path, "w") as f:
         json.dump(report, f, default=str)
     return report

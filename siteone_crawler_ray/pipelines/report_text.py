@@ -30,11 +30,25 @@ def _banner(n_urls: int) -> str:
     return "\n".join(lines)
 
 
-def visited_table_text(visited: pa.Table, origin_host: str = "") -> str:
-    """text_output.rs:279-420 add_table_header/add_table_row."""
+def visited_table_text(visited: pa.Table, origin_host: str = "",
+                       extras: pa.Table | None = None) -> str:
+    """text_output.rs:279-420 add_table_header/add_table_row; extra
+    columns widen the table the way text_output.rs:76-84 sizes
+    ``extra_columns_width`` (name-or-value width + ' | ' separator)."""
     urls = visited["url"].to_pylist()
     width = min(MAX_URL_COL, max((len(u) for u in urls), default=3))
+    extra_names: list[str] = []
+    extra_by_url: dict = {}
+    extra_w: dict = {}
+    if extras is not None:
+        extra_names = [c for c in extras.schema.names if c != "url"]
+        extra_by_url = {r["url"]: r for r in extras.to_pylist()}
+        for n in extra_names:
+            vals = ["" if v is None else str(v) for v in extras[n].to_pylist()]
+            extra_w[n] = max([len(n)] + [len(v) for v in vals])
     head = (f"{'URL':<{width}} | Status | Type     | Time     | Size  ")
+    for n in extra_names:
+        head += f" | {n:<{extra_w[n]}}"
     sep = "-" * len(head)
     rows = [head, sep]
     statuses = visited["status_code"].to_pylist()
@@ -44,10 +58,15 @@ def visited_table_text(visited: pa.Table, origin_host: str = "") -> str:
     for u, st, ct, tm, sz in zip(urls, statuses, ctypes, times, sizes):
         disp = truncate_url(u, width, strip_hostname=origin_host or None)
         ct_name = _CT_NAMES.get(int(ct), "OTHER").capitalize()
-        rows.append(
+        line = (
             f"{disp:<{width}} | {status_code_str(int(st)):<6} | {ct_name:<8} "
             f"| {formatted_duration(float(tm)):<8} | {formatted_size(int(sz))}"
         )
+        if extra_names:
+            er = extra_by_url.get(u, {})
+            for n in extra_names:
+                line += f" | {str(er.get(n) or ''):<{extra_w[n]}}"
+        rows.append(line)
     return "\n".join(rows)
 
 
@@ -69,12 +88,13 @@ def _section(title: str, t: pa.Table, max_rows: int = 50) -> str:
     return "\n".join(lines)
 
 
-def render_text_report(report: dict, visited: pa.Table, origin_host: str = "") -> str:
+def render_text_report(report: dict, visited: pa.Table, origin_host: str = "",
+                       extras: pa.Table | None = None) -> str:
     """Full console document: banner → visited table → stats →
     per-analyzer sections (SuperTable analogues)."""
     parts = [_banner(len(report.get("results", [])))]
     parts.append("")
-    parts.append(visited_table_text(visited, origin_host))
+    parts.append(visited_table_text(visited, origin_host, extras=extras))
     stats = report.get("stats", {})
     if stats:
         st = pa.table({"stat": pa.array([str(k) for k in stats]),
@@ -99,17 +119,19 @@ def render_text_report(report: dict, visited: pa.Table, origin_host: str = "") -
 
 
 def write_text_report(res, visited_ds, path: str, config=None,
-                      table_cache: dict | None = None) -> str:
+                      table_cache: dict | None = None,
+                      extras_table: pa.Table | None = None) -> str:
     from ..functions.urls import host_of
     from .report_json import build_report
 
-    report = build_report(res, visited_ds, config, table_cache=table_cache)
+    report = build_report(res, visited_ds, config, table_cache=table_cache,
+                          extras_table=extras_table)
     visited = res.visited_table(
         columns=["url", "status_code", "content_type", "request_time", "size"]
     )
     first = visited["url"].to_pylist()[:1]
     origin = host_of(first[0]) if first else ""
-    text = render_text_report(report, visited, origin)
+    text = render_text_report(report, visited, origin, extras=extras_table)
     with open(path, "w") as f:
         f.write(text)
     return text

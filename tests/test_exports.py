@@ -517,6 +517,7 @@ def test_cli_end_to_end(ray_session, tmp_path):
         "--workdir", str(tmp_path / "work"),
         "--allowed-domain", "*",
         "--workers", "2", "--num-shards", "4",
+        "--extra-columns", "Title(30),Etag,P1=xpath://p/text()(40)",
         "--output-json-file", str(out / "report.json"),
         "--output-text-file", str(out / "report.txt"),
         "--output-html-file", str(out / "report.html"),
@@ -527,7 +528,17 @@ def test_cli_end_to_end(ray_session, tmp_path):
     assert rc == 0
     rep = json.loads((out / "report.json").read_text())
     assert rep["stats"]["total_urls"] > 0
-    assert "siteone-crawler-ray" in (out / "report.txt").read_text()
+    # --extra-columns flows into the per-result extras objects
+    # (json_output.rs:105-131) and extraColumnsFromAnalysis
+    assert rep["extraColumnsFromAnalysis"][-2:] == ["Etag", "P1"]
+    extras_rows = [r["extras"] for r in rep["results"]]
+    assert all(set(e) == {"Title", "Etag", "P1"} for e in extras_rows)
+    assert any(e["Title"] for e in extras_rows)
+    assert any(e["P1"] for e in extras_rows)
+    txt = (out / "report.txt").read_text()
+    assert "siteone-crawler-ray" in txt
+    # extra columns widen the visited table header (text_output.rs:76-84)
+    assert "| Etag" in txt and "| P1" in txt
     assert (out / "report.html").read_text().startswith("<!DOCTYPE html>")
     assert "<urlset" in (out / "sitemap.xml").read_text()
     # offline export wrote rewritten page files
