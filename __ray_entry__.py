@@ -468,6 +468,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id", "text"], override_num_blocks=32
                                ).map_batches(combined, batch_format="pyarrow")
 
+    def dup_clusters(sf_dir: str):
+        """Near-dup FAMILIES: MinHash pairs → connected components
+        (alternating large-star/small-star rounds) → canonical survivor
+        per family (doc_id, component, keep)."""
+        import os as _os
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from siteone_crawler_ray.stages.dedup import near_dup_clusters
+
+        ds = rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"], override_num_blocks=32)
+        t = near_dup_clusters(ds, threshold=0.5)
+        # keep as int64: the value-hash canon stringifies bools, ints
+        # compare bit-exactly on both sides
+        return t.set_column(t.schema.get_field_index("keep"), "keep",
+                            t["keep"].cast(pa.int64()))
+
     def ann_knn(sf_dir: str):
         """Approximate nearest neighbour: IVF (centroid cells) and LSH
         (random-hyperplane buckets) top-10 in one tagged table
@@ -638,6 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_link_extract": html_link_extract,
         "page_checks": page_checks,
         "minhash_pairs": minhash_pairs,
+        "dup_clusters": dup_clusters,
         "content_signatures": content_signatures,
         "ann_knn": ann_knn,
         "media_stages": media_stages,
@@ -1312,6 +1332,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes nb ON nb.doc_id = id_b
             WHERE c / (na.n + nb.n - c) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        # transitive closure of the same exact-Jaccard pair graph:
+        # WITH RECURSIVE reachability from every node over symmetrized
+        # edges; component = min reachable node (= min of the connected
+        # component), keep = node is its component's min
+        "dup_clusters": """
+            WITH RECURSIVE sh AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
+              FROM documents,
+                   LATERAL (SELECT unnest(range(1, greatest(1, length(text) - 4) + 1)) AS i) t
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes na ON na.doc_id = id_a
+              JOIN sizes nb ON nb.doc_id = id_b
+              WHERE c / (na.n + nb.n - c) >= 0.5
+            ), edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), reach(node, root) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.root
+            )
+            SELECT node AS doc_id, min(root) AS component,
+                   CAST(node = min(root) AS BIGINT) AS keep
+            FROM reach GROUP BY node ORDER BY doc_id
         """,
         # real-codec multimodal decode: the media corpus is analytic in
         # the index i (synthesize_real_media_table), so every decoded

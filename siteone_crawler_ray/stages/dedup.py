@@ -583,3 +583,208 @@ def embedding_dup_pairs(ds, *, id_col="vec_id", vec_col="embedding", threshold=0
     _, idx = np.unique(key, axis=0, return_index=True)
     out = t.take(pa.array(np.sort(idx)))
     return out.take(pc.sort_indices(out, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))
+
+
+# ---- near-dup clustering: connected components over the pair graph --------
+#
+# A 100-TB training-data pipeline doesn't stop at duplicate PAIRS — it
+# needs duplicate FAMILIES (transitive closure) and one canonical
+# survivor per family.  Components are computed with the alternating
+# large-star / small-star edge-contraction algorithm (Kiveris et al.,
+# "Connected Components in MapReduce and Beyond", SoCC'14 — public
+# literature): every round is one hash-partitioned exchange over the
+# edge list keyed on the grouping node, converging in O(log² n) rounds
+# with NO per-node label table and no driver-side graph.  The same
+# numpy kernel drives both the driver-local fast path (small pair sets)
+# and the distributed path (edge refs stay in the object store; the
+# driver sees only a per-round set fingerprint scalar).
+
+_CC_DRIVER_ROWS = 1_000_000  # pairs above this run the distributed rounds
+
+
+def _star_round(u: np.ndarray, v: np.ndarray, small: bool) -> tuple[np.ndarray, np.ndarray]:
+    """One large-star (small=False) or small-star (small=True) round on
+    int64 edge arrays grouped by ``u``.  Inputs must already be
+    symmetrized (large) or oriented max→min (small).  Returns deduped
+    (u', v') edges with no self-loops."""
+    if not len(u):
+        return u, v
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    starts = np.nonzero(np.concatenate([[True], u[1:] != u[:-1]]))[0]
+    m = np.minimum(np.minimum.reduceat(v, starts), u[starts])  # min of Γ⁺(u)
+    gidx = np.cumsum(np.concatenate([[True], u[1:] != u[:-1]])) - 1
+    mg = m[gidx]
+    if small:
+        # connect every neighbor (and the center) to the group min
+        eu = np.concatenate([v, u[starts]])
+        ev = np.concatenate([mg, m])
+    else:
+        # connect strictly-greater neighbors to the group min
+        sel = v > u
+        eu, ev = v[sel], mg[sel]
+    keep = eu != ev
+    eu, ev = eu[keep], ev[keep]
+    if not len(eu):
+        return eu, ev
+    key = np.stack([eu, ev], axis=1)
+    uniq = np.unique(key, axis=0)
+    return uniq[:, 0], uniq[:, 1]
+
+
+def _edge_fingerprint(u: np.ndarray, v: np.ndarray) -> int:
+    """Order-independent set fingerprint (sum of per-edge splitmix64
+    mixes mod 2⁶⁴) — partition-independent, so distributed partials
+    just add up."""
+    if not len(u):
+        return 0
+    with np.errstate(over="ignore"):
+        x = (u.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             + v.view(np.uint64) * np.uint64(0xBF58476D1CE4E5B9))
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return int(np.sum(x, dtype=np.uint64))
+
+
+def connected_components(pairs: pa.Table, *, id_a="id_a", id_b="id_b",
+                         use_ray: bool | None = None, num_partitions: int = 32,
+                         max_rounds: int = 64) -> pa.Table:
+    """(id_a, id_b) pair table → (doc_id, component) for every node in
+    any pair, component = min doc_id of its connected component."""
+    u0 = pairs[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+    v0 = pairs[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+    distributed = (use_ray if use_ray is not None
+                   else pairs.num_rows > _CC_DRIVER_ROWS)
+    if distributed:
+        star = _distributed_star_rounds(u0, v0, num_partitions, max_rounds)
+    else:
+        star = _local_star_rounds(u0, v0, max_rounds)
+    su, sv = star
+    # fixpoint edges are (member → root); roots map to themselves
+    nodes = np.unique(np.concatenate([u0, v0]))
+    comp = nodes.copy()
+    pos = np.searchsorted(nodes, su)
+    comp[pos] = sv
+    return pa.table({"doc_id": pa.array(nodes), "component": pa.array(comp)})
+
+
+def _local_star_rounds(u, v, max_rounds):
+    prev_fp = None
+    for _ in range(max_rounds):
+        # large-star over symmetrized edges
+        u, v = _star_round(np.concatenate([u, v]), np.concatenate([v, u]), small=False)
+        # small-star over max→min oriented edges
+        u, v = _star_round(np.maximum(u, v), np.minimum(u, v), small=True)
+        fp = (_edge_fingerprint(u, v), len(u))
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    return u, v
+
+
+def _distributed_star_rounds(u, v, P, max_rounds):
+    """The same rounds with edges living as object-store refs: each
+    round scatters oriented edges by group-node hash, every partition
+    task runs the numpy kernel on its node-complete slice, and only a
+    (fingerprint, count) scalar pair returns to the driver."""
+    import ray
+
+    _cc_stats = ray.remote(_cc_stats_fn)
+
+    @ray.remote
+    def seed_scatter(ut, vt, P, small):
+        return _orient_and_split(ut, vt, P, small)
+
+    @ray.remote
+    def round_task(small: bool, P: int, *parts):
+        """Gather one partition, run the kernel, pre-split the output
+        for the NEXT round's orientation."""
+        us = [p[0] for p in parts if p is not None and len(p[0])]
+        vs = [p[1] for p in parts if p is not None and len(p[1])]
+        if not us:
+            return None
+        eu, ev = _star_round(np.concatenate(us), np.concatenate(vs), small)
+        return eu, ev, _edge_fingerprint(eu, ev), len(eu)
+
+    @ray.remote
+    def resplit(part, P, small):
+        if part is None:
+            return [None] * P if P > 1 else None
+        return _orient_and_split(part[0], part[1], P, small)
+
+    # chunk the seed edges so no single object is huge
+    n = max(1, len(u))
+    step = max(1, -(-n // P))
+    chunks = [(u[i:i + step], v[i:i + step]) for i in range(0, n, step)]
+
+    def run_round(split_refs, small):
+        """split_refs: list over sources, each num_returns=P."""
+        outs = [round_task.remote(small, P, *[split_refs[s][p] for s in range(len(split_refs))])
+                for p in range(P)]
+        return outs
+
+    prev_fp = None
+    cur = None  # list of per-partition (u, v) refs
+    for rnd in range(max_rounds):
+        if cur is None:
+            splits = [seed_scatter.options(num_returns=P).remote(cu, cv, P, False)
+                      for cu, cv in chunks]
+        else:
+            splits = [resplit.options(num_returns=P).remote(c, P, False) for c in cur]
+        if P == 1:
+            splits = [[s] for s in splits]
+        large = run_round(splits, False)
+        splits = [resplit.options(num_returns=P).remote(c, P, True) for c in large]
+        if P == 1:
+            splits = [[s] for s in splits]
+        cur = run_round(splits, True)
+        stats = ray.get([_cc_stats.remote(c) for c in cur])
+        fp = (sum(s[0] for s in stats) & 0xFFFFFFFFFFFFFFFF, sum(s[1] for s in stats))
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    parts = ray.get(cur)
+    us = [p[0] for p in parts if p is not None and len(p[0])]
+    vs = [p[1] for p in parts if p is not None and len(p[1])]
+    if not us:
+        return np.array([], np.int64), np.array([], np.int64)
+    # at the fingerprint fixpoint the edges form stars (member → root);
+    # a member edge emitted by two partitions carries the SAME root, so
+    # duplicate rows are harmless to the component assignment
+    return np.concatenate(us), np.concatenate(vs)
+
+
+def _orient_and_split(eu, ev, P, small):
+    """Orient edges for the round (symmetrize for large-star, max→min
+    for small-star) and split by group-node hash."""
+    if small:
+        gu, gv = np.maximum(eu, ev), np.minimum(eu, ev)
+    else:
+        gu, gv = np.concatenate([eu, ev]), np.concatenate([ev, eu])
+    part = gu.view(np.uint64) % np.uint64(P)
+    out = tuple((gu[part == p], gv[part == p]) for p in range(P))
+    return out if P > 1 else out[0]
+
+
+def _cc_stats_fn(part):
+    """round_task already computed (fingerprint, count) as elements 2,3."""
+    return (0, 0) if part is None else (part[2], part[3])
+
+
+def near_dup_clusters(ds, *, id_col="doc_id", text_col="text", threshold=0.5,
+                      use_ray: bool | None = None, **minhash_kw) -> pa.Table:
+    """MinHash pairs → transitive duplicate families → canonical pick.
+
+    Returns (doc_id, component, keep) for every document that belongs
+    to a near-dup cluster: ``component`` is the min doc_id of the
+    family, ``keep`` marks the one canonical survivor per family — the
+    row set a dedup pipeline would subtract from the corpus."""
+    import pyarrow.compute as pc
+
+    pairs = minhash_dedup_pairs(ds, id_col=id_col, text_col=text_col,
+                                threshold=threshold, **minhash_kw)
+    comp = connected_components(pairs, use_ray=use_ray)
+    keep = pc.equal(comp["doc_id"], comp["component"])
+    out = comp.append_column("keep", keep)
+    return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))

@@ -406,3 +406,68 @@ def test_ivf_partitioned_index(ray_session, tmp_path):
     # probed first, so it must find itself at rank 1
     approx = ivf_query_index(idx, q, k=10, nprobe=2)
     assert approx["vec_id"].to_pylist()[0] == 5
+
+
+def test_connected_components_both_paths(ray_session):
+    """Local and distributed star-contraction agree with a union-find
+    reference on a random graph + a 1000-node chain (worst-case
+    diameter for naive propagation)."""
+    from siteone_crawler_ray.stages.dedup import connected_components
+
+    rng = np.random.default_rng(11)
+    ids = rng.choice(50_000, size=800, replace=False).astype(np.int64)
+    ia, ib = rng.choice(ids, 600), rng.choice(ids, 600)
+    sel = ia != ib
+    pairs = pa.table({"id_a": pa.array(np.minimum(ia, ib)[sel]),
+                      "id_b": pa.array(np.maximum(ia, ib)[sel])})
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups: dict = {}
+    for n in parent:
+        groups.setdefault(find(n), []).append(n)
+    want = {x: min(members) for members in groups.values() for x in members}
+
+    for kw in ({"use_ray": False}, {"use_ray": True, "num_partitions": 8}):
+        t = connected_components(pairs, **kw)
+        got = dict(zip(t["doc_id"].to_pylist(), t["component"].to_pylist()))
+        assert got == want, kw
+
+    # chain: single component rooted at the minimum
+    n = 1000
+    chain = pa.table({"id_a": pa.array(np.arange(n - 1, dtype=np.int64)),
+                      "id_b": pa.array(np.arange(1, n, dtype=np.int64))})
+    for kw in ({"use_ray": False}, {"use_ray": True, "num_partitions": 4}):
+        t = connected_components(chain, **kw)
+        assert t.num_rows == n and set(t["component"].to_pylist()) == {0}
+
+    empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    assert connected_components(empty, use_ray=False).num_rows == 0
+
+
+def test_near_dup_clusters(ray_session):
+    """Pairs → transitive families → one canonical survivor each."""
+    from siteone_crawler_ray.stages.dedup import near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    ds = _docs_ds([
+        (1, base), (4, base), (2, base.replace("lazy", "sleepy")),
+        (3, "completely different content about ray data pipelines and arrow batches"),
+        (7, "another unrelated document body entirely about parquet file readers"),
+    ])
+    t = near_dup_clusters(ds, threshold=0.5)
+    rows = {r["doc_id"]: r for r in t.to_pylist()}
+    # 1-2-4 form one family rooted at 1; 3 and 7 are singletons (absent)
+    assert set(rows) == {1, 2, 4}
+    assert all(r["component"] == 1 for r in rows.values())
+    assert [d for d, r in rows.items() if r["keep"]] == [1]
