@@ -289,7 +289,7 @@ def main() -> int:
                 f.write(
                     f"\n<!-- bench.py --scaling -->\n"
                     f"- scaling run ({SCALE_PAGES} pages): eff={report['value']} "
-                    f"(min-of-3; median-pairs {report.get('value_median_pairs')}; "
+                    f"(median-of-pairs; min-of-reps {report.get('value_min_of_reps')}; "
                     f"T{lo}={rlo['crawl_sec']}s {rlo['pages_per_sec']}p/s, "
                     f"T{hi}={rhi['crawl_sec']}s {rhi['pages_per_sec']}p/s)\n"
                 )
