@@ -70,6 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-json-file")
     p.add_argument("--output-text-file")
     p.add_argument("--output-html-file")
+    # output display options (super_table.rs:22 hard rows limit default;
+    # text_output.rs:349-354 origin stripping, :429-431 URL truncation)
+    p.add_argument("--rows-limit", type=int, default=200,
+                   help="max rows per report table (HTML report ignores it)")
+    p.add_argument("--do-not-truncate-url", action="store_true")
+    p.add_argument("--show-scheme-and-host", action="store_true")
     p.add_argument("--html-report-options", help="comma-separated section allowlist")
     p.add_argument("--sitemap-xml-file")
     p.add_argument("--offline-export-dir")
@@ -165,13 +171,17 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
 
         report = write_report_json(res, visited_ds, args.output_json_file,
                                    config=cfg, table_cache=table_cache,
-                                   extras_table=extras_table)
+                                   extras_table=extras_table,
+                                   rows_limit=args.rows_limit)
     if args.output_text_file:
         from .pipelines.report_text import write_text_report
 
         write_text_report(res, visited_ds, args.output_text_file,
                           config=cfg, table_cache=table_cache,
-                          extras_table=extras_table)
+                          extras_table=extras_table,
+                          rows_limit=args.rows_limit,
+                          show_scheme_and_host=args.show_scheme_and_host,
+                          do_not_truncate_url=args.do_not_truncate_url)
     if args.output_html_file:
         from .pipelines.report_html import write_html_report
 

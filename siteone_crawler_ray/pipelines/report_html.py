@@ -305,8 +305,11 @@ def write_html_report(res, visited_ds, path: str, config=None,
                       table_cache: dict | None = None) -> str:
     from .report_json import build_report
 
+    # rows_limit=None: the reference HTML report ignores the global hard
+    # rows limit (report.rs:1206 set_ignore_hard_rows_limit)
     html = render_html_report(
-        build_report(res, visited_ds, config, table_cache=table_cache), allowed_sections
+        build_report(res, visited_ds, config, table_cache=table_cache, rows_limit=None),
+        allowed_sections,
     )
     with open(path, "w") as f:
         f.write(html)

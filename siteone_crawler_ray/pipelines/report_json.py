@@ -42,12 +42,19 @@ def _table_block(apl_code: str, t: pa.Table) -> dict:
 
 
 def build_report(res, visited_ds, config=None, table_cache: dict | None = None,
-                 extras_table: pa.Table | None = None) -> dict:
+                 extras_table: pa.Table | None = None,
+                 rows_limit: int | None = 200) -> dict:
     """``table_cache`` (optional dict keyed by the report function name)
     lets a caller that already computed some report tables over the SAME
     visited dataset reuse them instead of re-running the aggregation —
     the reference's analyzers likewise run once per crawl and feed every
     output format from the same in-memory results.
+
+    ``rows_limit`` is the reference's global hard rows limit
+    (``--rows-limit``, super_table.rs:22,123 — default 200) applied to
+    every SuperTable analogue; pass ``None`` to disable (the HTML
+    report exporter does, mirroring report.rs:1206
+    ``set_ignore_hard_rows_limit``).
 
     ``extras_table`` (optional, ``url`` + one string column per
     ``--extra-columns`` spec, from functions/extra_columns.py) feeds the
@@ -102,7 +109,10 @@ def build_report(res, visited_ds, config=None, table_cache: dict | None = None,
             {"aplCode": f.rule or f.category, "severity": f.severity, "count": f.count}
             for f in findings
         ],
-        "tables": [_table_block(k, t) for k, t in tables.items()],
+        "tables": [
+            _table_block(k, t.slice(0, rows_limit) if rows_limit is not None else t)
+            for k, t in tables.items()
+        ],
         "qualityScores": {"categories": quality.scores, "total": quality.total},
         "extraColumnsFromAnalysis": ["Title", "Description",
                                      *(n for n in extra_names
@@ -112,9 +122,10 @@ def build_report(res, visited_ds, config=None, table_cache: dict | None = None,
 
 def write_report_json(res, visited_ds, path: str, config=None,
                       table_cache: dict | None = None,
-                      extras_table: pa.Table | None = None) -> dict:
+                      extras_table: pa.Table | None = None,
+                      rows_limit: int | None = 200) -> dict:
     report = build_report(res, visited_ds, config, table_cache=table_cache,
-                          extras_table=extras_table)
+                          extras_table=extras_table, rows_limit=rows_limit)
     with open(path, "w") as f:
         json.dump(report, f, default=str)
     return report

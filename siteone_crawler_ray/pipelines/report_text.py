@@ -31,10 +31,18 @@ def _banner(n_urls: int) -> str:
 
 
 def visited_table_text(visited: pa.Table, origin_host: str = "",
-                       extras: pa.Table | None = None) -> str:
+                       extras: pa.Table | None = None,
+                       show_scheme_and_host: bool = False,
+                       do_not_truncate_url: bool = False) -> str:
     """text_output.rs:279-420 add_table_header/add_table_row; extra
     columns widen the table the way text_output.rs:76-84 sizes
-    ``extra_columns_width`` (name-or-value width + ' | ' separator)."""
+    ``extra_columns_width`` (name-or-value width + ' | ' separator).
+
+    ``show_scheme_and_host`` keeps the origin on internal URLs
+    (text_output.rs:349-354 strips it by default); external URLs always
+    render in full.  ``do_not_truncate_url`` skips the two-thirds
+    truncation (text_output.rs:429-431) — long URLs overflow the
+    column, like the reference."""
     urls = visited["url"].to_pylist()
     width = min(MAX_URL_COL, max((len(u) for u in urls), default=3))
     extra_names: list[str] = []
@@ -55,8 +63,12 @@ def visited_table_text(visited: pa.Table, origin_host: str = "",
     ctypes = visited["content_type"].to_pylist()
     times = visited["request_time"].to_pylist()
     sizes = visited["size"].to_pylist()
+    strip = None if show_scheme_and_host else (origin_host or None)
     for u, st, ct, tm, sz in zip(urls, statuses, ctypes, times, sizes):
-        disp = truncate_url(u, width, strip_hostname=origin_host or None)
+        if do_not_truncate_url:
+            disp = truncate_url(u, 10**9, strip_hostname=strip)
+        else:
+            disp = truncate_url(u, width, strip_hostname=strip)
         ct_name = _CT_NAMES.get(int(ct), "OTHER").capitalize()
         line = (
             f"{disp:<{width}} | {status_code_str(int(st)):<6} | {ct_name:<8} "
@@ -89,12 +101,16 @@ def _section(title: str, t: pa.Table, max_rows: int = 50) -> str:
 
 
 def render_text_report(report: dict, visited: pa.Table, origin_host: str = "",
-                       extras: pa.Table | None = None) -> str:
+                       extras: pa.Table | None = None,
+                       show_scheme_and_host: bool = False,
+                       do_not_truncate_url: bool = False) -> str:
     """Full console document: banner → visited table → stats →
     per-analyzer sections (SuperTable analogues)."""
     parts = [_banner(len(report.get("results", [])))]
     parts.append("")
-    parts.append(visited_table_text(visited, origin_host, extras=extras))
+    parts.append(visited_table_text(visited, origin_host, extras=extras,
+                                    show_scheme_and_host=show_scheme_and_host,
+                                    do_not_truncate_url=do_not_truncate_url))
     stats = report.get("stats", {})
     if stats:
         st = pa.table({"stat": pa.array([str(k) for k in stats]),
@@ -120,18 +136,23 @@ def render_text_report(report: dict, visited: pa.Table, origin_host: str = "",
 
 def write_text_report(res, visited_ds, path: str, config=None,
                       table_cache: dict | None = None,
-                      extras_table: pa.Table | None = None) -> str:
+                      extras_table: pa.Table | None = None,
+                      rows_limit: int | None = 200,
+                      show_scheme_and_host: bool = False,
+                      do_not_truncate_url: bool = False) -> str:
     from ..functions.urls import host_of
     from .report_json import build_report
 
     report = build_report(res, visited_ds, config, table_cache=table_cache,
-                          extras_table=extras_table)
+                          extras_table=extras_table, rows_limit=rows_limit)
     visited = res.visited_table(
         columns=["url", "status_code", "content_type", "request_time", "size"]
     )
     first = visited["url"].to_pylist()[:1]
     origin = host_of(first[0]) if first else ""
-    text = render_text_report(report, visited, origin, extras=extras_table)
+    text = render_text_report(report, visited, origin, extras=extras_table,
+                              show_scheme_and_host=show_scheme_and_host,
+                              do_not_truncate_url=do_not_truncate_url)
     with open(path, "w") as f:
         f.write(text)
     return text

@@ -494,6 +494,52 @@ def test_text_report_exporter(crawl_result, tmp_path):
     assert text.count("\n") > res.metrics["visited"]
 
 
+def test_text_report_url_display_options(crawl_result, tmp_path):
+    """text_output.rs:349-354 strips the origin from internal URLs unless
+    --show-scheme-and-host; :429-431 two-thirds-truncates unless
+    --do-not-truncate-url."""
+    import ray.data as rd
+
+    from siteone_crawler_ray.pipelines.report_text import visited_table_text
+
+    res, _ = crawl_result
+    visited = res.visited_table(
+        columns=["url", "status_code", "content_type", "request_time", "size"])
+    origin = visited["url"].to_pylist()[0].split("/")[2]
+
+    default = visited_table_text(visited, origin)
+    assert f"https://{origin}/" not in default  # origin stripped by default
+
+    full = visited_table_text(visited, origin, show_scheme_and_host=True)
+    assert f"https://{origin}/" in full
+
+    # a long URL truncates by default (placeholder char) but not with the flag
+    import pyarrow as pa
+
+    long_url = f"https://{origin}/" + "x" * 300
+    one = pa.table({"url": [long_url], "status_code": [200],
+                    "content_type": [1], "request_time": [0.1], "size": [10]})
+    assert "…" in visited_table_text(one, "")
+    untrunc = visited_table_text(one, "", do_not_truncate_url=True)
+    assert "…" not in untrunc and long_url in untrunc
+
+
+def test_report_rows_limit(crawl_result, tmp_path):
+    """super_table.rs:22,123 global hard rows limit (--rows-limit, default
+    200) caps every report table; the HTML exporter disables it
+    (report.rs:1206 set_ignore_hard_rows_limit)."""
+    import ray.data as rd
+
+    from siteone_crawler_ray.pipelines.report_json import build_report
+
+    res, _ = crawl_result
+    ds = rd.from_arrow(res.visited_table())
+    limited = build_report(res, ds, rows_limit=2)
+    assert all(len(t["rows"]) <= 2 for t in limited["tables"])
+    uncapped = build_report(res, ds, rows_limit=None)
+    assert max(len(t["rows"]) for t in uncapped["tables"]) > 2
+
+
 def test_cli_end_to_end(ray_session, tmp_path):
     """CLI main path (main.rs:7-67 / manager.rs:57-465 analogue):
     crawl → exporters → reports → exit code."""
