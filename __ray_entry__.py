@@ -135,6 +135,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from siteone_crawler_ray.pipelines import curation as C
     from siteone_crawler_ray.pipelines import relational as R
     from siteone_crawler_ray.pipelines import reports as RP
 
@@ -628,7 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_stats": R.user_type_stats,
         "docs_stats": R.docs_stats,
         "returned_by_supplier": R.returned_by_supplier,
-        "label_counts": R.label_counts,
+        "bucket_counts": R.bucket_counts,
         "events_topk": R.events_topk,
         "p90_by_type": R.p90_by_type,
         "segment_join": R.segment_join,
@@ -636,18 +637,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_order_per_segment": R.top_order_per_segment,
         "customers_without_events": R.customers_without_events,
         "supplier_part_stats": R.supplier_part_stats,
-        "hourly_window": R.hourly_window,
-        "session_windows": R.session_windows,
-        "props_bucket": R.props_bucket,
+        "window_aggregates": R.window_aggregates,
         # training-data ops over documents/embeddings
         "exact_dedup": R.exact_dedup_table,
-        "token_counts": R.token_count_table,
-        "quality_scores": R.quality_table,
+        "text_metrics": R.text_metrics,
         "knn_top10": R.knn_top10,
         "embedding_norms": R.embedding_norms,
         "embedding_dup_pairs": R.embedding_dup_pairs_table,
+        # corpus curation (SURVEY §2.11: sampling / quota / n-gram / chunking)
+        "corpus_sample": C.corpus_sample,
+        "ngram_topk": C.ngram_top50,
+        "doc_chunks": C.doc_chunk_table,
         # ---- rows-only block ----------------------------------------------
-        "crawl_visited": crawl_visited,
+        # (crawl order/seq lives in the sequential-oracle parity pytest
+        # suite — the crawl_visited slot was folded into crawl_visited_set
+        # to stay under the driver's 50-slot recorder cap)
         "report_findings": _rq(RP.page_findings),
         "report_external_links": report_external_links,
         "json_report": json_report,
@@ -1210,7 +1214,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_suppkey, count(*) AS n FROM lineitem
             WHERE l_returnflag = 'R' GROUP BY l_suppkey
         """,
-        "label_counts": "SELECT label, count(*) AS n FROM embeddings GROUP BY label",
+        "bucket_counts": """
+            SELECT 'label' AS section, CAST(label AS VARCHAR) AS k, count(*) AS n
+            FROM embeddings GROUP BY label
+            UNION ALL
+            SELECT 'props' AS section, CAST(k_mod AS VARCHAR) AS k, n FROM (
+              SELECT CAST(regexp_extract(props, '[0-9]+') AS INTEGER) % 10 AS k_mod,
+                     count(*) AS n
+              FROM events GROUP BY k_mod)
+        """,
         "events_topk": """
             WITH f AS (SELECT 'fastest' AS which, event_id, value FROM events
                        ORDER BY value, event_id LIMIT 20),
@@ -1255,41 +1267,61 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             GROUP BY e.event_id
         """,
-        "hourly_window": """
-            SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
-                   round(sum(value), 2) AS total, count(*) AS n
-            FROM events GROUP BY user_id, hour
-        """,
-        "session_windows": """
-            WITH o AS (
-              SELECT user_id, ts,
-                     CASE WHEN lag(ts) OVER w IS NULL
-                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
-                          THEN 1 ELSE 0 END AS brk
-              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-            s AS (
+        "window_aggregates": """
+            SELECT 'hourly' AS section, user_id,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS k,
+                   count(*) AS n, round(sum(value), 2) AS val
+            FROM events GROUP BY user_id, k
+            UNION ALL
+            SELECT 'session' AS section, user_id,
+                   CAST(session_no AS BIGINT) AS k, count(*) AS n,
+                   round(epoch(max(ts)) - epoch(min(ts)), 3) AS val
+            FROM (
               SELECT user_id, ts,
                      sum(brk) OVER (PARTITION BY user_id ORDER BY ts
                                     ROWS UNBOUNDED PRECEDING) AS session_no
-              FROM o)
-            SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
-                   round(epoch(max(ts)) - epoch(min(ts)), 3) AS duration_sec
-            FROM s GROUP BY user_id, session_no
-        """,
-        "props_bucket": """
-            SELECT CAST(regexp_extract(props, '[0-9]+') AS INTEGER) % 10 AS k_mod,
-                   count(*) AS n
-            FROM events GROUP BY k_mod
+              FROM (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS brk
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)))
+            GROUP BY user_id, session_no
         """,
         "exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
-        "token_counts": "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents",
-        "quality_scores": """
-            SELECT doc_id,
+        "text_metrics": """
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
                    round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_tok_len,
                    round(CAST(length(text)
                          - length(replace(replace(replace(replace(text, '.', ''), ',', ''), '!', ''), '?', ''))
                          AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio
             FROM documents
+        """,
+        # corpus curation: deterministic multiplicative-hash sample →
+        # per-source quota; exact bigram top-k; context-window chunking
+        # (all parameter-locked to pipelines/curation.py)
+        "corpus_sample": """
+            WITH s AS (
+              SELECT source, doc_id FROM documents
+              WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100 < 37)
+            SELECT source, doc_id FROM (
+              SELECT source, doc_id,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM s) WHERE rn <= 7
+        """,
+        "ngram_topk": """
+            WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+            bi AS (SELECT w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS ngram
+                   FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) t)
+            SELECT ngram, count(*) AS n FROM bi GROUP BY ngram
+            ORDER BY n DESC, ngram LIMIT 50
+        """,
+        "doc_chunks": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents WHERE doc_id % 7 = 0)
+            SELECT doc_id, CAST(s AS BIGINT) + 1 AS chunk_start,
+                   array_to_string(w[CAST(s AS INT) + 1 : CAST(s AS INT) + 32], ' ') AS chunk
+            FROM d, LATERAL (SELECT unnest(range(0, greatest(len(w) - 8, 1), 24)) AS s) t
         """,
         "knn_top10": """
             SELECT vec_id, rank FROM (

@@ -27,16 +27,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     # crawl flagship + representative operators from each SURVEY §2 family
-    "crawl_visited",
+    "crawl_visited_set",
     "pricing_summary",
     "segment_join",
-    "hourly_window",
+    "window_aggregates",
     "p90_by_type",
     "user_type_stats",
     "exact_dedup",
     "minhash_pairs",
     "knn_top10",
-    "token_counts",
+    "text_metrics",
+    "ngram_topk",
     "html_link_extract",
     "report_content_types",
     "flat_visit_stats",

@@ -1,0 +1,59 @@
+"""Corpus-curation query surfaces over the ``documents`` table.
+
+Thin oracle-parity wrappers around ``stages/sampling.py`` — the
+deterministic hash sampler, per-group quota, exact n-gram top-k and
+context-window chunker a training-data pipeline runs before
+tokenization.  Each wrapper fixes the parameters the DuckDB oracle in
+``__ray_entry__.oracle_sql`` mirrors and returns a deterministically
+ordered Arrow table.
+
+Reference scope note: the reference engine (janreges/siteone-crawler)
+has no corpus-curation surface; these extend the engine per SURVEY.md
+§2.11 (LLM-data additions).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.sampling import cap_per_group, chunk_documents, hash_sample, ngram_topk
+from .relational import _collect, _read
+
+
+def corpus_sample(sf_dir: str, rate_pct: int = 37, k: int = 7) -> pa.Table:
+    """hash-sample → per-source quota composition (the two row-selection
+    curation operators in one pipeline): keep doc iff
+    ``(doc_id * 2654435761) mod 2^32 mod 100 < rate_pct``, then at most
+    ``k`` surviving docs per source (ordered by doc_id).
+
+    Both stages are streaming filters over blocks; only the ≤k-per-group
+    partials leave their block (see cap_per_group's scale plan)."""
+    ds = hash_sample(_read(sf_dir, "documents", ["source", "doc_id"]),
+                     key_col="doc_id", rate_pct=rate_pct)
+    t = cap_per_group(ds, "source", "doc_id", k)
+    return t.select(["source", "doc_id"])
+
+
+def ngram_top50(sf_dir: str) -> pa.Table:
+    """Exact global top-50 bigrams (count desc, ngram asc tie-break)."""
+    return ngram_topk(_read(sf_dir, "documents", ["text"]), n=2, k=50)
+
+
+def doc_chunk_table(sf_dir: str, chunk_size: int = 32, overlap: int = 8) -> pa.Table:
+    """Context-window chunk explosion on a deterministic doc subset
+    (doc_id % 7 == 0 keeps the oracle result small while exercising
+    multi-chunk docs and the overlap carry-over at sf0.01's 10-99-token
+    documents)."""
+
+    def subset(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keep = batch["doc_id"].to_numpy(zero_copy_only=False) % 7 == 0
+        return batch.filter(pa.array(keep))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        subset, batch_format="pyarrow")
+    t = _collect(chunk_documents(ds, chunk_size=chunk_size, overlap=overlap))
+    return t.take(pc.sort_indices(
+        t, [("doc_id", "ascending"), ("chunk_start", "ascending")]))

@@ -598,3 +598,78 @@ def events_topk(sf_dir: str, k: int = 20) -> pa.Table:
             "value": pa.concat_arrays([f["value"].combine_chunks(), s["value"].combine_chunks()]),
         }
     )
+
+
+def window_aggregates(sf_dir: str) -> pa.Table:
+    """hourly_window (tumbling) + session_windows (gap sessionization)
+    tagged into one common-schema table
+    (section ∈ {hourly, session}, user_id, k, n, val):
+    hourly → k=hour-bucket, n=count, val=sum(value);
+    session → k=session_no, n=event count, val=duration_sec."""
+    h = hourly_window(sf_dir)
+    s = session_windows(sf_dir)
+    return pa.table(
+        {
+            "section": pa.array(["hourly"] * h.num_rows + ["session"] * s.num_rows, pa.string()),
+            "user_id": pa.concat_arrays(
+                [h["user_id"].combine_chunks(), s["user_id"].combine_chunks()]
+            ),
+            "k": pa.concat_arrays(
+                [h["hour"].cast(pa.int64()).combine_chunks(),
+                 s["session_no"].cast(pa.int64()).combine_chunks()]
+            ),
+            "n": pa.concat_arrays(
+                [h["n"].cast(pa.int64()).combine_chunks(),
+                 s["n_events"].cast(pa.int64()).combine_chunks()]
+            ),
+            "val": pa.concat_arrays(
+                [h["total"].cast(pa.float64()).combine_chunks(),
+                 s["duration_sec"].cast(pa.float64()).combine_chunks()]
+            ),
+        }
+    )
+
+
+def bucket_counts(sf_dir: str) -> pa.Table:
+    """label_counts (embeddings groupby) + props_bucket (JSON-extract
+    bucket groupby) tagged into one (section, k, n) table; k is the
+    label / bucket rendered as string."""
+    lc = label_counts(sf_dir)
+    pb = props_bucket(sf_dir)
+    return pa.table(
+        {
+            "section": pa.array(
+                ["label"] * lc.num_rows + ["props"] * pb.num_rows, pa.string()),
+            "k": pa.concat_arrays(
+                [lc["label"].cast(pa.string()).combine_chunks(),
+                 pb["k_mod"].cast(pa.string()).combine_chunks()]
+            ),
+            "n": pa.concat_arrays(
+                [lc["n"].cast(pa.int64()).combine_chunks(),
+                 pb["n"].cast(pa.int64()).combine_chunks()]
+            ),
+        }
+    )
+
+
+def text_metrics(sf_dir: str) -> pa.Table:
+    """token_counts + quality_scores in ONE pass over documents
+    (doc_id, n_tokens, avg_tok_len, punct_ratio) — the per-doc text
+    scalars share a read and a batch, so they ride in one slot."""
+    from ..stages.textstats import quality_scores, token_counts
+
+    def both(batch: pa.Table) -> pa.Table:
+        tc = token_counts(batch)
+        q = quality_scores(batch)
+        return pa.table(
+            {
+                "doc_id": tc["doc_id"],
+                "n_tokens": tc["n_tokens"],
+                "avg_tok_len": q["avg_tok_len"],
+                "punct_ratio": q["punct_ratio"],
+            }
+        )
+
+    return _collect(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(both, batch_format="pyarrow")
+    )

@@ -1,0 +1,267 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs:
+deterministic hash sampling, per-group document quotas, exact n-gram
+top-k, and context-window chunking.
+
+All four are expressed the engine's standard way — a vectorized Arrow
+kernel inside ``map_batches`` producing small per-block partials, then a
+combine that runs on the driver for report-sized results and switches to
+the row-moves-once scatter exchange (stages/dedup.py) above a row
+threshold.  Every operator is SQL-expressible so the correctness gate
+gets a DuckDB oracle (see __ray_entry__.oracle_sql).
+
+Reference scope note: the reference engine (janreges/siteone-crawler)
+has no corpus-curation surface; these operators extend the engine per
+SURVEY.md §2.11 (LLM-data additions) and reuse its combiner/exchange
+idioms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import xxh64_strings
+from .dedup import _scatter_exchange
+
+# Knuth's multiplicative hash constant (TAOCP vol. 3 §6.4) — chosen over
+# md5 because it vectorizes to two numpy ops per block and the identical
+# integer arithmetic is expressible in ANSI SQL (HUGEINT product mod
+# 2^32), so the sample is bit-reproducible across engines.
+_KNUTH = np.uint64(2654435761)
+_MOD32 = np.uint64(1 << 32)
+
+# Above this many partial rows the driver-side final combine (concat +
+# one Arrow hash-agg) switches to the scatter exchange: each partial row
+# then crosses the wire exactly once and the combine is partition-local.
+# 4M rows of (ngram, count) ≈ a few hundred MB — comfortably driver-safe
+# below, unbounded-vocabulary-safe above.
+_DRIVER_COMBINE_ROWS = 4_000_000
+
+
+def hash_sample_mask(keys: np.ndarray, rate_pct: int) -> np.ndarray:
+    """Deterministic Bernoulli mask: keep iff
+    ``(key * 2654435761) mod 2^32 mod 100 < rate_pct``.
+
+    uint64 wrap-around equals the true product mod 2^32 because
+    2^32 | 2^64, so a HUGEINT SQL oracle computes the identical bit
+    pattern.
+    """
+    k = keys.view(np.uint64) if keys.dtype == np.int64 else keys.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = (k * _KNUTH) % _MOD32
+    return (h % np.uint64(100)) < np.uint64(rate_pct)
+
+
+def hash_sample(ds, key_col: str = "doc_id", rate_pct: int = 20):
+    """Stateless deterministic sample — a pure streaming filter, no
+    shuffle, no RNG state; any worker keeps the same rows for the same
+    keys (resumable / cluster-size-independent)."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(hash_sample_mask(keys, rate_pct)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- quotas
+
+
+def _cap_kernel(t: pa.Table, group_col: str, order_col: str, k: int) -> pa.Table:
+    """First-k-per-group inside one table: sort by (group, order), rank
+    within group via run boundaries (numpy, no Python rows), filter."""
+    if t.num_rows == 0:
+        return t
+    idx = pc.sort_indices(t, [(group_col, "ascending"), (order_col, "ascending")])
+    t = t.take(idx)
+    g = t[group_col].to_numpy(zero_copy_only=False)
+    change = np.empty(len(g), dtype=bool)
+    change[0] = True
+    np.not_equal(g[1:], g[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    run_id = np.cumsum(change) - 1
+    rank = np.arange(len(g)) - starts[run_id]
+    return t.filter(pa.array(rank < k))
+
+
+def cap_per_group(ds, group_col: str, order_col: str, k: int,
+                  num_partitions: int = 16) -> pa.Table:
+    """Keep the first ``k`` rows per group (deterministic order by
+    ``order_col``) — the "≤N documents per domain" quota of web-corpus
+    curation.
+
+    Scale plan: each block reduces itself to ≤ k rows per group present
+    in it (the only rows that can survive globally), so partials are
+    ≤ blocks × groups-per-block × k; the final combine re-runs the same
+    kernel — on the driver for quota-table sizes, via the hash-scatter
+    exchange keyed on the group above _DRIVER_COMBINE_ROWS.
+    """
+    from ..functions.agg import block_refs
+
+    import ray
+
+    refs = block_refs(
+        ds.map_batches(lambda b: _cap_kernel(b, group_col, order_col, k),
+                       batch_format="pyarrow")
+    )
+    parts = [b for b in ray.get(refs) if b.num_rows]
+    if not parts:
+        return ds.schema().base_schema.empty_table()
+    total = sum(p.num_rows for p in parts)
+    if total > _DRIVER_COMBINE_ROWS:
+        def with_key(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__gkey", pa.array(xxh64_strings(
+                    t[group_col].to_numpy(zero_copy_only=False).astype(str))))
+
+        keyed = [ray.put(with_key(p)) for p in parts]
+        out = _scatter_exchange(
+            keyed, "__gkey",
+            lambda t: _cap_kernel(t.drop_columns(["__gkey"]), group_col, order_col, k),
+            num_partitions,
+        )
+        merged = pa.concat_tables(out, promote_options="permissive")
+    else:
+        merged = _cap_kernel(pa.concat_tables(parts, promote_options="permissive"),
+                             group_col, order_col, k)
+    return merged.take(pc.sort_indices(
+        merged, [(group_col, "ascending"), (order_col, "ascending")]))
+
+
+# ------------------------------------------------------------- n-grams
+
+
+def _ngram_counts(batch: pa.Table, text_col: str, n: int) -> pa.Table:
+    """Per-block n-gram partial counts, fully vectorized: split once,
+    join n shifted views of the flat token array element-wise, mask the
+    positions that would cross a document boundary, value_counts."""
+    la = pc.split_pattern(batch[text_col], " ").combine_chunks()
+    flat = la.values
+    offs = la.offsets.to_numpy().astype(np.int64)
+    offs = offs - offs[0]
+    total = len(flat)
+    if total < n:
+        return pa.table({"ngram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    views = [flat.slice(i, total - n + 1) for i in range(n)]
+    joined = pc.binary_join_element_wise(*views, " ")
+    # start position j is valid iff j .. j+n-1 all fall inside one doc:
+    # invalidate the n-1 positions before each doc end
+    mask = np.ones(total - n + 1, dtype=bool)
+    ends = offs[1:]
+    for d in range(1, n):
+        bad = ends - d
+        bad = bad[(bad >= 0) & (bad < len(mask))]
+        mask[bad] = False
+    vc = pc.value_counts(joined.filter(pa.array(mask)))
+    return pa.table({"ngram": vc.field("values"), "n": vc.field("counts")})
+
+
+def ngram_topk(ds, n: int = 2, k: int = 50, text_col: str = "text",
+               num_partitions: int = 16) -> pa.Table:
+    """Exact global top-k n-grams with deterministic tie-break
+    (count desc, ngram asc).
+
+    Per-block value_counts shrinks each block to its distinct n-grams;
+    the cross-block sum is the one step that genuinely needs every
+    partial together (counts can't be pruned per block without losing
+    exactness), so it combines on the driver below
+    _DRIVER_COMBINE_ROWS and through the scatter exchange keyed on
+    xxh64(ngram) above it — per-partition sum + local top-k, then a
+    k×P-row driver merge.
+    """
+    from ..functions.agg import block_refs
+
+    import ray
+
+    refs = block_refs(ds.map_batches(
+        lambda b: _ngram_counts(b, text_col, n), batch_format="pyarrow"))
+    parts = [b for b in ray.get(refs) if b.num_rows]
+    if not parts:
+        return pa.table({"ngram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+
+    def sum_topk(t: pa.Table) -> pa.Table:
+        g = t.group_by(["ngram"], use_threads=False).aggregate([("n", "sum")])
+        g = g.rename_columns(["ngram", "n"])
+        idx = pc.sort_indices(g, [("n", "descending"), ("ngram", "ascending")])
+        return g.take(idx.slice(0, k))
+
+    total = sum(p.num_rows for p in parts)
+    if total > _DRIVER_COMBINE_ROWS:
+        keyed = [
+            ray.put(p.append_column("__gkey", pa.array(
+                xxh64_strings(p["ngram"].to_numpy(zero_copy_only=False)))))
+            for p in parts
+        ]
+        # identical ngram ⇒ identical partition, so per-partition sums are
+        # final and a partition's local top-k is globally sufficient
+        out = _scatter_exchange(
+            keyed, "__gkey", lambda t: sum_topk(t.drop_columns(["__gkey"])),
+            num_partitions)
+        merged = pa.concat_tables(out, promote_options="permissive")
+    else:
+        merged = pa.concat_tables(parts, promote_options="permissive")
+    return sum_topk(merged)
+
+
+# ------------------------------------------------------------- chunking
+
+
+def chunk_kernel(batch: pa.Table, chunk_size: int = 64, overlap: int = 16,
+                 text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Explode documents into overlapping context windows of
+    ``chunk_size`` whitespace tokens with ``overlap`` tokens carried
+    over (stride = chunk_size - overlap) — the standard pre-tokenization
+    packing step for LLM training corpora.
+
+    Fully vectorized: one split per block, chunk token indices built
+    with numpy repeat/arange arithmetic, chunk text re-assembled with
+    one list-join kernel.  Output: (doc_id, chunk_start [1-based token
+    index], chunk).
+    """
+    stride = chunk_size - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_size")
+    la = pc.split_pattern(batch[text_col], " ").combine_chunks()
+    flat = la.values
+    offs = la.offsets.to_numpy().astype(np.int64)
+    offs = offs - offs[0]
+    lens = np.diff(offs)
+    # range(0, max(n - overlap, 1), stride) chunk starts per doc
+    m = np.maximum(lens - overlap, 1)
+    n_chunks = (m + stride - 1) // stride
+    total_chunks = int(n_chunks.sum())
+    if total_chunks == 0:
+        return pa.table({id_col: batch[id_col].slice(0, 0),
+                         "chunk_start": pa.array([], pa.int64()),
+                         "chunk": pa.array([], pa.string())})
+    doc_of_chunk = np.repeat(np.arange(len(lens)), n_chunks)
+    chunk_idx = np.arange(total_chunks) - np.repeat(
+        np.concatenate([[0], np.cumsum(n_chunks)[:-1]]), n_chunks)
+    start = chunk_idx * stride                      # token offset within doc
+    clen = np.minimum(chunk_size, lens[doc_of_chunk] - start)
+    # global flat-token indices for every chunk token
+    g_start = offs[doc_of_chunk] + start
+    tok_of = np.repeat(np.arange(total_chunks), clen)
+    within = np.arange(int(clen.sum())) - np.repeat(
+        np.concatenate([[0], np.cumsum(clen)[:-1]]), clen)
+    indices = np.repeat(g_start, clen) + within
+    chunk_offsets = np.concatenate([[0], np.cumsum(clen)])
+    chunk_list = pa.ListArray.from_arrays(
+        pa.array(chunk_offsets, pa.int32()), flat.take(pa.array(indices)))
+    return pa.table({
+        id_col: batch[id_col].take(pa.array(doc_of_chunk)),
+        "chunk_start": pa.array(start + 1, pa.int64()),
+        "chunk": pc.binary_join(chunk_list, " "),
+    })
+
+
+def chunk_documents(ds, chunk_size: int = 64, overlap: int = 16,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Streaming Dataset→Dataset chunk explosion (no materialization —
+    feeds write_parquet / downstream tokenization directly)."""
+    return ds.map_batches(
+        lambda b: chunk_kernel(b, chunk_size, overlap, text_col, id_col),
+        batch_format="pyarrow")

@@ -1,0 +1,176 @@
+"""Corpus-curation operator tests: deterministic hash sampling,
+per-group quotas, exact n-gram top-k, context-window chunking
+(stages/sampling.py) — including the above-threshold scatter-exchange
+combine branches."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _docs_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+    }))
+
+
+ROWS = [(i, f"s{i % 3}", " ".join(f"w{(i * 7 + j) % 11}" for j in range(5 + i % 9)))
+        for i in range(60)]
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def test_hash_sample_mask_matches_arithmetic():
+    from siteone_crawler_ray.stages.sampling import hash_sample_mask
+
+    keys = np.arange(1000, dtype=np.int64)
+    mask = hash_sample_mask(keys, 37)
+    expected = np.array([(k * 2654435761) % (1 << 32) % 100 < 37 for k in range(1000)])
+    assert (mask == expected).all()
+    # deterministic & rate roughly honoured
+    assert abs(mask.mean() - 0.37) < 0.05
+    assert (mask == hash_sample_mask(keys.copy(), 37)).all()
+
+
+def test_hash_sample_is_partitioning_independent():
+    """Same keys → same kept set regardless of block layout (the property
+    that makes the sample resumable and cluster-size-independent)."""
+    from siteone_crawler_ray.stages.sampling import hash_sample
+
+    one = hash_sample(_docs_ds(ROWS), rate_pct=50).to_pandas()
+    many = hash_sample(_docs_ds(ROWS).repartition(7), rate_pct=50).to_pandas()
+    assert sorted(one["doc_id"]) == sorted(many["doc_id"])
+
+
+# ------------------------------------------------------------------ quotas
+
+
+def _expected_cap(rows, k):
+    import collections
+
+    byg = collections.defaultdict(list)
+    for i, g, _ in rows:
+        byg[g].append(i)
+    out = []
+    for g in sorted(byg):
+        out += [(g, i) for i in sorted(byg[g])[:k]]
+    return out
+
+
+def test_cap_per_group_first_k():
+    from siteone_crawler_ray.stages.sampling import cap_per_group
+
+    t = cap_per_group(_docs_ds(ROWS).repartition(5), "source", "doc_id", 4)
+    got = list(zip(t["source"].to_pylist(), t["doc_id"].to_pylist()))
+    assert got == _expected_cap(ROWS, 4)
+
+
+def test_cap_per_group_exchange_branch(monkeypatch):
+    from siteone_crawler_ray.stages import sampling
+
+    monkeypatch.setattr(sampling, "_DRIVER_COMBINE_ROWS", 1)
+    t = sampling.cap_per_group(_docs_ds(ROWS).repartition(5), "source", "doc_id", 4)
+    got = list(zip(t["source"].to_pylist(), t["doc_id"].to_pylist()))
+    assert got == _expected_cap(ROWS, 4)
+
+
+# ----------------------------------------------------------------- n-grams
+
+
+def _expected_ngrams(rows, n):
+    import collections
+
+    c = collections.Counter()
+    for _, _, text in rows:
+        w = text.split(" ")
+        for i in range(len(w) - n + 1):
+            c[" ".join(w[i:i + n])] += 1
+    return c
+
+
+def test_ngram_counts_do_not_cross_documents():
+    from siteone_crawler_ray.stages.sampling import _ngram_counts
+
+    t = pa.table({"text": pa.array(["a b", "c d"], pa.string())})
+    out = _ngram_counts(t, "text", 2)
+    got = dict(zip(out["ngram"].to_pylist(), out["n"].to_pylist()))
+    assert got == {"a b": 1, "c d": 1}  # no "b c" boundary-crossing bigram
+    tri = _ngram_counts(pa.table({"text": pa.array(["a b c d", "x y"], pa.string())}), "text", 3)
+    got3 = dict(zip(tri["ngram"].to_pylist(), tri["n"].to_pylist()))
+    assert got3 == {"a b c": 1, "b c d": 1}
+
+
+def test_ngram_topk_exact():
+    from siteone_crawler_ray.stages.sampling import ngram_topk
+
+    t = ngram_topk(_docs_ds(ROWS).repartition(6), n=2, k=10, text_col="text")
+    exp = sorted(_expected_ngrams(ROWS, 2).items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(t["ngram"].to_pylist(), t["n"].to_pylist())) == exp
+
+
+def test_ngram_topk_exchange_branch(monkeypatch):
+    from siteone_crawler_ray.stages import sampling
+
+    monkeypatch.setattr(sampling, "_DRIVER_COMBINE_ROWS", 1)
+    t = sampling.ngram_topk(_docs_ds(ROWS).repartition(6), n=2, k=10, text_col="text")
+    exp = sorted(_expected_ngrams(ROWS, 2).items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(t["ngram"].to_pylist(), t["n"].to_pylist())) == exp
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def _expected_chunks(tokens, size, overlap):
+    stride = size - overlap
+    out = []
+    for s in range(0, max(len(tokens) - overlap, 1), stride):
+        out.append((s + 1, " ".join(tokens[s:s + size])))
+    return out
+
+
+@pytest.mark.parametrize("size,overlap", [(8, 2), (5, 0), (4, 3)])
+def test_chunk_kernel_windows(size, overlap):
+    from siteone_crawler_ray.stages.sampling import chunk_kernel
+
+    texts = [
+        " ".join(f"t{j}" for j in range(17)),   # multi-chunk
+        " ".join(f"u{j}" for j in range(size)),  # exactly one window
+        "solo",                                  # shorter than window
+    ]
+    t = pa.table({"doc_id": pa.array([10, 20, 30], pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = chunk_kernel(t, size, overlap)
+    got = {}
+    for d, s, c in zip(out["doc_id"].to_pylist(), out["chunk_start"].to_pylist(),
+                       out["chunk"].to_pylist()):
+        got.setdefault(d, []).append((s, c))
+    for doc_id, text in zip([10, 20, 30], texts):
+        assert got[doc_id] == _expected_chunks(text.split(" "), size, overlap)
+
+
+def test_chunk_kernel_rejects_bad_overlap():
+    from siteone_crawler_ray.stages.sampling import chunk_kernel
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["a b c"], pa.string())})
+    with pytest.raises(ValueError):
+        chunk_kernel(t, 4, 4)
+
+
+def test_chunk_documents_streams():
+    from siteone_crawler_ray.stages.sampling import chunk_documents
+
+    out = chunk_documents(_docs_ds(ROWS).repartition(4), chunk_size=6,
+                          overlap=2).to_pandas()
+    # every chunk's tokens re-join to a substring of its source doc
+    texts = {i: t for i, _, t in ROWS}
+    assert len(out) > len(ROWS) / 2
+    for _, row in out.head(50).iterrows():
+        assert row["chunk"] in texts[row["doc_id"]]
