@@ -642,12 +642,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": R.exact_dedup_table,
         "text_metrics": R.text_metrics,
         "knn_top10": R.knn_top10,
-        "embedding_norms": R.embedding_norms,
-        "embedding_dup_pairs": R.embedding_dup_pairs_table,
-        # corpus curation (SURVEY §2.11: sampling / quota / n-gram / chunking)
+        "embedding_checks": R.embedding_checks,
+        # corpus curation (SURVEY §2.7b: sampling / quota / n-gram /
+        # chunking / decontamination; scrubbing rides text_metrics)
         "corpus_sample": C.corpus_sample,
         "ngram_topk": C.ngram_top50,
         "doc_chunks": C.doc_chunk_table,
+        "decontaminate": C.decontaminate_table,
         # ---- rows-only block ----------------------------------------------
         # (crawl order/seq lives in the sequential-oracle parity pytest
         # suite — the crawl_visited slot was folded into crawl_visited_set
@@ -1289,12 +1290,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, session_no
         """,
         "exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
-        "text_metrics": """
+        # scrub preset locked to pipelines/relational.py::text_metrics —
+        # emails, phones, then the demo lexicon, counted on the ORIGINAL
+        # text and substituted in order
+        "text_metrics": r"""
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
                    round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_tok_len,
                    round(CAST(length(text)
                          - length(replace(replace(replace(replace(text, '.', ''), ',', ''), '!', ''), '?', ''))
-                         AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio
+                         AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+                   len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]'))
+                   + len(regexp_extract_all(text, '\b(customer|supplier)\b')) AS n_matches,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                       '\+?[0-9][0-9()\- ]{7,}[0-9]', '[PHONE]', 'g'),
+                     '\b(customer|supplier)\b', '[TERM]', 'g') AS scrubbed
             FROM documents
         """,
         # corpus curation: deterministic multiplicative-hash sample →
@@ -1330,14 +1343,26 @@ def oracle_sql() -> dict[str, str]:
                   (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id) AS rank
               FROM embeddings) WHERE rank <= 10
         """,
-        "embedding_norms": """
-            SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 4) AS l2
+        "embedding_checks": """
+            SELECT 'norm' AS section, vec_id AS id_a,
+                   round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 4) AS x
             FROM embeddings
-        """,
-        "embedding_dup_pairs": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            UNION ALL
+            SELECT 'pair' AS section, a.vec_id AS id_a, CAST(b.vec_id AS DOUBLE) AS x
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "decontaminate": """
+            WITH tri AS (
+              SELECT doc_id,
+                     w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                       || ' ' || w[CAST(i AS INT) + 2] AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+                   LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) t),
+            bench AS (SELECT DISTINCT g FROM tri WHERE doc_id % 97 = 3)
+            SELECT doc_id, count(DISTINCT g) AS n_hits FROM tri
+            WHERE doc_id % 97 <> 3 AND g IN (SELECT g FROM bench)
+            GROUP BY doc_id
         """,
         # MinHash+LSH near-dup: the engine's VERIFY stage computes exact
         # char-5-shingle Jaccard for every banding candidate, and on the

@@ -57,3 +57,26 @@ def doc_chunk_table(sf_dir: str, chunk_size: int = 32, overlap: int = 8) -> pa.T
     t = _collect(chunk_documents(ds, chunk_size=chunk_size, overlap=overlap))
     return t.take(pc.sort_indices(
         t, [("doc_id", "ascending"), ("chunk_start", "ascending")]))
+
+
+def decontaminate_table(sf_dir: str, n: int = 3) -> pa.Table:
+    """Eval-set decontamination over the documents table: the benchmark
+    split is the deterministic doc_id % 97 == 3 slice (stand-in for a
+    held-out eval set); returns every TRAIN doc sharing ≥1 word-trigram
+    with it, with the DISTINCT shared-trigram count."""
+    from ..stages.sampling import benchmark_shingles, decontaminate
+
+    def split(keep_bench):
+        def f(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            m = batch["doc_id"].to_numpy(zero_copy_only=False) % 97 == 3
+            return batch.filter(pa.array(m if keep_bench else ~m))
+        return f
+
+    docs = lambda: _read(sf_dir, "documents", ["doc_id", "text"])  # noqa: E731
+    bench = docs().map_batches(split(True), batch_format="pyarrow")
+    train = docs().map_batches(split(False), batch_format="pyarrow")
+    hashes = benchmark_shingles(bench, n=n)
+    t = _collect(decontaminate(train, hashes, n=n))
+    return t.take(pc.sort_indices(t, [("doc_id", "ascending")]))

@@ -653,23 +653,55 @@ def bucket_counts(sf_dir: str) -> pa.Table:
 
 
 def text_metrics(sf_dir: str) -> pa.Table:
-    """token_counts + quality_scores in ONE pass over documents
-    (doc_id, n_tokens, avg_tok_len, punct_ratio) — the per-doc text
-    scalars share a read and a batch, so they ride in one slot."""
+    """token_counts + quality_scores + pattern scrubbing (PII-redaction
+    shape) in ONE pass over documents (doc_id, n_tokens, avg_tok_len,
+    punct_ratio, n_matches, scrubbed) — the per-doc text scalars and
+    the rewrite share a read and a batch, so they ride in one slot.
+    The scrub preset = emails + phones + the demo lexicon
+    (customer/supplier — the corpus-exercised family)."""
+    from ..stages.scrub import PII_EMAIL, PII_PHONE, lexicon_pattern, scrub_kernel
     from ..stages.textstats import quality_scores, token_counts
+
+    patterns = [PII_EMAIL, PII_PHONE, lexicon_pattern(["customer", "supplier"])]
 
     def both(batch: pa.Table) -> pa.Table:
         tc = token_counts(batch)
         q = quality_scores(batch)
+        sc = scrub_kernel(batch.select(["doc_id", "text"]), patterns)
         return pa.table(
             {
                 "doc_id": tc["doc_id"],
                 "n_tokens": tc["n_tokens"],
                 "avg_tok_len": q["avg_tok_len"],
                 "punct_ratio": q["punct_ratio"],
+                "n_matches": sc["n_matches"],
+                "scrubbed": sc["scrubbed"],
             }
         )
 
     return _collect(
         _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(both, batch_format="pyarrow")
+    )
+
+
+def embedding_checks(sf_dir: str) -> pa.Table:
+    """embedding_norms (full-table L2 map) + embedding_dup_pairs
+    (cosine near-dup join) tagged into one (section, id_a, x) table:
+    norm rows → ('norm', vec_id, l2); pair rows → ('pair', id_a, id_b)
+    with id_b carried in the double column (exact for testdata ids)."""
+    nm = embedding_norms(sf_dir)
+    dp = embedding_dup_pairs_table(sf_dir)
+    return pa.table(
+        {
+            "section": pa.array(
+                ["norm"] * nm.num_rows + ["pair"] * dp.num_rows, pa.string()),
+            "id_a": pa.concat_arrays(
+                [nm["vec_id"].cast(pa.int64()).combine_chunks(),
+                 dp["id_a"].cast(pa.int64()).combine_chunks()]
+            ),
+            "x": pa.concat_arrays(
+                [nm["l2"].cast(pa.float64()).combine_chunks(),
+                 dp["id_b"].cast(pa.float64()).combine_chunks()]
+            ),
+        }
     )

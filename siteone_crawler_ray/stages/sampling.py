@@ -265,3 +265,90 @@ def chunk_documents(ds, chunk_size: int = 64, overlap: int = 16,
     return ds.map_batches(
         lambda b: chunk_kernel(b, chunk_size, overlap, text_col, id_col),
         batch_format="pyarrow")
+
+
+# ------------------------------------------------------- decontamination
+
+
+def _doc_shingle_pairs(batch: pa.Table, text_col: str, n: int,
+                       id_col: str = "doc_id"):
+    """(doc_id, shingle-hash) DISTINCT pairs per block, vectorized via
+    the same boundary-masked shifted-view join as _ngram_counts."""
+    la = pc.split_pattern(batch[text_col], " ").combine_chunks()
+    flat = la.values
+    offs = la.offsets.to_numpy().astype(np.int64)
+    offs = offs - offs[0]
+    total = len(flat)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    if total < n:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    views = [flat.slice(i, total - n + 1) for i in range(n)]
+    joined = pc.binary_join_element_wise(*views, " ")
+    mask = np.ones(total - n + 1, dtype=bool)
+    ends = offs[1:]
+    for d in range(1, n):
+        bad = ends - d
+        bad = bad[(bad >= 0) & (bad < len(mask))]
+        mask[bad] = False
+    pos = np.flatnonzero(mask)
+    doc_idx = np.searchsorted(offs, pos, side="right") - 1
+    h = xxh64_strings(joined.take(pa.array(pos)).to_numpy(zero_copy_only=False))
+    # distinct (doc, hash) pairs without Python loops: lexsort + boundary diff
+    order = np.lexsort((h, doc_idx))
+    di, hi = doc_idx[order], h[order]
+    keep = np.ones(len(di), dtype=bool)
+    keep[1:] = (di[1:] != di[:-1]) | (hi[1:] != hi[:-1])
+    return ids[di[keep]], hi[keep]
+
+
+def benchmark_shingles(ds, n: int = 3, text_col: str = "text") -> np.ndarray:
+    """Sorted distinct word-n-gram hashes of the benchmark/eval split.
+
+    Eval sets are small by construction (thousands of documents), so
+    the distinct-hash array is driver-collected once and broadcast via
+    ``ray.put`` — the canonical small-side pattern; the TRAIN side
+    never leaves its blocks."""
+    from ..functions.agg import block_refs
+
+    import ray
+
+    def per_block(b: pa.Table) -> pa.Table:
+        _, h = _doc_shingle_pairs(b, text_col, n)
+        return pa.table({"h": pa.array(np.unique(h))})
+
+    refs = block_refs(ds.map_batches(per_block, batch_format="pyarrow"))
+    parts = [b["h"].to_numpy(zero_copy_only=False) for b in ray.get(refs) if b.num_rows]
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
+def decontaminate(train_ds, bench_hashes: np.ndarray, n: int = 3,
+                  text_col: str = "text") -> "object":
+    """Mark training documents sharing any word-``n``-gram with the
+    benchmark set — the eval-decontamination pass every training corpus
+    needs.  Returns a streaming Dataset of (doc_id, n_hits) for
+    contaminated docs, n_hits = DISTINCT shared n-gram count.
+
+    Scale shape: benchmark hashes ride the object store once
+    (``ray.put``); each train block computes its own distinct
+    (doc, hash) pairs and a vectorized ``searchsorted`` membership —
+    no shuffle, no driver funnel."""
+    import ray
+
+    ref = ray.put(np.sort(bench_hashes).astype(np.uint64))
+
+    def mark(batch: pa.Table) -> pa.Table:
+        bh = ray.get(ref)
+        ids, h = _doc_shingle_pairs(batch, text_col, n)
+        if len(h) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_hits": pa.array([], pa.int64())})
+        pos = np.searchsorted(bh, h)
+        pos[pos == len(bh)] = 0
+        hit = bh[pos] == h if len(bh) else np.zeros(len(h), dtype=bool)
+        docs, counts = np.unique(ids[hit], return_counts=True)
+        return pa.table({"doc_id": pa.array(docs.astype(np.int64)),
+                         "n_hits": pa.array(counts.astype(np.int64))})
+
+    return train_ds.map_batches(mark, batch_format="pyarrow")

@@ -174,3 +174,68 @@ def test_chunk_documents_streams():
     assert len(out) > len(ROWS) / 2
     for _, row in out.head(50).iterrows():
         assert row["chunk"] in texts[row["doc_id"]]
+
+
+# ---------------------------------------------------------------- scrubbing
+
+
+def test_scrub_kernel_pii_presets():
+    from siteone_crawler_ray.stages.scrub import (
+        PII_EMAIL, PII_PHONE, lexicon_pattern, scrub_kernel)
+
+    texts = [
+        "contact bob.smith+x@mail.example.org now",
+        "call +1 (415) 555-0134 ok",
+        "the customer met a supplier",
+        "plain text",
+        "a@b.io then 12345678901 end",
+    ]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = scrub_kernel(t, [PII_EMAIL, PII_PHONE,
+                           lexicon_pattern(["customer", "supplier"])])
+    assert out["scrubbed"].to_pylist() == [
+        "contact [EMAIL] now",
+        "call [PHONE] ok",
+        "the [TERM] met a [TERM]",
+        "plain text",
+        "[EMAIL] then [PHONE] end",
+    ]
+    assert out["n_matches"].to_pylist() == [1, 1, 2, 0, 2]
+
+
+def test_redact_streams():
+    from siteone_crawler_ray.stages.scrub import redact
+
+    out = redact(_docs_ds(ROWS).repartition(4)).to_pandas()
+    assert len(out) == len(ROWS)
+    assert (out["n_matches"] == 0).all()  # synthetic corpus has no PII
+    assert (out["scrubbed"] == out["text"]).all()
+
+
+# ---------------------------------------------------------- decontamination
+
+
+def test_decontaminate_marks_shared_ngrams():
+    from siteone_crawler_ray.stages.sampling import benchmark_shingles, decontaminate
+
+    bench = _docs_ds([(100, "s", "alpha beta gamma delta")])
+    train = _docs_ds([
+        (1, "s", "x alpha beta gamma y"),          # shares 'alpha beta gamma'
+        (2, "s", "beta gamma delta twice beta gamma delta"),  # 1 DISTINCT hit
+        (3, "s", "nothing shared here at all"),
+        (4, "s", "alpha beta gamma delta"),        # shares both trigrams
+    ])
+    h = benchmark_shingles(bench, n=3)
+    t = decontaminate(train, h, n=3).to_pandas().sort_values("doc_id")
+    assert list(t["doc_id"]) == [1, 2, 4]
+    assert list(t["n_hits"]) == [1, 1, 2]
+
+
+def test_benchmark_shingles_distinct_and_partition_independent():
+    from siteone_crawler_ray.stages.sampling import benchmark_shingles
+
+    one = benchmark_shingles(_docs_ds(ROWS), n=3)
+    many = benchmark_shingles(_docs_ds(ROWS).repartition(7), n=3)
+    assert (one == many).all()
+    assert len(np.unique(one)) == len(one)
