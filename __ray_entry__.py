@@ -229,6 +229,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return cache[key]
         return q
 
+    _q404 = _rq(RP.page404_table)
+    _qred = _rq(RP.redirects_table)
+
+    def report_broken(sf_dir: str):
+        """page404_table + redirects_table tagged into one
+        (section, url, target, found_on) slot (404 rows carry an empty
+        target) — merged to stay under the 50-slot recorder cap."""
+        import pyarrow as pa
+
+        a = _q404(sf_dir)
+        r = _qred(sf_dir)
+        return pa.table({
+            "section": pa.array(["404"] * a.num_rows + ["redirect"] * r.num_rows,
+                                pa.string()),
+            "url": pa.concat_arrays(
+                [a["url"].combine_chunks(), r["url"].combine_chunks()]),
+            "target": pa.concat_arrays(
+                [pa.array([""] * a.num_rows, pa.string()),
+                 r["target"].combine_chunks()]),
+            "found_on": pa.concat_arrays(
+                [a["found_on"].combine_chunks(), r["found_on"].combine_chunks()]),
+        })
+
     def report_skipped(sf_dir: str):
         return RP.skipped_by_reason_table(_crawl_for(sf_dir).skipped)
 
@@ -617,8 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "report_source_domains": _rq(RP.source_domains_table),
         "report_speed": _rq(RP.speed_table),
         "report_title_dups": _rq(RP.title_uniqueness_table),
-        "report_404": _rq(RP.page404_table),
-        "report_redirects": _rq(RP.redirects_table),
+        "report_broken": report_broken,
         "report_headers": _rq(RP.headers_inventory_table),
         "report_caching": _rq(RP.caching_table),
         "report_sitemap": _rq(RP.sitemap_urls),
@@ -649,6 +671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_topk": C.ngram_top50,
         "doc_chunks": C.doc_chunk_table,
         "decontaminate": C.decontaminate_table,
+        "packed_sequences": C.packed_sequences,
         # ---- rows-only block ----------------------------------------------
         # (crawl order/seq lives in the sequential-oracle parity pytest
         # suite — the crawl_visited slot was folded into crawl_visited_set
@@ -820,15 +843,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY title HAVING count(*) > 1
             ORDER BY n DESC, title LIMIT 10
         """,
-        "report_404": f"""
+        "report_broken": f"""
             WITH v AS ({V})
-            SELECT b.url AS url, coalesce(s.url, '') AS found_on
+            SELECT '404' AS section, b.url AS url, '' AS target,
+                   coalesce(s.url, '') AS found_on
             FROM v b LEFT JOIN v s ON b.source_uq_id = s.uq_id
             WHERE b.status_code = 404
-        """,
-        "report_redirects": f"""
-            WITH v AS ({V})
-            SELECT r.url AS url,
+            UNION ALL
+            SELECT 'redirect' AS section, r.url AS url,
                    coalesce(struct_extract(r.spans[1], 'media_ref'), '') AS target,
                    coalesce(s.url, '') AS found_on
             FROM v r LEFT JOIN v s ON r.source_uq_id = s.uq_id
@@ -1351,6 +1373,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'pair' AS section, a.vec_id AS id_a, CAST(b.vec_id AS DOUBLE) AS x
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "packed_sequences": """
+            WITH d AS (SELECT source, doc_id, text,
+                              len(string_split(text, ' ')) AS n_tok FROM documents),
+            p AS (SELECT *, coalesce(sum(n_tok) OVER (
+                              PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+                  FROM d)
+            SELECT source, CAST(floor(prefix / 256) AS BIGINT) AS bin,
+                   count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   string_agg(text, ' ' ORDER BY doc_id) AS packed
+            FROM p GROUP BY source, bin
         """,
         "decontaminate": """
             WITH tri AS (

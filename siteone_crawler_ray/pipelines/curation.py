@@ -80,3 +80,13 @@ def decontaminate_table(sf_dir: str, n: int = 3) -> pa.Table:
     hashes = benchmark_shingles(bench, n=n)
     t = _collect(decontaminate(train, hashes, n=n))
     return t.take(pc.sort_indices(t, [("doc_id", "ascending")]))
+
+
+def packed_sequences(sf_dir: str, budget: int = 256) -> pa.Table:
+    """Sequence packing over documents: per-source token-budget bins
+    with ordered concatenation (see stages/sampling.py::pack_sequences
+    for the deterministic fixed-boundary bin rule)."""
+    from ..stages.sampling import pack_sequences
+
+    return pack_sequences(
+        _read(sf_dir, "documents", ["source", "doc_id", "text"]), budget=budget)

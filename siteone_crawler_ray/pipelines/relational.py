@@ -548,18 +548,33 @@ def embedding_dup_pairs_table(sf_dir: str, threshold: float = 0.45) -> pa.Table:
 
 def user_type_stats(sf_dir: str) -> pa.Table:
     """count_by_type + distinct_users_by_type in one table
-    (event_type, n, n_users) — the two per-type aggregates share a key,
-    so they ride in one queries() slot."""
-    counts = count_by_type(sf_dir)
-    distinct = distinct_users_by_type(sf_dir)
-    lut = dict(zip(distinct["event_type"].to_pylist(), distinct["n_users"].to_pylist()))
+    (event_type, n, n_users) — the two per-type aggregates share a key
+    AND a single pass: each block reduces to its distinct
+    (event_type, user_id) pairs with their row counts (Arrow hash-agg,
+    no unicode sorts), the residue re-aggregates on the driver.  Scale
+    path: hash-partition the pair residue by user_id (pairs are the
+    dataset's distinct-pair cardinality, not its row count)."""
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "user_id", "rows"])
+
+    residue = _collect(
+        _read(sf_dir, "events", ["event_type", "user_id"]).map_batches(
+            pair_partial, batch_format="pyarrow")
+    )
+    pairs = residue.group_by(["event_type", "user_id"], use_threads=False).aggregate(
+        [("rows", "sum")])
+    out = pairs.group_by(["event_type"], use_threads=False).aggregate(
+        [("rows_sum", "sum"), ([], "count_all")])
+    out = out.rename_columns(["event_type", "n", "n_users"])
+    idx = pc.sort_indices(out, [("event_type", "ascending")])
     return pa.table(
         {
-            "event_type": counts["event_type"],
-            "n": counts["n"],
-            "n_users": pa.array(
-                [lut.get(t, 0) for t in counts["event_type"].to_pylist()], pa.int64()
-            ),
+            "event_type": out["event_type"].take(idx),
+            "n": out["n"].take(idx).cast(pa.int64()),
+            "n_users": out["n_users"].take(idx).cast(pa.int64()),
         }
     )
 

@@ -352,3 +352,97 @@ def decontaminate(train_ds, bench_hashes: np.ndarray, n: int = 3,
                          "n_hits": pa.array(counts.astype(np.int64))})
 
     return train_ds.map_batches(mark, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ seq packing
+
+
+def _pack_kernel(t: pa.Table, group_col: str, order_col: str, text_col: str,
+                 budget: int) -> pa.Table:
+    """Pack a partition's documents into fixed token-budget bins.
+
+    Precondition: ``t`` holds ALL rows of every group present (exchange /
+    driver-combine guarantee).  Bin rule (deterministic and
+    SQL-expressible as a window sum): a doc's bin is
+    floor(exclusive-prefix-token-sum within its group, ordered by
+    ``order_col``, / budget) — fixed boundaries, so a doc may straddle a
+    boundary into its own bin but assignment never depends on packing
+    history (unlike greedy best-fit, which is order-sequential and
+    unparallelizable)."""
+    if t.num_rows == 0:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "bin": pa.array([], pa.int64()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "packed": pa.array([], pa.string())})
+    idx = pc.sort_indices(t, [(group_col, "ascending"), (order_col, "ascending")])
+    t = t.take(idx)
+    texts = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+    ntok = pc.add(pc.count_substring(texts, " "), 1).to_numpy().astype(np.int64)
+    g = t[group_col].to_numpy(zero_copy_only=False)
+    change = np.empty(len(g), dtype=bool)
+    change[0] = True
+    np.not_equal(g[1:], g[:-1], out=change[1:])
+    run_id = np.cumsum(change) - 1
+    excl = np.cumsum(ntok) - ntok
+    base = excl[np.flatnonzero(change)]
+    prefix = excl - base[run_id]
+    bins = prefix // budget
+    seg = change.copy()
+    seg[1:] |= bins[1:] != bins[:-1]
+    starts = np.flatnonzero(seg)
+    ends = np.append(starts[1:], len(g))
+    offsets = np.concatenate([starts, [len(g)]]).astype(np.int32)
+    packed = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets), texts), " ")
+    tok_cum = np.concatenate([[0], np.cumsum(ntok)])
+    return pa.table({
+        group_col: pa.array(g[starts]),
+        "bin": pa.array(bins[starts]),
+        "n_docs": pa.array((ends - starts).astype(np.int64)),
+        "n_tokens": pa.array(tok_cum[ends] - tok_cum[starts]),
+        "packed": packed,
+    })
+
+
+def pack_sequences(ds, group_col: str = "source", order_col: str = "doc_id",
+                   text_col: str = "text", budget: int = 256,
+                   num_partitions: int = 16) -> pa.Table:
+    """Sequence packing (pre-tokenization document concatenation): per
+    group, concatenate docs in deterministic order into bins of
+    ``budget`` whitespace tokens; returns
+    (group, bin, n_docs, n_tokens, packed).
+
+    Ordered packing inherently needs every group co-located, so this is
+    the engine's one-exchange shape: each input block is keyed by
+    xxh64(group) and scattered ONCE (rows move once, like a hash
+    shuffle); each partition packs its groups independently and only
+    bin-level rows return.  No driver-side fast path is needed — the
+    per-partition kernel IS the small case when partitions are few."""
+    from ..functions.agg import block_refs
+
+    import ray
+
+    cols = [group_col, order_col, text_col]
+
+    def keyed(b: pa.Table) -> pa.Table:
+        b = b.select(cols)
+        return b.append_column("__gkey", pa.array(
+            xxh64_strings(b[group_col].to_numpy(zero_copy_only=False).astype(str))))
+
+    refs = block_refs(ds.map_batches(keyed, batch_format="pyarrow"))
+    out = _scatter_exchange(
+        refs, "__gkey",
+        lambda t: _pack_kernel(t.drop_columns(["__gkey"]), group_col, order_col,
+                               text_col, budget),
+        num_partitions,
+    )
+    parts = [p for p in out if p.num_rows]
+    if not parts:
+        return _pack_kernel(pa.table({group_col: pa.array([], pa.string()),
+                                      order_col: pa.array([], pa.int64()),
+                                      text_col: pa.array([], pa.string())}),
+                            group_col, order_col, text_col, budget)
+    merged = pa.concat_tables(parts, promote_options="permissive")
+    return merged.take(pc.sort_indices(
+        merged, [(group_col, "ascending"), ("bin", "ascending")]))

@@ -239,3 +239,47 @@ def test_benchmark_shingles_distinct_and_partition_independent():
     many = benchmark_shingles(_docs_ds(ROWS).repartition(7), n=3)
     assert (one == many).all()
     assert len(np.unique(one)) == len(one)
+
+
+# ------------------------------------------------------------ seq packing
+
+
+def _expected_pack(rows, budget):
+    import collections
+
+    byg = collections.defaultdict(list)
+    for i, g, t in rows:
+        byg[g].append((i, t))
+    out = []
+    for g in sorted(byg):
+        prefix = 0
+        bins = collections.defaultdict(lambda: [0, 0, []])
+        for i, t in sorted(byg[g]):
+            b = prefix // budget
+            n = len(t.split(" "))
+            bins[b][0] += 1
+            bins[b][1] += n
+            bins[b][2].append(t)
+            prefix += n
+        for b in sorted(bins):
+            nd, nt, texts = bins[b]
+            out.append((g, b, nd, nt, " ".join(texts)))
+    return out
+
+
+def test_pack_sequences_bins_and_order():
+    from siteone_crawler_ray.stages.sampling import pack_sequences
+
+    t = pack_sequences(_docs_ds(ROWS).repartition(5), budget=40)
+    got = list(zip(t["source"].to_pylist(), t["bin"].to_pylist(),
+                   t["n_docs"].to_pylist(), t["n_tokens"].to_pylist(),
+                   t["packed"].to_pylist()))
+    assert got == _expected_pack(ROWS, 40)
+
+
+def test_pack_sequences_partition_independent():
+    from siteone_crawler_ray.stages.sampling import pack_sequences
+
+    a = pack_sequences(_docs_ds(ROWS), budget=64, num_partitions=2)
+    b = pack_sequences(_docs_ds(ROWS).repartition(9), budget=64, num_partitions=7)
+    assert a.to_pylist() == b.to_pylist()
