@@ -446,3 +446,28 @@ def pack_sequences(ds, group_col: str = "source", order_col: str = "doc_id",
     merged = pa.concat_tables(parts, promote_options="permissive")
     return merged.take(pc.sort_indices(
         merged, [(group_col, "ascending"), ("bin", "ascending")]))
+
+
+def stratified_sample(ds, key_col: str = "doc_id", group_col: str = "source",
+                      rates: dict | None = None, default_pct: int = 100):
+    """Per-group deterministic sampling — the corpus-mixture step
+    (down-weight one source, keep another whole) expressed as the same
+    multiplicative-hash rule as ``hash_sample`` with the rate looked up
+    per row from a broadcast dict.  Still a stateless streaming filter:
+    no shuffle, no RNG state, identical keep-set for any partitioning."""
+    import ray
+
+    rates_ref = ray.put(dict(rates or {}))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        r = ray.get(rates_ref)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        groups = batch[group_col].to_numpy(zero_copy_only=False)
+        k = keys.view(np.uint64) if keys.dtype == np.int64 else keys.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (k * _KNUTH) % _MOD32 % np.uint64(100)
+        pct = np.fromiter((r.get(g, default_pct) for g in groups),
+                          dtype=np.uint64, count=len(groups))
+        return batch.filter(pa.array(h < pct))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -283,3 +283,15 @@ def test_pack_sequences_partition_independent():
     a = pack_sequences(_docs_ds(ROWS), budget=64, num_partitions=2)
     b = pack_sequences(_docs_ds(ROWS).repartition(9), budget=64, num_partitions=7)
     assert a.to_pylist() == b.to_pylist()
+
+
+def test_stratified_sample_rates_per_group():
+    from siteone_crawler_ray.stages.sampling import hash_sample_mask, stratified_sample
+
+    out = stratified_sample(
+        _docs_ds(ROWS).repartition(5), rates={"s0": 0, "s1": 50}, default_pct=100
+    ).to_pandas().sort_values("doc_id")
+    ids = np.array([r[0] for r in ROWS]); grp = np.array([r[1] for r in ROWS])
+    m50 = hash_sample_mask(ids.astype(np.int64), 50)
+    expected = sorted(ids[((grp == "s1") & m50) | (grp == "s2")])
+    assert list(out["doc_id"]) == expected
