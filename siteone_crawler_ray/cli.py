@@ -81,6 +81,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--offline-export-dir")
     p.add_argument("--markdown-export-dir")
     p.add_argument("--markdown-aggregate-file")
+    # report delivery (manager.rs:585-648; README.md:593-609)
+    p.add_argument("--mail-to", action="append", default=[],
+                   help="e-mail the HTML report (repeatable)")
+    p.add_argument("--mail-from", default=None)
+    p.add_argument("--mail-from-name", default=None)
+    p.add_argument("--mail-smtp-host", default=None)
+    p.add_argument("--mail-smtp-port", type=int, default=None)
+    p.add_argument("--mail-smtp-user")
+    p.add_argument("--mail-smtp-pass")
+    p.add_argument("--mail-subject-template", default=None)
+    p.add_argument("--mail-outbox-dir",
+                   help="write .eml files here instead of SMTP (offline transport)")
+    p.add_argument("--upload", action="store_true",
+                   help="upload the HTML report to --upload-to")
+    p.add_argument("--upload-to", default=None)
+    p.add_argument("--upload-retention", default=None)
+    p.add_argument("--upload-password")
+    p.add_argument("--upload-timeout", type=int, default=None)
+    p.add_argument("--upload-outbox-dir",
+                   help="write the upload form body here instead of HTTP POST")
     # quality gate (ci_gate.rs:34-202)
     p.add_argument("--max-404-errors", type=int, default=None)
     p.add_argument("--min-quality-score", type=float, default=None)
@@ -182,12 +202,60 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
                           rows_limit=args.rows_limit,
                           show_scheme_and_host=args.show_scheme_and_host,
                           do_not_truncate_url=args.do_not_truncate_url)
-    if args.output_html_file:
-        from .pipelines.report_html import write_html_report
+    # HTML report content is generated once if ANY consumer needs it:
+    # file, mailer, or upload (manager.rs:487-500)
+    html_report_needed = bool(args.output_html_file or args.mail_to or args.upload)
+    if html_report_needed:
+        from .pipelines.report_html import render_html_report
+        from .pipelines.report_json import build_report
 
         sections = args.html_report_options.split(",") if args.html_report_options else None
-        write_html_report(res, visited_ds, args.output_html_file, config=cfg,
-                          allowed_sections=sections, table_cache=table_cache)
+        html_content = render_html_report(
+            build_report(res, visited_ds, cfg, table_cache=table_cache, rows_limit=None),
+            sections,
+        )
+        if args.output_html_file:
+            with open(args.output_html_file, "w") as f:
+                f.write(html_content)
+
+        # ---- mailer + upload exporters (manager.rs:585-648 order) ----
+        from datetime import datetime
+
+        from .pipelines import delivery as DL
+
+        from urllib.parse import urlsplit
+
+        initial_host = urlsplit(seeds[0]).hostname or "unknown"
+        if args.mail_to:
+            mcfg = DL.MailerConfig(
+                mail_to=tuple(args.mail_to),
+                mail_from=args.mail_from or DL.DEFAULT_MAIL_FROM,
+                mail_from_name=args.mail_from_name or DL.DEFAULT_MAIL_FROM_NAME,
+                mail_smtp_host=args.mail_smtp_host or DL.DEFAULT_MAIL_SMTP_HOST,
+                mail_smtp_port=min(max(args.mail_smtp_port or DL.DEFAULT_MAIL_SMTP_PORT, 1), 65535),
+                mail_smtp_user=args.mail_smtp_user,
+                mail_smtp_pass=args.mail_smtp_pass,
+                mail_subject_template=(args.mail_subject_template
+                                       or DL.DEFAULT_MAIL_SUBJECT_TEMPLATE),
+            )
+            transport = (DL.file_outbox_transport(args.mail_outbox_dir)
+                         if args.mail_outbox_dir else DL.smtp_transport)
+            entry = DL.send_report_email(mcfg, initial_host, html_content,
+                                         datetime.now(), os.uname().nodename,
+                                         transport=transport)
+            print(f"{entry['severity']}: {entry['message']}", file=sys.stderr)
+        if args.upload:
+            ucfg = DL.UploadConfig(
+                enabled=True,
+                endpoint=args.upload_to or DL.DEFAULT_UPLOAD_TO,
+                retention=args.upload_retention or DL.DEFAULT_UPLOAD_RETENTION,
+                password=args.upload_password,
+                timeout=args.upload_timeout or DL.DEFAULT_UPLOAD_TIMEOUT,
+            )
+            transport = (DL.file_upload_transport(args.upload_outbox_dir)
+                         if args.upload_outbox_dir else DL.http_upload_transport)
+            entry = DL.upload_report(ucfg, html_content, transport=transport)
+            print(f"{entry['severity']}: {entry['message']}", file=sys.stderr)
 
     # ---- quality gate (ci_gate.rs:34-202; exit 10 on failure) ----
     if args.max_404_errors is not None or args.min_quality_score is not None:

@@ -570,6 +570,10 @@ def test_cli_end_to_end(ray_session, tmp_path):
         "--sitemap-xml-file", str(out / "sitemap.xml"),
         "--offline-export-dir", str(out / "offline"),
         "--markdown-aggregate-file", str(out / "site.md"),
+        "--mail-to", "dev@example.com",
+        "--mail-outbox-dir", str(out / "outbox"),
+        "--upload", "--upload-password", " s3cret ",
+        "--upload-outbox-dir", str(out / "upload"),
     ], init_ray=False)
     assert rc == 0
     rep = json.loads((out / "report.json").read_text())
@@ -593,6 +597,27 @@ def test_cli_end_to_end(ray_session, tmp_path):
     html0 = open(next(f for f in offline_files if f.endswith(".html"))).read()
     assert "<a " not in html0 or 'href="' in html0
     assert (out / "site.md").read_text().strip()
+    # mailer exporter (manager.rs:585-612): one .eml per recipient with
+    # the HTML report attached under report-<host>-<ts>.html
+    import email as email_lib
+
+    from siteone_crawler_ray.pipelines.delivery import decode_upload_form
+
+    eml_files = list((out / "outbox").iterdir())
+    assert len(eml_files) == 1
+    msg = email_lib.message_from_bytes(eml_files[0].read_bytes())
+    assert msg["To"] == "dev@example.com"
+    assert "Crawler Report for" in msg["Subject"]
+    parts = list(msg.walk())
+    attachment = next(p for p in parts if p.get_filename())
+    assert attachment.get_filename().startswith("report-")
+    assert attachment.get_payload(decode=True).decode() == (out / "report.html").read_text()
+    # upload exporter (manager.rs:614-634): form body round-trips to the
+    # same HTML, password trimmed, metadata fields present
+    form = decode_upload_form((out / "upload" / "upload-body.txt").read_text())
+    assert form["htmlBody"].decode() == (out / "report.html").read_text()
+    assert form["password"] == b"s3cret"
+    assert {"version", "platform", "arch", "retention"} <= set(form)
     # CI gate failure path → exit 10
     rc10 = main([
         "--url", tabs["seeds"]["url"].to_pylist()[0],
