@@ -81,12 +81,12 @@ def xxh64(data: bytes | str, seed: int = 0) -> int:
     return h
 
 
-def _byte_matrix(strings) -> tuple[np.ndarray, np.ndarray]:
-    """Gather a string/binary column into a zero-padded (n, W) uint8 matrix.
+def _gather_bytes(strings) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Gather a string/binary column into (data, starts, lens) — the raw
+    concatenated byte stream plus per-row offsets, with NO padding.
 
     Accepts a pyarrow (Chunked)Array, numpy array, pandas Series or list of
-    str/bytes.  Returns (matrix, lens).  W is a multiple of 8 and >= 32 so
-    uint64 lane views and the 32-byte tail gather never go out of bounds.
+    str/bytes.
     """
     import pyarrow as pa
 
@@ -111,21 +111,39 @@ def _byte_matrix(strings) -> tuple[np.ndarray, np.ndarray]:
         lens = np.fromiter((len(b) for b in items), dtype=np.int64, count=len(items))
         data = np.frombuffer(b"".join(items), dtype=np.uint8)
         starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) if len(items) else np.empty(0, np.int64)
+    return data, starts, lens
 
+
+def _pad_matrix(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Zero-padded (n, W) uint8 matrix for the given rows.  W is a multiple
+    of 8 and >= 32 so uint64 lane views and the 32-byte tail gather never
+    go out of bounds.
+
+    Rows contiguous in `data` (the layout of any Arrow string column, and
+    of every ``take``-compacted subset) use a 2-pass index build; scattered
+    rows pay one extra gather pass."""
     n = len(lens)
     maxlen = int(lens.max()) if n else 0
     W = max(32, -(-maxlen // 8) * 8)
     mat = np.zeros((n, W), dtype=np.uint8)
     if n and maxlen:
-        # ragged copy: one fancy-index pass over the concatenated byte
-        # stream (offsets of a string column are cumulative, so rows are
-        # contiguous in `data` starting at starts[0])
         total = int(lens.sum())
-        chunk = data[starts[0] : starts[0] + total]
         rows = np.repeat(np.arange(n, dtype=np.int64), lens)
-        within = np.arange(total, dtype=np.int64) - np.repeat(starts - starts[0], lens)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+        )
+        if n == 1 or bool((starts[1:] == starts[:-1] + lens[:-1]).all()):
+            chunk = data[starts[0] : starts[0] + total]
+        else:
+            chunk = data[np.repeat(starts, lens) + within]
         mat.reshape(-1)[rows * W + within] = chunk
-    return mat, lens
+    return mat
+
+
+def _byte_matrix(strings) -> tuple[np.ndarray, np.ndarray]:
+    """Back-compat: gather + pad in one step (tests use this)."""
+    data, starts, lens = _gather_bytes(strings)
+    return _pad_matrix(data, starts, lens), lens
 
 
 def _vrotl(x: np.ndarray, r: int) -> np.ndarray:
@@ -136,12 +154,83 @@ def xxh64_strings(strings, seed: int = 0) -> np.ndarray:
     """Vectorized XXH64 over a column of strings → uint64 ndarray.
 
     Bit-exact with :func:`xxh64` (property-tested).  Cost is a handful of
-    masked numpy passes over a padded byte matrix — no Python per row.
+    masked numpy passes over padded byte matrices — no Python per row.
+
+    Rows are processed in power-of-two width classes so one pathological
+    2 KB URL in a batch of 60 k short URLs does NOT pad the whole batch to
+    2 KB wide: the stripe loop is O(class maxlen) over only that class's
+    rows, keeping total work linear in total bytes instead of
+    O(n × global maxlen).  (This was a real 3× extract-phase regression on
+    large crawl waves, which almost always contain at least one very long
+    href.)
     """
-    mat, lens = _byte_matrix(strings)
+    import pyarrow as pa
+
+    arr = _as_arrow(strings)
+    _, _, lens = _gather_bytes(arr)
     n = len(lens)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
+    maxlen = int(lens.max())
+    if maxlen <= 64:
+        return _xxh64_matrix(_rpad_matrix(arr, maxlen), lens, seed)
+    # width classes: <=64, <=128, ..., each a power of two
+    wclass = np.maximum(64, lens - 1).astype(np.float64)
+    wclass = np.ceil(np.log2(wclass + 1)).astype(np.int64)
+    out = np.empty(n, dtype=np.uint64)
+    for c in np.unique(wclass):
+        idx = np.nonzero(wclass == c)[0]
+        # take() compacts the class into a contiguous buffer (C++ memcpy)
+        sub = arr.take(pa.array(idx))
+        ln = lens[idx]
+        out[idx] = _xxh64_matrix(_rpad_matrix(sub, int(ln.max())), ln, seed)
+    return out
+
+
+def _rpad_matrix(arr, maxlen: int) -> np.ndarray:
+    """(n, W) uint8 matrix from an Arrow string array, zero-padded in C++.
+
+    ``ascii_rpad`` pads to a BYTE width (verified: "héllo" → width 10 →
+    10 bytes), so after padding every row is exactly W bytes and the data
+    buffer IS the matrix — no numpy per-byte index arrays, which on a
+    memory-bound box cost ~10× the hash itself.  Binary arrays (no rpad
+    kernel) fall back to the numpy scatter."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(arr)
+    W = max(32, -(-maxlen // 8) * 8)
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        padded = pc.ascii_rpad(arr, width=W, padding="\x00")
+        bufs = padded.buffers()
+        odt = np.int64 if pa.types.is_large_string(padded.type) else np.int32
+        offs = np.frombuffer(bufs[1], dtype=odt)[padded.offset : padded.offset + n + 1]
+        if n == 0 or (int(offs[-1]) - int(offs[0])) == n * W:
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            return data[int(offs[0]) : int(offs[0]) + n * W].reshape(n, W)
+    data, starts, lens = _gather_bytes(arr)
+    return _pad_matrix(data, starts, lens)
+
+
+def _as_arrow(strings):
+    """Coerce any accepted column type to a flat pyarrow Array."""
+    import pyarrow as pa
+
+    if isinstance(strings, pa.ChunkedArray):
+        return strings.combine_chunks()
+    if isinstance(strings, pa.Array):
+        return strings
+    try:
+        return pa.array(strings, type=pa.string())
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        items = [s.encode("utf-8") if isinstance(s, str) else bytes(s) for s in strings]
+        return pa.array(items, type=pa.binary())
+
+
+def _xxh64_matrix(mat: np.ndarray, lens: np.ndarray, seed: int = 0) -> np.ndarray:
+    """XXH64 over a zero-padded (n, W) uint8 matrix (W % 8 == 0, W >= 32)."""
+    n = len(lens)
     with np.errstate(over="ignore"):
         ulens = lens.astype(np.uint64)
         u64 = mat.view("<u8")
@@ -166,15 +255,21 @@ def xxh64_strings(strings, seed: int = 0) -> np.ndarray:
             h[long_mask] = hm[long_mask]
         h = h + ulens
 
-        # gather the ≤31-byte tail of every row into a fixed (n, 32) matrix
+        # gather the ≤31-byte tail of every row into a fixed (n, 32) matrix.
+        # group rows by stripe count: each group's tail is a plain column
+        # slice (C-level strided copy), no per-byte index arrays.  padding
+        # bytes are already zero, so over-copying past `rem` is harmless.
         tail_start = nstripes * 32
         rem = lens - tail_start
-        tar = np.arange(32)
-        tvalid = tar[None, :] < rem[:, None]
+        W = mat.shape[1]
         tail = np.zeros((n, 32), dtype=np.uint8)
-        flat = mat.reshape(-1)
-        flat_idx = np.arange(n)[:, None] * mat.shape[1] + tail_start[:, None] + tar[None, :]
-        tail[tvalid] = flat[flat_idx[tvalid]]
+        for k in np.unique(nstripes):
+            b = int(k) * 32
+            if b >= W:
+                continue  # rem == 0 for these rows
+            m = nstripes == k
+            blk = mat[m, b : b + 32]
+            tail[m, : blk.shape[1]] = blk
         t64 = tail.view("<u8")
         t32 = tail.view("<u4")
 

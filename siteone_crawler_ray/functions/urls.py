@@ -223,10 +223,46 @@ def host_of(url: str) -> str:
         return ""
 
 
+# Fast-path extraction: scheme '://' host up to : / ? #.  Gated by
+# _CLEAN_RE, which admits only authorities free of userinfo, whitespace,
+# control chars, brackets and backslashes — i.e. exactly the canonical
+# URLs the gauntlet emits.  Anything else falls back to scalar host_of
+# (urlsplit) for exact parity on hostile input.
+_HOSTS_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?P<h>[^/?#:]*)"
+_CLEAN_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^@%\s\x00-\x1f\[\]\\]*([/?#]|$)"
+
+
 def hosts_of(urls) -> np.ndarray:
-    out = np.empty(len(urls), dtype=object)
-    for i, u in enumerate(urls):
-        out[i] = host_of(u)
+    """Vectorized :func:`host_of` over a column (object ndarray / list /
+    Arrow array) — one C++ regex pass instead of per-row urlsplit (which
+    was ~30% of gauntlet time on large waves).  Rows the regex can't
+    handle fall back to the scalar path for exact parity."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(urls)
+    if n == 0:
+        return np.empty(0, dtype=object)
+    if isinstance(urls, (pa.Array, pa.ChunkedArray)):
+        arr = urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls
+    else:
+        try:
+            arr = pa.array(urls, type=pa.string())
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            return np.array([host_of(u) for u in urls], dtype=object)
+    clean = pc.match_substring_regex(arr, pattern=_CLEAN_RE)
+    ex = pc.extract_regex(arr, pattern=_HOSTS_RE)
+    host = pc.if_else(
+        pc.and_kleene(clean, pc.is_valid(ex)),
+        pc.utf8_lower(pc.struct_field(ex, "h")),
+        pa.scalar(None, pa.string()),
+    )
+    out = host.to_numpy(zero_copy_only=False).astype(object)
+    miss = np.nonzero(pc.is_null(host).to_numpy(zero_copy_only=False))[0]
+    if len(miss):
+        raw = arr.take(pa.array(miss)).to_pylist()
+        for j, u in zip(miss, raw):
+            out[j] = host_of(u if u is not None else "")
     return out
 
 
