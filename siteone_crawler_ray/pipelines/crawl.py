@@ -367,7 +367,8 @@ class EpochCrawler:
                 }
             triplets = [
                 w.process_shared.options(num_returns=3).remote(
-                    wave_ref, i, K, self.num_buckets, vdir, self.cfg.routing, salt_map
+                    wave_ref, i, K, self.num_buckets, vdir, self.cfg.routing, salt_map,
+                    self.cfg.num_shards,
                 )
                 for i, w in enumerate(self._workers)
             ]

@@ -146,6 +146,15 @@ class FrontierShardState:
     def _partition_of(self, num_shards: int, parts, tag: str) -> pa.Table | None:
         import pyarrow.compute as pc
 
+        # workers may pre-partition by shard (list per worker): pick our
+        # slice and skip the key-mod scan — each shard then does O(its
+        # rows) work instead of every shard re-scanning all candidates
+        pre_partitioned = all(isinstance(p, (list, tuple)) for p in parts if p is not None)
+        parts = [
+            p[self.shard_id] if isinstance(p, (list, tuple)) else p
+            for p in parts
+            if p is not None
+        ]
         parts = [p for p in parts if p is not None and p.num_rows]
         if not parts:
             return None
@@ -153,8 +162,9 @@ class FrontierShardState:
         t = t.filter(pc.equal(t["tag"], tag))
         if not t.num_rows:
             return None
-        mine = shard_of(t["url_key"].to_numpy(zero_copy_only=False), num_shards) == self.shard_id
-        t = t.filter(pa.array(mine))
+        if not pre_partitioned:
+            mine = shard_of(t["url_key"].to_numpy(zero_copy_only=False), num_shards) == self.shard_id
+            t = t.filter(pa.array(mine))
         return t if t.num_rows else None
 
     def admit_direct_parts(self, num_shards: int, *parts) -> int:

@@ -96,7 +96,8 @@ class CrawlWorker:
         vdir: str,
         routing: str = "bucket",
         salt_map: dict | None = None,
-    ) -> tuple[pa.Table | None, list[str], dict]:
+        num_shards: int = 0,
+    ) -> tuple[pa.Table | list[pa.Table] | None, list[str], dict]:
         """Self-selection from the shared wave table.
 
         The driver ``ray.put``s the wave ONCE (zero-copy Arrow in the
@@ -128,7 +129,14 @@ class CrawlWorker:
         if not len(idx):
             self._last_full = None
             return None, [], {"rows": 0, "cands_raw": 0, "fetch": 0.0, "write": 0.0, "extract": 0.0}
-        return self.process(wave.take(pa.array(idx)), vdir, worker_id)
+        cands, non200, timing = self.process(wave.take(pa.array(idx)), vdir, worker_id)
+        if num_shards and cands is not None and cands.num_rows:
+            # pre-partition by frontier shard HERE (29-way parallel) so
+            # each shard actor later touches only its own rows instead
+            # of every shard re-scanning the full candidate set (S×
+            # duplicated work — the big-wave frontier bottleneck)
+            cands = _split_by_shard(cands, num_shards)
+        return cands, non200, timing
 
     def process(
         self, chunk: pa.Table, vdir: str, part: int
@@ -171,6 +179,19 @@ class CrawlWorker:
             "extract": round(t3 - t2, 4),
         }
         return cands, non200, timing
+
+
+def _split_by_shard(cands: pa.Table, num_shards: int) -> list[pa.Table]:
+    """Partition a candidate table into per-frontier-shard tables
+    (``url_key % num_shards``) — one stable argsort + zero-copy slices."""
+    from .frontier import shard_of
+
+    sh = shard_of(cands["url_key"].to_numpy(zero_copy_only=False), num_shards)
+    order = np.argsort(sh, kind="stable")
+    srt = cands.take(pa.array(order))
+    counts = np.bincount(sh, minlength=num_shards)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    return [srt.slice(int(offs[i]), int(counts[i])) for i in range(num_shards)]
 
 
 def _chunk_dedup(cands: pa.Table) -> pa.Table:
