@@ -392,8 +392,17 @@ class EpochCrawler:
         n_cands = sum(t.get("cands_raw", 0) for t in timings)
         if cand_refs is not None:
             n_ok = sum(t.get("n_ok", 0) for t in timings)
-            self._shard_call_refs("record_skips_parts", cand_refs)
-            self._admit_parts(cand_refs, W, n_ok)
+            V, cfg = self.visited_count, self.cfg
+            if n_ok and (
+                V + W + n_ok <= cfg.max_visited_urls
+                and (W - 1) + n_ok <= cfg.max_queue_length
+            ):
+                # fast path: caps can't bind → ONE shard round-trip does
+                # skip recording + admit (the per-epoch Amdahl term)
+                self._shard_call_refs("ingest_direct_parts", cand_refs)
+            else:
+                self._shard_call_refs("record_skips_parts", cand_refs)
+                self._admit_parts(cand_refs, W, n_ok)
         else:
             cands = cands_local if cands_local is not None else _empty_cand_table()
             self._record_skips(cands)
@@ -677,6 +686,12 @@ class EpochCrawler:
                     for i, w in enumerate(self._workers)
                 ]
             )
+        if self._use_ray:
+            import ray
+
+            # export + first-schedule of the num_cpus=0 assemble task
+            # costs ~1.3s cold on this box; pay it here, not in epoch 0
+            ray.get(self._get_assemble_remote().remote(0, 0, False)[0])
         dt = time.perf_counter() - t0
         self.metrics["startup_sec"] = round(dt, 4)
         return dt

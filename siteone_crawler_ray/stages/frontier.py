@@ -181,6 +181,13 @@ class FrontierShardState:
             return 0
         return self.try_admit(sub)
 
+    def ingest_direct_parts(self, num_shards: int, *parts) -> int:
+        """Fused fast-path: record skips AND admit in one actor call —
+        halves the driver↔shard round-trips per epoch when caps can't
+        bind (the epoch loop's serial term)."""
+        self.record_skips_parts(num_shards, *parts)
+        return self.admit_direct_parts(num_shards, *parts)
+
     def record_skips_parts(self, num_shards: int, *parts) -> int:
         sub = self._partition_of(num_shards, parts, "skip")
         if sub is None:
