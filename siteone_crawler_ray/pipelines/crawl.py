@@ -87,6 +87,11 @@ class CrawlConfig:
     # (preloaded buckets, hot memo caches) so the bar is low.  At 100 TB
     # waves are millions of rows and always fan out.
     ray_wave_threshold: int = 48
+    # ramp-up/tail waves dispatch to ceil(sqrt(W/16)) workers instead of
+    # the full pool: fanning 29 actors for a 128-row wave costs more in
+    # dispatch + straggler tail than the work itself (per-epoch Amdahl
+    # term).  Big waves still use every worker.
+    adaptive_fetch_fanout: bool = True
 
     def fingerprint(self) -> str:
         from ..functions.hashing import xxh64
@@ -188,6 +193,13 @@ class EpochCrawler:
         self._local_worker: CrawlWorker | None = None
         self._blocklist: frozenset = frozenset()
         self._epoch_workers_used = None
+        # fire-and-forget refs from the PREVIOUS epoch (fast-path ingest
+        # + shard checkpoint): Ray actor tasks run in submission order,
+        # so the next drain/admit already serializes behind them on each
+        # shard — the driver only collects them one epoch later for
+        # error propagation and the deferred manifest write.
+        self._ingest_refs: list = []
+        self._pending_ckpt: tuple | None = None
 
     # -- shard plumbing (works with or without Ray) -------------------------
     def _make_shards(self):
@@ -349,7 +361,13 @@ class EpochCrawler:
         if self._use_ray and W >= self.cfg.ray_wave_threshold:
             import ray
 
-            K = len(self._workers)
+            workers = self._workers
+            if self.cfg.adaptive_fetch_fanout:
+                # ramp-up/tail waves: K ≈ sqrt(W/16) balances per-actor
+                # dispatch+straggler cost (~10-15 ms) against W/K work
+                k = max(1, min(len(workers), int(np.ceil(np.sqrt(W / 16)))))
+                workers = workers[:k]
+            K = len(workers)
             # bucket-affine routing: worker (url_key % NB) % K — each
             # worker's corpus-bucket cache stays a fixed 1/K subset
             # instead of every worker faulting in every bucket.
@@ -370,12 +388,12 @@ class EpochCrawler:
                     wave_ref, i, K, self.num_buckets, vdir, self.cfg.routing, salt_map,
                     self.cfg.num_shards,
                 )
-                for i, w in enumerate(self._workers)
+                for i, w in enumerate(workers)
             ]
             cand_refs = [t[0] for t in triplets]
             non200_lists = ray.get([t[1] for t in triplets])
             timings = ray.get([t[2] for t in triplets])
-            self._epoch_workers_used = list(self._workers)
+            self._epoch_workers_used = list(workers)
         else:
             if wave is None:
                 import ray
@@ -397,9 +415,16 @@ class EpochCrawler:
                 V + W + n_ok <= cfg.max_visited_urls
                 and (W - 1) + n_ok <= cfg.max_queue_length
             ):
-                # fast path: caps can't bind → ONE shard round-trip does
-                # skip recording + admit (the per-epoch Amdahl term)
-                self._shard_call_refs("ingest_direct_parts", cand_refs)
+                # fast path: caps can't bind → submit ONE fused
+                # skip+admit call per shard and DON'T wait: actor task
+                # ordering makes the next drain/checkpoint serialize
+                # behind it shard-side; the refs are collected next
+                # epoch (error propagation only).  This removes the
+                # last per-epoch driver↔shard synchronization.
+                self._ingest_refs.extend(
+                    getattr(s, "ingest_direct_parts").remote(self.cfg.num_shards, *cand_refs)
+                    for s in self._shards
+                )
             else:
                 self._shard_call_refs("record_skips_parts", cand_refs)
                 self._admit_parts(cand_refs, W, n_ok)
@@ -619,19 +644,58 @@ class EpochCrawler:
     def _checkpoint(self) -> None:
         e = self.epoch - 1
         sdir = os.path.join(self.workdir, "shards", f"epoch={e}")
-        shard_meta = self._shard_call("checkpoint", [(sdir,) for _ in self._shards])
         manifest = {
             "epoch": e,
             "visited_count": self.visited_count,
             "basename_counts": self.basename_counts,
             "config": self.cfg.fingerprint(),
-            "shards": shard_meta,
+            "shards": None,
             "metrics": self.metrics["epochs"][-1],
         }
+        if self._use_ray:
+            # async: flush the PREVIOUS epoch's refs (instant by now —
+            # actor ordering ran them before this epoch's drain), then
+            # submit this epoch's shard checkpoints without waiting.
+            # The manifest for epoch e is written one epoch later (or at
+            # run() end); a crash in that window loses only the newest
+            # manifest, and resume() already prunes shard/visited dirs
+            # newer than the last manifest it finds.
+            self._flush_pending()
+            refs = [s.checkpoint.remote(sdir) for s in self._shards]
+            # this epoch's ingest refs ride along and are collected with
+            # the ckpt refs next epoch — collecting them HERE would
+            # re-introduce the per-epoch barrier this removes
+            self._pending_ckpt = (e, manifest, refs, self._ingest_refs)
+            self._ingest_refs = []
+        else:
+            manifest["shards"] = self._shard_call("checkpoint", [(sdir,) for _ in self._shards])
+            self._write_manifest(e, manifest)
+
+    def _write_manifest(self, e: int, manifest: dict) -> None:
         tmp = os.path.join(self.workdir, "manifest.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(self.workdir, f"manifest-epoch{e}.json"))
+
+    def _flush_pending(self) -> None:
+        """Collect last epoch's fire-and-forget shard refs: propagate
+        any ingest error and write the deferred manifest."""
+        if not self._use_ray:
+            return
+        import ray
+
+        if self._pending_ckpt is not None:
+            e, manifest, refs, ingest_refs = self._pending_ckpt
+            self._pending_ckpt = None
+            if ingest_refs:
+                ray.get(ingest_refs)
+            manifest["shards"] = ray.get(refs)
+            self._write_manifest(e, manifest)
+        if self._ingest_refs:
+            # only reachable if an epoch ended without a checkpoint
+            # (defensive: every run_epoch that ingests also checkpoints)
+            refs, self._ingest_refs = self._ingest_refs, []
+            ray.get(refs)
 
     def resume(self) -> bool:
         """Restore the latest complete epoch; True if a checkpoint existed."""
@@ -705,6 +769,7 @@ class EpochCrawler:
             if self.run_epoch() == 0:
                 break
         total = time.perf_counter() - t0
+        self._flush_pending()  # final epoch's ingest/ckpt refs + manifest
         skipped = self._collect_skipped()
         seen = np.sort(np.concatenate(self._shard_call("snapshot_seen")))
         self.metrics["total_sec"] = round(total, 4)
