@@ -512,11 +512,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             t["keep"].cast(pa.int64()))
 
     def ann_knn(sf_dir: str):
-        """Approximate nearest neighbour: IVF (centroid cells) and LSH
-        (random-hyperplane buckets) top-10 in one tagged table
-        (which ∈ {ivf, lsh}) — the two ANN scale paths share a slot;
-        recall vs exact brute force is pytest-measured."""
+        """ANN machinery end-to-end, DuckDB-oracled: both scale paths
+        run in EXHAUSTIVE configurations that are exact by construction
+        — IVF through the real cell-partitioned parquet index with
+        nprobe = nlist (every cell probed: build → partitioned write →
+        probe read → rerank → merge), LSH-bucketed with nbits=0 (one
+        bucket: emit → partitioned exchange → pair → rerank).  Exact ⇒
+        both equal brute-force cosine top-10, which SQL can express.
+        RECALL of the approximate configurations (nprobe < nlist,
+        nbits > 0) is measured in tests/test_training_ops.py."""
         import os as _os
+        import shutil as _shutil
+        import tempfile as _tempfile
 
         import numpy as np
         import pyarrow as pa
@@ -524,7 +531,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow.parquet as pq
         import ray.data as rd
 
-        from siteone_crawler_ray.stages.similarity import knn_ivf, knn_lsh_bucketed
+        from siteone_crawler_ray.stages.similarity import (
+            ivf_build_index,
+            ivf_query_index,
+            knn_lsh_bucketed,
+        )
 
         q = (
             pq.read_table(_os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
@@ -536,10 +547,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return rd.read_parquet(_os.path.join(sf_dir, "embeddings.parquet"),
                                    columns=["vec_id", "embedding"], override_num_blocks=16)
 
-        ivf = knn_ivf(_ds(), np.array(q), k=10)
+        nlist = 16
+        idx_dir = _tempfile.mkdtemp(prefix="graft_ivf_idx_")
+        try:
+            ivf_build_index(_ds(), idx_dir, nlist=nlist)
+            ivf = ivf_query_index(idx_dir, np.array(q), k=10, nprobe=nlist)
+        finally:
+            _shutil.rmtree(idx_dir, ignore_errors=True)
         # bucket co-located exchange path (pytest-proven identical to the
         # broadcast-scan knn_lsh on any input)
-        lsh = knn_lsh_bucketed(_ds(), np.array(q), k=10)
+        lsh = knn_lsh_bucketed(_ds(), np.array(q), k=10, nbits=0, ntables=1)
         return pa.table({
             "which": pa.array(["ivf"] * ivf.num_rows + ["lsh"] * lsh.num_rows, pa.string()),
             "vec_id": pa.concat_arrays([ivf["vec_id"].combine_chunks(),
@@ -1364,6 +1381,19 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY list_cosine_similarity(embedding,
                   (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id) AS rank
               FROM embeddings) WHERE rank <= 10
+        """,
+        # both ANN paths run exhaustively (nprobe=nlist / nbits=0) in the
+        # correctness slot → exact ⇒ each equals brute-force top-10
+        "ann_knn": """
+            WITH topk AS (
+              SELECT vec_id, rank FROM (
+                SELECT vec_id, row_number() OVER (
+                  ORDER BY list_cosine_similarity(embedding,
+                    (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id) AS rank
+                FROM embeddings) WHERE rank <= 10)
+            SELECT 'ivf' AS which, vec_id, rank FROM topk
+            UNION ALL
+            SELECT 'lsh' AS which, vec_id, rank FROM topk
         """,
         "embedding_checks": """
             SELECT 'norm' AS section, vec_id AS id_a,
