@@ -206,11 +206,20 @@ def run_frontier_bench(num_shards: int = 8, total_keys: int = 4_000_000,
     }
 
 
-def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
-    """Fresh-process runs at two parallelism levels (N and 4N CPUs)."""
+def run_scaling(sf_dir: str, levels=(2, 8, 32)) -> dict:
+    """Fresh-process runs at three parallelism levels: two N→4N pairs.
+
+    Why two pairs: the north rule's criterion is efficiency between
+    cluster sizes N and 4N NODES, where a scale-out multiplies memory
+    bandwidth along with CPUs.  On this single box the memory bus is
+    shared: the crawl saturates it near ~25k pages/s, so the 8→32 pair
+    under-reports what a true node scale-out would give (CPUs ×4,
+    bandwidth ×1), while the 2→8 pair runs entirely in the unsaturated
+    region and isolates the engine's own scaling behaviour.  Both are
+    reported; BASELINE.md carries the saturation analysis."""
     _scaling_corpus()  # build once outside the timed children
-    # interleave the levels (8,32,8,32,…) so ambient-load drift on the
-    # shared sandbox hits both levels alike; median-of-3 per level
+    # interleave the levels (2,8,32,2,8,32,…) so ambient-load drift on
+    # the shared sandbox hits every level alike; 3 reps per level
     runs: dict[int, list] = {n: [] for n in levels}
     for _rep in range(3):
         for n in levels:
@@ -232,23 +241,30 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
         best["reps_crawl_sec"] = [r["crawl_sec"] for r in reps]
         best["median_crawl_sec"] = reps[len(reps) // 2]["crawl_sec"]
         results[n] = best
-    lo, hi = min(levels), max(levels)
-    eff_min = (results[lo]["crawl_sec"] / results[hi]["crawl_sec"]) / (hi / lo)
-    # PRIMARY estimator: median of interleaved-pair ratios — rep i of
-    # each level runs back-to-back in the same ambient window, so the
-    # additive sandbox noise cancels within each pair; this pairing
-    # design exists specifically for this sandbox's load swings.  The
-    # min-of-reps (timeit convention) stays as a secondary field — its
-    # two minima can come from different ambient windows, which biases
-    # it toward the most favorable estimate.
-    ratios = sorted(
-        a["crawl_sec"] / b["crawl_sec"] for a, b in zip(runs[lo], runs[hi])
-    )
-    eff_median = ratios[len(ratios) // 2] / (hi / lo)
+
+    def pair_eff(lo: int, hi: int) -> dict:
+        # PRIMARY estimator: median of interleaved-pair ratios — rep i
+        # of each level runs back-to-back in the same ambient window,
+        # so the additive sandbox noise cancels within each pair.  The
+        # min-of-reps (timeit convention) stays as a secondary field —
+        # its two minima can come from different ambient windows, which
+        # biases it toward the most favorable estimate.
+        ratios = sorted(
+            a["crawl_sec"] / b["crawl_sec"] for a, b in zip(runs[lo], runs[hi])
+        )
+        eff_median = ratios[len(ratios) // 2] / (hi / lo)
+        eff_min = (results[lo]["crawl_sec"] / results[hi]["crawl_sec"]) / (hi / lo)
+        return {"median_pairs": round(eff_median, 3), "min_of_reps": round(eff_min, 3)}
+
+    pairs = {f"{lo}->{hi}": pair_eff(lo, hi) for lo, hi in zip(levels, levels[1:])}
+    lo, hi = levels[-2], levels[-1]
     report = {
         "metric": "crawl_scaling_efficiency",
-        "value": round(eff_median, 3),
-        "value_min_of_reps": round(eff_min, 3),
+        # headline stays the top pair (historical comparability); the
+        # unsaturated low pair is reported alongside, not instead
+        "value": pairs[f"{lo}->{hi}"]["median_pairs"],
+        "value_min_of_reps": pairs[f"{lo}->{hi}"]["min_of_reps"],
+        "pairs": pairs,
         "unit": f"(T{lo}/T{hi})/{hi // lo}, median of interleaved-pair ratios",
         "levels": {str(n): results[n] for n in levels},
         "sf": sf_dir,
@@ -284,15 +300,20 @@ def main() -> int:
         print(json.dumps(report))
         baseline = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
         try:
-            lo, hi = sorted(int(k) for k in report["levels"])
-            rlo, rhi = report["levels"][str(lo)], report["levels"][str(hi)]
+            lvls = sorted(int(k) for k in report["levels"])
+            pair_txt = "; ".join(
+                f"eff({k})={v['median_pairs']} (min-of-reps {v['min_of_reps']})"
+                for k, v in report["pairs"].items()
+            )
+            lvl_txt = ", ".join(
+                f"T{n}={report['levels'][str(n)]['crawl_sec']}s "
+                f"{report['levels'][str(n)]['pages_per_sec']}p/s"
+                for n in lvls
+            )
             with open(baseline, "a") as f:
                 f.write(
                     f"\n<!-- bench.py --scaling -->\n"
-                    f"- scaling run ({SCALE_PAGES} pages): eff={report['value']} "
-                    f"(median-of-pairs; min-of-reps {report.get('value_min_of_reps')}; "
-                    f"T{lo}={rlo['crawl_sec']}s {rlo['pages_per_sec']}p/s, "
-                    f"T{hi}={rhi['crawl_sec']}s {rhi['pages_per_sec']}p/s)\n"
+                    f"- scaling run ({SCALE_PAGES} pages): {pair_txt}; {lvl_txt}\n"
                 )
         except OSError:
             pass  # read-only checkout — stdout JSON is the record

@@ -277,10 +277,18 @@ class FrontierShardState:
 
 
 def make_shard_actors(num_shards: int, filter_capacity: int = 1 << 20):
-    """num_shards Ray actors, each owning one FrontierShardState."""
+    """num_shards Ray actors, each owning one FrontierShardState.
+
+    Shard CPU share adapts to the cluster: at 0.25 each, 8 shards
+    reserve 2 full CPUs — on a 2-CPU cluster that is EVERY slot and the
+    1-CPU crawl workers can never schedule (permanent hang).  Cap the
+    pool's total reservation at a quarter of the cluster so workers
+    always fit; shard work is short-burst and interleaves fine."""
     import ray
 
-    Actor = ray.remote(num_cpus=0.25)(FrontierShardState)
+    cpus = ray.cluster_resources().get("CPU", 4)
+    per_shard = min(0.25, (cpus / 4) / num_shards)
+    Actor = ray.remote(num_cpus=per_shard)(FrontierShardState)
     return [Actor.remote(i, filter_capacity) for i in range(num_shards)]
 
 
