@@ -73,7 +73,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     import __ray_entry__ as entrymod
 
-    rd.range(1000).map_batches(lambda b: b, batch_format="pyarrow").count()  # session warm-up
+    # Session warm-up: the first map_batches tasks pay worker-process
+    # spawn + module imports (~2 s spread over the first query on this
+    # box).  Warm EVERY task-pool worker with the hot imports so query
+    # timings measure the pipelines, not process bring-up.
+    def _warm(b):
+        import numpy  # noqa: F401
+        import pyarrow.compute  # noqa: F401
+
+        from siteone_crawler_ray.functions import agg  # noqa: F401
+
+        return b
+
+    rd.range(4096, override_num_blocks=2 * num_cpus).map_batches(
+        _warm, batch_format="pyarrow"
+    ).count()
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
