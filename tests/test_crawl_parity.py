@@ -147,6 +147,53 @@ def test_resume_reproduces_uninterrupted_run(tmp_workdir):
     assert sorted(full.skipped.to_pylist(), key=str) == sorted(res.skipped.to_pylist(), key=str)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_ray_async_checkpoint_crash_window_resume(tmp_workdir):
+    """The Ray path defers each epoch's manifest write until the next
+    epoch (fire-and-forget shard checkpoints).  A crash inside that
+    window leaves shards/epoch=N written but manifest-epochN.json
+    missing; resume() must fall back to epoch N-1, prune the stale
+    dirs, and reproduce the uninterrupted run exactly."""
+    import ray
+
+    tabs = make_graph_corpus(seed=42, hosts=4, total_pages=200, out_degree=5)
+    cp, seeds, robots = _setup(tmp_workdir, tabs)
+    cfg = CrawlConfig(use_ray=True, num_shards=4, fetch_concurrency=2,
+                      ray_wave_threshold=1)
+
+    full = EpochCrawler(cp, seeds, robots, os.path.join(tmp_workdir, "full"), cfg).run()
+
+    part_dir = os.path.join(tmp_workdir, "part")
+    c1 = EpochCrawler(cp, seeds, robots, part_dir, cfg)
+    c1.seed()
+    c1.warmup()
+    c1.run_epoch()
+    c1.run_epoch()
+    c1.run_epoch()
+    # crash simulation: force the pending (deferred) shard checkpoints
+    # to land on disk, then drop the driver WITHOUT flushing its
+    # manifest — the exact window the async checkpoint opens
+    assert c1._pending_ckpt is not None, "async path should defer the manifest"
+    pend_epoch, _, refs, ingest_refs = c1._pending_ckpt
+    ray.get(list(refs) + list(ingest_refs))
+    c1.shutdown()
+    manifests = sorted(f for f in os.listdir(part_dir) if f.startswith("manifest-epoch"))
+    assert f"manifest-epoch{pend_epoch}.json" not in manifests
+    stale = os.path.join(part_dir, "shards", f"epoch={pend_epoch}")
+    assert os.path.isdir(stale), "shard ckpt for the unflushed epoch should exist"
+
+    c2 = EpochCrawler(cp, seeds, robots, part_dir, cfg)
+    assert c2.resume()
+    assert not os.path.isdir(stale), "resume must prune the manifest-less epoch dir"
+    res = c2.run()
+
+    a = full.visited_table(columns=VISITED_COLS)
+    b = res.visited_table(columns=VISITED_COLS)
+    assert a.equals(b), "resume across the async-ckpt crash window diverged"
+    assert (full.seen_keys == res.seen_keys).all()
+    assert sorted(full.skipped.to_pylist(), key=str) == sorted(res.skipped.to_pylist(), key=str)
+
+
 def test_resume_prunes_stale_shard_epoch_dirs(tmp_workdir):
     """A crash between shard checkpoint writes and the manifest replace
     leaves a shards/epoch=N dir with no covering manifest; resume() must
