@@ -1333,11 +1333,23 @@ def oracle_sql() -> dict[str, str]:
         # emails, phones, then the demo lexicon, counted on the ORIGINAL
         # text and substituted in order
         "text_metrics": r"""
-            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+            WITH tw AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+            tri AS (
+              SELECT doc_id,
+                     w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                       || ' ' || w[CAST(i AS INT) + 2] AS g
+              FROM tw, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) t),
+            rep AS (
+              SELECT doc_id, count(*) AS n_tri,
+                     round(1 - CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) AS dup_tri_ratio
+              FROM tri GROUP BY doc_id)
+            SELECT d.doc_id, len(string_split(text, ' ')) AS n_tokens,
                    round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_tok_len,
                    round(CAST(length(text)
                          - length(replace(replace(replace(replace(text, '.', ''), ',', ''), '!', ''), '?', ''))
                          AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+                   coalesce(r.n_tri, 0) AS n_tri,
+                   coalesce(r.dup_tri_ratio, 0.0) AS dup_tri_ratio,
                    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
                    + len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]'))
                    + len(regexp_extract_all(text, '\b(customer|supplier)\b')) AS n_matches,
@@ -1347,7 +1359,7 @@ def oracle_sql() -> dict[str, str]:
                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
                        '\+?[0-9][0-9()\- ]{7,}[0-9]', '[PHONE]', 'g'),
                      '\b(customer|supplier)\b', '[TERM]', 'g') AS scrubbed
-            FROM documents
+            FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
         """,
         # corpus curation: deterministic multiplicative-hash sample →
         # per-source quota; exact bigram top-k; context-window chunking

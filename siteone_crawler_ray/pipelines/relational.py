@@ -668,20 +668,23 @@ def bucket_counts(sf_dir: str) -> pa.Table:
 
 
 def text_metrics(sf_dir: str) -> pa.Table:
-    """token_counts + quality_scores + pattern scrubbing (PII-redaction
-    shape) in ONE pass over documents (doc_id, n_tokens, avg_tok_len,
-    punct_ratio, n_matches, scrubbed) — the per-doc text scalars and
-    the rewrite share a read and a batch, so they ride in one slot.
-    The scrub preset = emails + phones + the demo lexicon
-    (customer/supplier — the corpus-exercised family)."""
+    """token_counts + quality_scores + repetition metrics + pattern
+    scrubbing (PII-redaction shape) in ONE pass over documents (doc_id,
+    n_tokens, avg_tok_len, punct_ratio, n_tri, dup_tri_ratio,
+    n_matches, scrubbed) — the per-doc text scalars and the rewrite
+    share a read and a batch, so they ride in one slot.  The scrub
+    preset = emails + phones + the demo lexicon (customer/supplier —
+    the corpus-exercised family); repetition = Gopher-style
+    duplicate-trigram fraction."""
     from ..stages.scrub import PII_EMAIL, PII_PHONE, lexicon_pattern, scrub_kernel
-    from ..stages.textstats import quality_scores, token_counts
+    from ..stages.textstats import quality_scores, repetition_metrics, token_counts
 
     patterns = [PII_EMAIL, PII_PHONE, lexicon_pattern(["customer", "supplier"])]
 
     def both(batch: pa.Table) -> pa.Table:
         tc = token_counts(batch)
         q = quality_scores(batch)
+        rep = repetition_metrics(batch)
         sc = scrub_kernel(batch.select(["doc_id", "text"]), patterns)
         return pa.table(
             {
@@ -689,6 +692,8 @@ def text_metrics(sf_dir: str) -> pa.Table:
                 "n_tokens": tc["n_tokens"],
                 "avg_tok_len": q["avg_tok_len"],
                 "punct_ratio": q["punct_ratio"],
+                "n_tri": rep["n_tri"],
+                "dup_tri_ratio": rep["dup_tri_ratio"],
                 "n_matches": sc["n_matches"],
                 "scrubbed": sc["scrubbed"],
             }

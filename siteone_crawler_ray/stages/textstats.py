@@ -78,6 +78,42 @@ def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def repetition_metrics(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style within-document repetition: the duplicate-trigram
+    fraction ``1 - distinct/total`` over whitespace-token trigrams
+    (Rae et al. 2021 §A1.1 repetition filters — public heuristic).
+    EXACT distinct counting (compact token ids + integer re-coding, no
+    hash collisions, no padded unicode sorts), so a DuckDB
+    ``count(DISTINCT trigram)`` oracle matches bit-for-bit."""
+    from ..functions.numeric import round_away
+
+    texts = batch[text_col].to_numpy(zero_copy_only=False)
+    n_tri = np.zeros(len(texts), dtype=np.int64)
+    dup = np.zeros(len(texts), dtype=np.float64)
+    for i, s in enumerate(texts):
+        toks = np.array(s.split(" "), dtype=object)
+        m = len(toks) - 2
+        if m <= 0:
+            continue
+        # tokens → compact int codes; trigram key via two re-codings so
+        # every intermediate fits int64 (pair ids ≤ n², n ≤ doc tokens)
+        _, codes = np.unique(toks, return_inverse=True)
+        codes = codes.astype(np.int64)
+        n = len(codes)
+        pair = codes[:-1] * n + codes[1:]
+        _, pcodes = np.unique(pair, return_inverse=True)
+        tri = pcodes[:-1].astype(np.int64) * n + codes[2:]
+        n_tri[i] = m
+        dup[i] = 1.0 - len(np.unique(tri)) / m
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tri": pa.array(n_tri),
+            "dup_tri_ratio": pa.array(round_away(dup, 6)),
+        }
+    )
+
+
 def langid(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """n-gram/stopword language-ID heuristic: argmax of per-language
     stopword hit counts (deterministic; 'und' = undetermined)."""

@@ -108,6 +108,27 @@ def test_textstats():
     assert sorted(out["n_tokens"]) == [5, 5]
 
 
+def test_repetition_metrics():
+    from siteone_crawler_ray.stages.textstats import repetition_metrics
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a b c a b c a b c",   # 7 trigrams: abc,bca,cab ×? → distinct 3
+            "x y z w",              # 2 trigrams, both distinct
+            "q q q q q",            # 3 trigrams, all "q q q" → distinct 1
+            "one two",              # <3 tokens → no trigrams
+        ], pa.string()),
+    })
+    r = repetition_metrics(t)
+    assert r["n_tri"].to_pylist() == [7, 2, 3, 0]
+    # doc1: distinct = {abc, bca, cab} = 3 → 1 - 3/7
+    assert abs(r["dup_tri_ratio"][0].as_py() - (1 - 3 / 7)) < 1e-6
+    assert r["dup_tri_ratio"][1].as_py() == 0.0
+    assert abs(r["dup_tri_ratio"][2].as_py() - (1 - 1 / 3)) < 1e-6
+    assert r["dup_tri_ratio"][3].as_py() == 0.0
+
+
 def test_multimodal_plumbing():
     import ray.data as rd
 
