@@ -77,7 +77,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--do-not-truncate-url", action="store_true")
     p.add_argument("--show-scheme-and-host", action="store_true")
     p.add_argument("--html-report-options", help="comma-separated section allowlist")
+    # speed-report knobs (fastest_analyzer.rs:33-34, slowest_analyzer.rs:34-36 defaults)
+    p.add_argument("--fastest-urls-top-limit", type=int, default=20)
+    p.add_argument("--fastest-urls-max-time", type=float, default=1.0)
+    p.add_argument("--slowest-urls-top-limit", type=int, default=20)
+    p.add_argument("--slowest-urls-min-time", type=float, default=0.01)
+    p.add_argument("--slowest-urls-max-time", type=float, default=3.0)
+    p.add_argument("--max-skipped-urls", type=int, default=None,
+                   help="cap the skipped-URL records (epoch order, first N)")
+    # output-file decoration (base_exporter.rs:18-58)
+    p.add_argument("--add-host-to-output-file", action="store_true")
+    p.add_argument("--add-timestamp-to-output-file", action="store_true")
+    # result storage (README.md:562-565 --result-storage-compression analogue:
+    # parquet codec for the visited parts)
+    p.add_argument("--result-storage-compression",
+                   choices=["snappy", "gzip", "zstd", "none"], default="snappy")
+    # sitemap settings (core_options.rs:147-151)
     p.add_argument("--sitemap-xml-file")
+    p.add_argument("--sitemap-txt-file")
+    p.add_argument("--sitemap-base-priority", type=float, default=0.5)
+    p.add_argument("--sitemap-priority-increase", type=float, default=0.1)
     p.add_argument("--offline-export-dir")
     p.add_argument("--markdown-export-dir")
     p.add_argument("--markdown-aggregate-file")
@@ -154,6 +173,7 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
         num_shards=args.num_shards,
         fetch_concurrency=args.workers,
         routing=args.routing,
+        storage_compression=args.result_storage_compression,
     )
     crawler = EpochCrawler(args.corpus, seeds, robots, args.workdir, cfg)
     if args.resume:
@@ -167,17 +187,49 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
         return 3  # manager.rs:458-464
 
     # ---- post-crawl exporter chain (manager.rs:468-656 order) ----
+    from .functions.format import export_file_path
     from .pipelines import reports as RP
 
     visited_ds = res.visited_ds()
     table_cache: dict = {}
 
+    if args.max_skipped_urls is not None:
+        # deterministic analogue of the reference's in-crawl skipped-map
+        # capacity: first N records in (epoch, shard) collection order
+        res.skipped = res.skipped.slice(0, args.max_skipped_urls)
+
+    from urllib.parse import urlsplit as _us
+
+    _host0 = _us(seeds[0]).hostname or None
+
+    def _outfile(path: str | None, ext: str) -> str | None:
+        if not path:
+            return path
+        return export_file_path(path, ext, add_host=args.add_host_to_output_file,
+                                host=_host0, add_timestamp=args.add_timestamp_to_output_file)
+
+    any_report = bool(args.output_json_file or args.output_text_file
+                      or args.output_html_file or args.mail_to or args.upload)
+    if any_report:
+        # thread the speed-report knobs through the shared table cache so
+        # every output format sees the same configured tables
+        table_cache["fastest_table"] = RP.fastest_table(
+            visited_ds, k=args.fastest_urls_top_limit, max_time=args.fastest_urls_max_time)
+        table_cache["slowest_table"] = RP.slowest_table(
+            visited_ds, k=args.slowest_urls_top_limit,
+            min_time=args.slowest_urls_min_time, max_time=args.slowest_urls_max_time)
+
     extras_specs = [s.strip() for arg in args.extra_columns
                     for s in arg.split(",") if s.strip()]
     extras_table = _extra_columns_table(res, extras_specs) if extras_specs else None
 
-    if args.sitemap_xml_file:
-        RP.write_sitemap_xml(RP.sitemap_urls(visited_ds), args.sitemap_xml_file)
+    if args.sitemap_xml_file or args.sitemap_txt_file:
+        sm = RP.sitemap_urls(visited_ds, args.sitemap_base_priority,
+                             args.sitemap_priority_increase)
+        if args.sitemap_xml_file:
+            RP.write_sitemap_xml(sm, args.sitemap_xml_file)
+        if args.sitemap_txt_file:
+            RP.write_sitemap_txt(sm, args.sitemap_txt_file)
 
     if args.offline_export_dir:
         _export_offline(res, seeds[0], args.offline_export_dir)
@@ -189,14 +241,14 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
     if args.output_json_file:
         from .pipelines.report_json import write_report_json
 
-        report = write_report_json(res, visited_ds, args.output_json_file,
+        report = write_report_json(res, visited_ds, _outfile(args.output_json_file, "json"),
                                    config=cfg, table_cache=table_cache,
                                    extras_table=extras_table,
                                    rows_limit=args.rows_limit)
     if args.output_text_file:
         from .pipelines.report_text import write_text_report
 
-        write_text_report(res, visited_ds, args.output_text_file,
+        write_text_report(res, visited_ds, _outfile(args.output_text_file, "txt"),
                           config=cfg, table_cache=table_cache,
                           extras_table=extras_table,
                           rows_limit=args.rows_limit,
@@ -215,7 +267,7 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
             sections,
         )
         if args.output_html_file:
-            with open(args.output_html_file, "w") as f:
+            with open(_outfile(args.output_html_file, "html"), "w") as f:
                 f.write(html_content)
 
         # ---- mailer + upload exporters (manager.rs:585-648 order) ----

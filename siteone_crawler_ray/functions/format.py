@@ -87,3 +87,29 @@ def status_code_str(code: int, short: bool = True) -> str:
         table = _TRANSPORT_SHORT if short else _TRANSPORT_LONG
         return table.get(code, f"{code}:ERR")
     return str(code)
+
+
+_EXT_RE = None
+
+
+def export_file_path(file: str, default_extension: str, *, add_host: bool = False,
+                     host: str | None = None, add_timestamp: bool = False,
+                     now=None) -> str:
+    """Output-file name decoration (base_exporter.rs:18-58): append the
+    default extension when none present, then insert ``.{host}`` and/or
+    ``.{YYYY-MM-DD.HH-MM-SS}`` before the extension
+    (--add-host-to-output-file / --add-timestamp-to-output-file)."""
+    import re
+    from datetime import datetime
+
+    global _EXT_RE
+    if _EXT_RE is None:
+        _EXT_RE = re.compile(r"\.[a-zA-Z0-9]{1,10}$")
+    if not _EXT_RE.search(file):
+        file = f"{file}.{default_extension}"
+    if add_host and host:
+        file = _EXT_RE.sub(lambda m: f".{host}{m.group(0)}", file)
+    if add_timestamp:
+        ts = (now or datetime.now()).strftime("%Y-%m-%d.%H-%M-%S")
+        file = _EXT_RE.sub(lambda m: f".{ts}{m.group(0)}", file)
+    return file

@@ -75,6 +75,9 @@ class CrawlConfig:
     # routing="bucket": corpus-cache affine (politeness budget split);
     # routing="host": host-affine (politeness exact; hot hosts salted)
     routing: str = "bucket"
+    # parquet codec for the visited-part writes (--result-storage-compression
+    # analogue; "none" = uncompressed, README.md:562-565)
+    storage_compression: str = "snappy"
     num_shards: int = 8
     fetch_concurrency: int | None = None  # None → adaptive to cluster CPUs
     fetch_batch_size: int = 2048
@@ -214,6 +217,7 @@ class EpochCrawler:
                 gauntlet_kwargs=self._gauntlet_kwargs(),
                 max_reqs_per_sec=self.cfg.max_reqs_per_sec,
                 budget_split=1 if self.cfg.routing == "host" else k,
+                storage_compression=self.cfg.storage_compression,
             )
         else:
             self._shards = [
@@ -223,6 +227,7 @@ class EpochCrawler:
             corpus_path=self.corpus_path,
             gauntlet_kwargs=self._gauntlet_kwargs(),
             max_reqs_per_sec=self.cfg.max_reqs_per_sec,
+            storage_compression=self.cfg.storage_compression,
             # host routing gives each host ONE worker's bucket (split=1,
             # matching the remote-worker construction); bucket routing
             # splits the budget across the pool (ADVICE r1)

@@ -14,6 +14,7 @@ Parity targets per table are cited on each function.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -161,14 +162,22 @@ def fastest_table(visited_ds, k: int = 20, max_time: float | None = None) -> pa.
     return partial_topk(ds, k, ["request_time", "url"])
 
 
-def slowest_table(visited_ds, k: int = 20) -> pa.Table:
-    """SlowestAnalyzer (slowest_analyzer.rs): HTML 200 rows, descending
-    request_time, top k."""
+def slowest_table(visited_ds, k: int = 20, min_time: float | None = None,
+                  max_time: float | None = None) -> pa.Table:
+    """SlowestAnalyzer (slowest_analyzer.rs:19-44): HTML 200 rows with
+    request_time in [min_time, max_time] (--slowest-urls-min-time /
+    --slowest-urls-max-time; reference defaults 0.01 / 3.0 applied at
+    the CLI), descending request_time, top k."""
     from ..functions.agg import partial_topk
 
     ds = visited_ds.filter(
         expr=f"content_type == {ContentType.HTML} and status_code == 200"
-    ).select_columns(["url", "request_time"])
+    )
+    if min_time is not None:
+        ds = ds.filter(expr=f"request_time >= {min_time}")
+    if max_time is not None:
+        ds = ds.filter(expr=f"request_time <= {max_time}")
+    ds = ds.select_columns(["url", "request_time"])
     return partial_topk(ds, k, ["request_time", "url"], descending=[True, False])
 
 
@@ -481,10 +490,13 @@ def _partial_external(t: pa.Table, k: int) -> pa.Table:
                      "examples": pa.array(out_e, pa.string())})
 
 
-def sitemap_urls(visited_ds) -> pa.Table:
+def sitemap_urls(visited_ds, base_priority: float = 0.5,
+                 priority_increase: float = 0.1) -> pa.Table:
     """SitemapExporter ordering (sitemap_exporter.rs:45-63): internal
     HTML-200 URLs sorted by slash count (trailing '/' trimmed) then
-    lexicographic; priority = clamp(base + inc·(1−path_slashes), .1, 1)."""
+    lexicographic; priority = clamp(base + inc·(1−path_slashes), .1, 1)
+    with base/inc from --sitemap-base-priority /
+    --sitemap-priority-increase (core_options.rs:417-418 defaults)."""
     ds = visited_ds.filter(
         expr=f"content_type == {ContentType.HTML} and status_code == 200 and is_external == False"
         if "is_external" in visited_ds.schema().names
@@ -501,7 +513,7 @@ def sitemap_urls(visited_ds) -> pa.Table:
     t = t.take(pc.sort_indices(t, sort_keys=[("slashes", "ascending"), ("url", "ascending")]))
     from urllib.parse import urlsplit
 
-    base, inc = 0.5, 0.1
+    base, inc = base_priority, priority_increase
     prio = [
         min(1.0, max(0.1, base + inc * (1.0 - urlsplit(u).path.count("/"))))
         for u in t["url"].to_pylist()
@@ -522,6 +534,20 @@ def write_sitemap_xml(sitemap: pa.Table, path: str) -> None:
     lines.append("</urlset>")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
+
+
+def write_sitemap_txt(sitemap: pa.Table, path: str) -> str:
+    """TXT sitemap (sitemap_exporter.rs:124-150): URLs joined by \\n, no
+    trailing newline; a ``.txt`` extension is enforced like the
+    reference does.  Returns the path actually written."""
+    if not path.lower().endswith(".txt"):
+        path = path + ".txt"
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(sitemap["url"].to_pylist()))
+    return path
 
 
 def page_findings(visited_ds) -> pa.Table:

@@ -50,7 +50,12 @@ class CrawlWorker:
         max_reqs_per_sec: float | None = None,
         budget_split: int = 1,
         arrow_threads: int | None = 1,
+        storage_compression: str = "snappy",
     ):
+        # parquet codec for visited parts ("none" → uncompressed)
+        self.storage_compression = (
+            None if storage_compression == "none" else storage_compression
+        )
         if arrow_threads is not None:
             # each worker actor owns ONE logical CPU; Arrow's default
             # per-process pool is os.cpu_count() threads, so K workers
@@ -148,7 +153,8 @@ class CrawlWorker:
         out = self.fetch(chunk)
         t1 = time.perf_counter()
         os.makedirs(vdir, exist_ok=True)
-        pq.write_table(out, os.path.join(vdir, f"part-{part:05d}.parquet"))
+        pq.write_table(out, os.path.join(vdir, f"part-{part:05d}.parquet"),
+                       compression=self.storage_compression or "none")
         t2 = time.perf_counter()
         non200 = out.filter(pc.not_equal(out["status_code"], 200))["url"].to_pylist()
         pages = out.select(EXTRACT_COLUMNS)

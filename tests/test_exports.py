@@ -540,6 +540,22 @@ def test_report_rows_limit(crawl_result, tmp_path):
     assert max(len(t["rows"]) for t in uncapped["tables"]) > 2
 
 
+def test_export_file_path_decoration():
+    """base_exporter.rs:18-58: default-extension append, then .host and
+    .timestamp inserted before the extension."""
+    from datetime import datetime
+
+    from siteone_crawler_ray.functions.format import export_file_path
+
+    now = datetime(2026, 8, 17, 12, 0, 1)
+    assert export_file_path("report", "json") == "report.json"
+    assert export_file_path("r.html", "html", add_host=True, host="a.test") == "r.a.test.html"
+    assert export_file_path("r", "txt", add_host=True, host="h",
+                            add_timestamp=True, now=now) == "r.h.2026-08-17.12-00-01.txt"
+    # an 11+-char suffix is not an extension (regex caps at 10)
+    assert export_file_path("x.verylongextension", "txt") == "x.verylongextension.txt"
+
+
 def test_cli_end_to_end(ray_session, tmp_path):
     """CLI main path (main.rs:7-67 / manager.rs:57-465 analogue):
     crawl → exporters → reports → exit code."""
@@ -567,7 +583,13 @@ def test_cli_end_to_end(ray_session, tmp_path):
         "--output-json-file", str(out / "report.json"),
         "--output-text-file", str(out / "report.txt"),
         "--output-html-file", str(out / "report.html"),
+        "--fastest-urls-top-limit", "5",
+        "--slowest-urls-top-limit", "5", "--slowest-urls-min-time", "0",
+        "--max-skipped-urls", "3",
+        "--result-storage-compression", "gzip",
         "--sitemap-xml-file", str(out / "sitemap.xml"),
+        "--sitemap-txt-file", str(out / "sitemap"),
+        "--sitemap-base-priority", "0.7", "--sitemap-priority-increase", "0.2",
         "--offline-export-dir", str(out / "offline"),
         "--markdown-aggregate-file", str(out / "site.md"),
         "--mail-to", "dev@example.com",
@@ -590,7 +612,27 @@ def test_cli_end_to_end(ray_session, tmp_path):
     # extra columns widen the visited table header (text_output.rs:76-84)
     assert "| Etag" in txt and "| P1" in txt
     assert (out / "report.html").read_text().startswith("<!DOCTYPE html>")
-    assert "<urlset" in (out / "sitemap.xml").read_text()
+    xml = (out / "sitemap.xml").read_text()
+    assert "<urlset" in xml
+    # --sitemap-base-priority .7 / increase .2: the /p/NNNNN pages carry
+    # 2 path slashes → priority .7+.2·(1−2) = 0.5 (defaults would give 0.4)
+    assert "<priority>0.5</priority>" in xml and "<priority>0.4</priority>" not in xml
+    # txt sitemap (.txt extension enforced) mirrors the XML loc list
+    txt_sm = (out / "sitemap.txt").read_text().splitlines()
+    assert len(txt_sm) == xml.count("<loc>") and txt_sm[0].startswith("http")
+    # speed-report knobs flow through the shared table cache
+    by_name = {t["aplCode"]: t for t in rep["tables"]}
+    assert len(by_name["fastest-urls"]["rows"]) <= 5
+    assert sum(int(r["n"]) for r in by_name["skipped-urls"]["rows"]) <= 3
+    # gzip-compressed visited parts remain readable parquet
+    import pyarrow.parquet as _pq
+
+    part = next(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(tmp_path / "work" / "visited") for f in fs
+        if f.endswith(".parquet")
+    )
+    assert _pq.ParquetFile(part).metadata.row_group(0).column(0).compression in ("GZIP",)
     # offline export wrote rewritten page files
     offline_files = [os.path.join(dp, f) for dp, _, fs in os.walk(out / "offline") for f in fs]
     assert len(offline_files) > 10
