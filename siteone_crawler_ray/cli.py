@@ -100,6 +100,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--offline-export-dir")
     p.add_argument("--markdown-export-dir")
     p.add_argument("--markdown-aggregate-file")
+    # markdown export post-processing (markdown_exporter.rs:36-122)
+    p.add_argument("--markdown-disable-images", action="store_true")
+    p.add_argument("--markdown-disable-files", action="store_true")
+    p.add_argument("--markdown-replace-content", action="append", default=[],
+                   help='"from -> to" or "/regex/i -> to" (repeatable)')
+    p.add_argument("--markdown-move-content-before-h1-to-end", action="store_true")
+    p.add_argument("--markdown-exclude-selector", action="append", default=[],
+                   help="CSS selector removed before conversion (repeatable)")
     # report delivery (manager.rs:585-648; README.md:593-609)
     p.add_argument("--mail-to", action="append", default=[],
                    help="e-mail the HTML report (repeatable)")
@@ -235,7 +243,18 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
         _export_offline(res, seeds[0], args.offline_export_dir)
 
     if args.markdown_export_dir or args.markdown_aggregate_file:
-        _export_markdown(res, args.markdown_export_dir, args.markdown_aggregate_file)
+        from .functions.markdown_post import MarkdownPostOptions
+
+        md_opts = MarkdownPostOptions(
+            disable_images=args.markdown_disable_images,
+            disable_files=args.markdown_disable_files,
+            replace_content=tuple(args.markdown_replace_content),
+            move_content_before_h1_to_end=args.markdown_move_content_before_h1_to_end,
+            ignore_regexes=tuple(args.ignore_regex),
+        )
+        _export_markdown(res, args.markdown_export_dir, args.markdown_aggregate_file,
+                         md_opts=md_opts,
+                         exclude_selectors=tuple(args.markdown_exclude_selector))
 
     report = None
     if args.output_json_file:
@@ -389,9 +408,15 @@ def _export_offline(res, initial_url: str, out_dir: str) -> None:
             f.write(body)
 
 
-def _export_markdown(res, out_dir: str | None, aggregate_file: str | None) -> None:
+def _export_markdown(res, out_dir: str | None, aggregate_file: str | None,
+                     md_opts=None, exclude_selectors: tuple[str, ...] = ()) -> None:
     """Markdown export: per-page .md files and/or the aggregated
-    single-file form (markdown_exporter.rs flow)."""
+    single-file form (markdown_exporter.rs flow).  With
+    ``--markdown-exclude-selector`` the conversion goes through the DOM
+    converter (spans → HTML → MarkdownConverter) so selector exclusion
+    matches the reference; post-processing (--markdown-disable-*,
+    --markdown-replace-content, --markdown-move-content-before-h1-to-end)
+    applies either way."""
     import pyarrow as pa
 
     from .functions.offline import convert_url_to_relative
@@ -400,7 +425,27 @@ def _export_markdown(res, out_dir: str | None, aggregate_file: str | None) -> No
     from .functions.offline import OfflineUrl
 
     t = res.visited_table(columns=["url", "spans"])
-    md = spans_to_markdown(t)
+    if exclude_selectors:
+        from .functions.html_extract import spans_to_html
+        from .functions.html_markdown import html_to_markdown
+
+        bodies = [
+            html_to_markdown(spans_to_html(s), excluded_selectors=exclude_selectors)
+            if s is not None else ""
+            for s in t["spans"].to_pylist()
+        ]
+        md = pa.table({"url": t["url"], "markdown": pa.array(bodies, pa.string())})
+    else:
+        md = spans_to_markdown(t)
+    if md_opts is not None and md_opts.any():
+        from .functions.markdown_post import postprocess_markdown
+
+        md = pa.table({
+            "url": md["url"],
+            "markdown": pa.array(
+                [postprocess_markdown(b, md_opts) for b in md["markdown"].to_pylist()],
+                pa.string()),
+        })
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         for url, body in zip(md["url"].to_pylist(), md["markdown"].to_pylist()):

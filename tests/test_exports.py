@@ -592,6 +592,9 @@ def test_cli_end_to_end(ray_session, tmp_path):
         "--sitemap-base-priority", "0.7", "--sitemap-priority-increase", "0.2",
         "--offline-export-dir", str(out / "offline"),
         "--markdown-aggregate-file", str(out / "site.md"),
+        "--markdown-export-dir", str(out / "md"),
+        "--markdown-disable-images",
+        "--markdown-replace-content", "/Page/ -> Pg",
         "--mail-to", "dev@example.com",
         "--mail-outbox-dir", str(out / "outbox"),
         "--upload", "--upload-password", " s3cret ",
@@ -638,7 +641,15 @@ def test_cli_end_to_end(ray_session, tmp_path):
     assert len(offline_files) > 10
     html0 = open(next(f for f in offline_files if f.endswith(".html"))).read()
     assert "<a " not in html0 or 'href="' in html0
-    assert (out / "site.md").read_text().strip()
+    agg = (out / "site.md").read_text()
+    assert agg.strip()
+    # --markdown-disable-images stripped every image; --markdown-replace-content
+    # (regex form) rewrote the page titles
+    md_files = [os.path.join(dp, f) for dp, _, fs in os.walk(out / "md") for f in fs]
+    assert md_files
+    joined = agg + "".join(open(f).read() for f in md_files)
+    assert "![" not in joined
+    assert "Pg " in joined and "Page " not in joined
     # mailer exporter (manager.rs:585-612): one .eml per recipient with
     # the HTML report attached under report-<host>-<ts>.html
     import email as email_lib

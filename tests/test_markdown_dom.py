@@ -137,3 +137,42 @@ def test_heading_strips_markdown_chars_and_escape_roundtrip():
     # post_process unescapes \. and \- (html_to_markdown.rs:221-233)
     md = html_to_markdown("<p>v1.2-beta</p>")
     assert "v1.2-beta" in md
+
+
+def test_markdown_postprocess_options():
+    """--markdown-* post passes (markdown_exporter.rs:175-420,572-627)."""
+    from siteone_crawler_ray.functions.markdown_post import (
+        MarkdownPostOptions,
+        extract_regex_pattern,
+        is_regex_pattern,
+        postprocess_markdown,
+    )
+
+    assert is_regex_pattern("/abc/i") and is_regex_pattern("~x~")
+    assert not is_regex_pattern("abc") and not is_regex_pattern("/abc")
+    assert extract_regex_pattern("/foo\\d+/i") == "(?i)foo\\d+"
+
+    md = "intro ![logo](l.png) text [doc](file.pdf) [page](p.html) [m](mailto:a@b)"
+    out = postprocess_markdown(md, MarkdownPostOptions(disable_images=True))
+    assert "![" not in out and "[doc](file.pdf)" in out
+    out = postprocess_markdown(md, MarkdownPostOptions(disable_files=True))
+    assert "[doc](file.pdf)" not in out
+    assert "[page](p.html)" in out and "[m](mailto:a@b)" in out
+    # ignore-regex exempts a URL from file stripping
+    out = postprocess_markdown(
+        md, MarkdownPostOptions(disable_files=True, ignore_regexes=(r"\.pdf$",)))
+    assert "[doc](file.pdf)" in out
+
+    out = postprocess_markdown(
+        "foo1 bar foo22",
+        MarkdownPostOptions(replace_content=("/foo\\d+/ -> X", "bar -> baz")))
+    assert out == "X baz X"
+
+    moved = postprocess_markdown(
+        "intro text\n\n# Title\n\nbody",
+        MarkdownPostOptions(move_content_before_h1_to_end=True))
+    assert moved == "# Title\n\nbody\n\n---\n\nintro text"
+    # nothing before the main heading → unchanged
+    same = "# Title\n\nbody"
+    assert postprocess_markdown(
+        same, MarkdownPostOptions(move_content_before_h1_to_end=True)) == same
