@@ -98,6 +98,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sitemap-base-priority", type=float, default=0.5)
     p.add_argument("--sitemap-priority-increase", type=float, default=0.1)
     p.add_argument("--offline-export-dir")
+    # offline export options (offline_website_exporter.rs:39-96,159-160)
+    p.add_argument("--offline-export-store-only-url-regex", action="append", default=[])
+    p.add_argument("--offline-export-remove-unwanted-code", action="store_true")
+    p.add_argument("--offline-export-no-auto-redirect-html", action="store_true")
+    p.add_argument("--offline-export-preserve-url-structure", action="store_true")
+    p.add_argument("--offline-export-lowercase", action="store_true")
+    p.add_argument("--offline-export-no-url-rewriting", action="store_true")
+    p.add_argument("--offline-export-preserve-urls", action="store_true",
+                   help="keep original URLs in bodies (alias of no-url-rewriting "
+                        "for the URL-only rewrite pass)")
     p.add_argument("--markdown-export-dir")
     p.add_argument("--markdown-aggregate-file")
     # markdown export post-processing (markdown_exporter.rs:36-122)
@@ -240,7 +250,16 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
             RP.write_sitemap_txt(sm, args.sitemap_txt_file)
 
     if args.offline_export_dir:
-        _export_offline(res, seeds[0], args.offline_export_dir)
+        _export_offline(
+            res, seeds[0], args.offline_export_dir,
+            store_only_url_regex=tuple(args.offline_export_store_only_url_regex),
+            remove_unwanted_code=args.offline_export_remove_unwanted_code,
+            no_auto_redirect_html=args.offline_export_no_auto_redirect_html,
+            preserve_url_structure=args.offline_export_preserve_url_structure,
+            lowercase=args.offline_export_lowercase,
+            no_url_rewriting=(args.offline_export_no_url_rewriting
+                              or args.offline_export_preserve_urls),
+        )
 
     if args.markdown_export_dir or args.markdown_aggregate_file:
         from .functions.markdown_post import MarkdownPostOptions
@@ -373,16 +392,30 @@ def _extra_columns_table(res, specs: list[str]):
     return pa.concat_tables(batches, promote_options="permissive")
 
 
-def _export_offline(res, initial_url: str, out_dir: str) -> None:
+def _export_offline(res, initial_url: str, out_dir: str, *,
+                    store_only_url_regex: tuple[str, ...] = (),
+                    remove_unwanted_code: bool = False,
+                    no_auto_redirect_html: bool = False,
+                    preserve_url_structure: bool = False,
+                    lowercase: bool = False,
+                    no_url_rewriting: bool = False) -> None:
     """Offline website export: rewrite every visited HTML body and write
     it (plus redirect stubs) at its offline path
-    (offline_website_exporter.rs flow)."""
+    (offline_website_exporter.rs flow; option fields :39-96,159-160)."""
+    import re as _re
+
     from .functions.html_extract import spans_to_html
-    from .functions.offline import OfflineRewriter, convert_url_to_relative, redirect_stub_html
+    from .functions.offline import (
+        OfflineRewriter,
+        OfflineUrl,
+        convert_url_to_relative,
+        redirect_stub_html,
+        strip_unwanted_code,
+    )
+    from .functions.urls import host_of
 
-    from .functions.offline import OfflineUrl
-
-    rw = OfflineRewriter(initial_url, allowed_crawl=("*",))
+    rw = OfflineRewriter(initial_url, allowed_crawl=("*",), lowercase=lowercase)
+    store_only = [_re.compile(p) for p in store_only_url_regex]
     # export FILE paths anchor at the site root (depth 0), while link
     # rewriting inside each body uses the page itself as base
     root_base = OfflineUrl.parse(initial_url).origin() + "/"
@@ -392,18 +425,34 @@ def _export_offline(res, initial_url: str, out_dir: str) -> None:
                                   t["status_code"].to_pylist()):
         if spans is None:
             continue
+        if store_only and not any(p.search(url) for p in store_only):
+            continue
         rel = convert_url_to_relative(initial_url, root_base, url,
                                       allowed_static=rw.allowed_static,
-                                      allowed_crawl=rw.allowed_crawl)
+                                      allowed_crawl=rw.allowed_crawl,
+                                      preserve_url_structure=preserve_url_structure,
+                                      lowercase=lowercase)
         if rel.startswith(("http://", "https://", "#")) or ".." in rel:
             continue
         path = os.path.join(out_dir, rel.split("#")[0])
         os.makedirs(os.path.dirname(path) or out_dir, exist_ok=True)
         if 300 <= status < 400 and spans:
+            if no_auto_redirect_html:
+                continue
             target = rw.convert(url, spans[0]["media_ref"])
             body = redirect_stub_html(target)
         else:
-            body = rw.rewrite_body(spans_to_html(spans), url)
+            body = spans_to_html(spans)
+            if not no_url_rewriting:
+                body = rw.rewrite_body(body, url)
+            if remove_unwanted_code:
+                # --offline-export-remove-unwanted-code enables the
+                # analytics/social/cookie-consent pass
+                # (html_processor.rs:699-758)
+                body = strip_unwanted_code(body, host_of(url),
+                                           remove_analytics=True,
+                                           remove_socnets=True,
+                                           remove_cookies_related=True)
         with open(path, "w") as f:
             f.write(body)
 

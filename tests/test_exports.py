@@ -540,6 +540,50 @@ def test_report_rows_limit(crawl_result, tmp_path):
     assert max(len(t["rows"]) for t in uncapped["tables"]) > 2
 
 
+def test_offline_export_options(crawl_result, tmp_path):
+    """--offline-export-* option family (offline_website_exporter.rs:39-96):
+    store-only regex filtering, redirect-stub suppression, URL-rewrite
+    suppression, and lowercase paths."""
+    import os
+
+    from siteone_crawler_ray.cli import _export_offline
+
+    res, tabs = crawl_result
+    seeds = tabs["seeds"]["url"].to_pylist()
+
+    def files(d):
+        return sorted(os.path.relpath(os.path.join(dp, f), d)
+                      for dp, _, fs in os.walk(d) for f in fs)
+
+    base = str(tmp_path / "base")
+    _export_offline(res, seeds[0], base)
+    all_files = files(base)
+    assert len(all_files) > 10
+
+    only = str(tmp_path / "only")
+    _export_offline(res, seeds[0], only, store_only_url_regex=(r"/p/000",))
+    subset = files(only)
+    assert subset and set(subset) < set(all_files)
+
+    nostub = str(tmp_path / "nostub")
+    _export_offline(res, seeds[0], nostub, no_auto_redirect_html=True)
+    stubs = set(all_files) - set(files(nostub))
+    for f in stubs:  # every suppressed file must be a redirect stub
+        body = open(os.path.join(base, f)).read()
+        assert "http-equiv" in body or "refresh" in body.lower()
+
+    raw = str(tmp_path / "raw")
+    _export_offline(res, seeds[0], raw, no_url_rewriting=True)
+    # unrewritten bodies keep absolute URLs that the rewritten ones relativize
+    rewritten = open(os.path.join(base, all_files[0])).read()
+    unrewritten = open(os.path.join(raw, all_files[0])).read()
+    assert rewritten != unrewritten or "href" not in rewritten
+
+    lower = str(tmp_path / "lower")
+    _export_offline(res, seeds[0], lower, lowercase=True)
+    assert all(f == f.lower() for f in files(lower))
+
+
 def test_export_file_path_decoration():
     """base_exporter.rs:18-58: default-extension append, then .host and
     .timestamp inserted before the extension."""
