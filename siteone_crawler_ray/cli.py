@@ -55,6 +55,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--keep-query-param", action="append", default=[])
     p.add_argument("--force-relative-urls", action="store_true")
     p.add_argument("--ignore-robots-txt", action="store_true")
+    # asset gating (html_processor.rs:789 extraction gating; corpus-mode
+    # span kinds: img/script/css/media.  --disable-fonts/-files act on
+    # the live-HTML regex battery in functions/html_extract.py)
+    p.add_argument("--disable-images", action="store_true")
+    p.add_argument("--disable-javascript", action="store_true")
+    p.add_argument("--disable-styles", action="store_true")
+    p.add_argument("--disable-all-assets", action="store_true")
+    p.add_argument("--regex-filtering-only-for-pages", action="store_true")
     # extra columns (extra_column.rs:102-160; comma-separated like the
     # reference's --extra-columns / -ec, repeatable to avoid comma
     # collisions inside regexp specs)
@@ -188,6 +196,13 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
         transform_url=tuple(args.transform_url),
         force_relative_urls=args.force_relative_urls,
         ignore_robots_txt=args.ignore_robots_txt,
+        disabled_span_kinds=(
+            ("img", "script", "css", "media") if args.disable_all_assets
+            else tuple(k for k, d in (("img", args.disable_images),
+                                      ("script", args.disable_javascript),
+                                      ("css", args.disable_styles)) if d)
+        ),
+        regex_filtering_only_for_pages=args.regex_filtering_only_for_pages,
         num_shards=args.num_shards,
         fetch_concurrency=args.workers,
         routing=args.routing,

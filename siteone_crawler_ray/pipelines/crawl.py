@@ -69,6 +69,11 @@ class CrawlConfig:
     ignore_regex: tuple = ()
     transform_url: tuple = ()  # "from -> to" / "regex:pat -> repl" (crawler.rs:1680-1724)
     force_relative_urls: bool = False  # www/scheme folding (crawler.rs:1245-1265)
+    # --disable-images/-javascript/-styles/-all-assets: span kinds never
+    # extracted (html_processor.rs:789 gating); --regex-filtering-only-
+    # for-pages: static files bypass include/ignore (crawler.rs:1316)
+    disabled_span_kinds: tuple = ()
+    regex_filtering_only_for_pages: bool = False
     ignore_robots_txt: bool = False
     max_reqs_per_sec: float | None = None  # None → politeness off (corpus mode)
     # physical execution
@@ -487,6 +492,8 @@ class EpochCrawler:
             ignore_robots_txt=self.cfg.ignore_robots_txt,
             force_relative_urls=self.cfg.force_relative_urls,
             initial_url=self.seed_urls[0] if self.seed_urls else "",
+            disabled_span_kinds=self.cfg.disabled_span_kinds,
+            regex_filtering_only_for_pages=self.cfg.regex_filtering_only_for_pages,
             basename_blocklist=frozenset(
                 b for b, c in self.basename_counts.items() if c >= self.cfg.max_non200_per_basename
             ),

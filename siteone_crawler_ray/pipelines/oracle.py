@@ -148,6 +148,11 @@ def run_oracle(
             ref = span["media_ref"]
             if not ref:
                 continue
+            # --disable-* span gating happens BEFORE the per-page dedup
+            # (a disabled extractor never adds the URL to found_urls, so
+            # a later enabled span with the same href still wins)
+            if span["kind"] in cfg.disabled_span_kinds:
+                continue
             norm = U.normalize_href(ref)
             if norm in page_seen:
                 continue
@@ -213,9 +218,12 @@ def run_oracle(
                 final = U.normalize_url_to_initial(final, sp.scheme or "https", sp.hostname or "")
             if final is None or len(final) > cfg.max_url_length:
                 continue
-            if include and not any(p.search(final) for p in include):
+            # --regex-filtering-only-for-pages: static files bypass the
+            # include/ignore regexes (crawler.rs:1316-1318)
+            regex_bypass = cfg.regex_filtering_only_for_pages and U.is_static_file(canon)
+            if include and not regex_bypass and not any(p.search(final) for p in include):
                 continue
-            if ignore and any(p.search(final) for p in ignore):
+            if ignore and not regex_bypass and any(p.search(final) for p in ignore):
                 continue
             if transforms.rules:
                 final = transforms.apply_one(final)

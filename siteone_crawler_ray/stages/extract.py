@@ -42,11 +42,18 @@ def _origin_of(b: str) -> str:
     return b if p < 0 else b[:p]
 
 
-def explode_spans(batch: pa.Table) -> pa.Table:
+def explode_spans(batch: pa.Table, disabled_kinds: frozenset = frozenset()) -> pa.Table:
     """documents(doc_id, spans, seq) → found hrefs, one row per link/asset
     span, deduplicated per page on the normalized href (first span wins —
     found_urls.rs:29-32 per-page MD5 dedup, made deterministic by span
-    order)."""
+    order).
+
+    ``disabled_kinds`` (--disable-images/-javascript/-styles/
+    -all-assets) removes those spans BEFORE the per-page dedup — in the
+    reference a disabled extractor never adds the URL to found_urls
+    (html_processor.rs:789, remove_unwanted_code_from_html gating), so
+    a later span of an enabled kind with the same href still wins its
+    first-occurrence slot."""
     spans = batch["spans"]
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
@@ -66,6 +73,9 @@ def explode_spans(batch: pa.Table) -> pa.Table:
         extract_idx = np.empty(0, dtype=np.int64)
 
     has_ref = pc.and_(pc.is_valid(ref), pc.not_equal(ref, "")).to_numpy(zero_copy_only=False)
+    if disabled_kinds:
+        kind_np = kind.to_numpy(zero_copy_only=False)
+        has_ref = has_ref & ~np.isin(kind_np, list(disabled_kinds))
     keep = np.nonzero(has_ref)[0]
 
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -137,6 +147,8 @@ class CandidateGauntlet:
         basename_blocklist: frozenset[str] = frozenset(),
         force_relative_urls: bool = False,
         initial_url: str = "",
+        disabled_span_kinds: tuple[str, ...] = (),
+        regex_filtering_only_for_pages: bool = False,
     ):
         import re
 
@@ -155,6 +167,11 @@ class CandidateGauntlet:
         self.max_depth = max_depth
         self.ignore_robots = ignore_robots_txt
         self.basename_blocklist = basename_blocklist
+        # --disable-* span gating (consumed by explode_spans in the
+        # worker, before per-page dedup) + --regex-filtering-only-for-pages
+        # (crawler.rs:1316-1318: static files bypass include/ignore)
+        self.disabled_span_kinds = frozenset(disabled_span_kinds)
+        self.regex_only_pages = regex_filtering_only_for_pages
         # --force-relative-urls host/scheme folding (crawler.rs:1245-1265)
         self.force_relative = force_relative_urls and bool(initial_url)
         if self.force_relative:
@@ -209,13 +226,18 @@ class CandidateGauntlet:
         # suitability (crawler.rs:1158-1164 ordering)
         if final is not None and self.force_relative:
             final = U.normalize_url_to_initial(final, self.initial_scheme, self.initial_host)
+        # static files bypass the include/ignore regexes when configured
+        # (crawler.rs:1316-1318 is_url_allowed_by_regexes)
+        regex_bypass = self.regex_only_pages and U.is_static_file(canon)
         if final is None or len(final) > self.max_url_length:
             final = None
-        elif self.include and not any(p.search(final) for p in self.include):
+        elif (self.include and not regex_bypass
+              and not any(p.search(final) for p in self.include)):
             final = None
-        elif self.ignore and any(p.search(final) for p in self.ignore):
+        elif (self.ignore and not regex_bypass
+              and any(p.search(final) for p in self.ignore)):
             final = None
-        elif self.transforms.rules:
+        if final is not None and self.transforms.rules:
             final = self.transforms.apply_one(final)
         return (canon, host, same, allowed_s, allowed_c, basename, robots_ok, final)
 

@@ -159,7 +159,10 @@ class CrawlWorker:
         non200 = out.filter(pc.not_equal(out["status_code"], 200))["url"].to_pylist()
         pages = out.select(EXTRACT_COLUMNS)
         pages = pages.filter(pc.is_valid(pages["spans"]))
-        cands = self.gauntlet(explode_spans(pages)) if pages.num_rows else None
+        cands = (
+            self.gauntlet(explode_spans(pages, self.gauntlet.disabled_span_kinds))
+            if pages.num_rows else None
+        )
         cands_raw = cands.num_rows if cands is not None else 0
         # keep the full table: when enqueue caps may bind, the driver's
         # exact sequential simulation needs every occurrence (a dropped

@@ -88,6 +88,38 @@ def test_query_param_filtering_parity(tmp_workdir):
     _assert_parity(res, run_oracle(tabs["documents"], seeds, robots, cfg))
 
 
+def test_disable_assets_and_regex_only_pages_parity(tmp_workdir):
+    """--disable-* span gating (html_processor.rs:789: a disabled
+    extractor never finds the URL) and --regex-filtering-only-for-pages
+    (crawler.rs:1316-1318: static files bypass include/ignore) must
+    truncate identically in engine and oracle."""
+    tabs = make_graph_corpus(seed=17, hosts=2, total_pages=300, out_degree=5)
+    base_cfg = CrawlConfig(use_ray=False, num_shards=2)
+    base, (seeds, robots) = _run_engine(os.path.join(tmp_workdir, "base"), tabs, base_cfg)
+
+    cfg = CrawlConfig(use_ray=False, num_shards=2,
+                      disabled_span_kinds=("img", "script", "css", "media"))
+    res, _ = _run_engine(os.path.join(tmp_workdir, "noassets"), tabs, cfg)
+    _assert_parity(res, run_oracle(tabs["documents"], seeds, robots, cfg))
+    assert res.metrics["visited"] < base.metrics["visited"], \
+        "disabling every asset kind must shrink the crawl"
+
+    cfg2 = CrawlConfig(use_ray=False, num_shards=2,
+                       ignore_regex=(r"\.(js|png|css)$", r"/p/00"),
+                       regex_filtering_only_for_pages=True)
+    res2, _ = _run_engine(os.path.join(tmp_workdir, "regexpages"), tabs, cfg2)
+    oracle2 = run_oracle(tabs["documents"], seeds, robots, cfg2)
+    _assert_parity(res2, oracle2)
+    # static files that the ignore regex names must STILL be visited
+    urls2 = res2.visited_table(columns=["url"])["url"].to_pylist()
+    assert any(u.endswith((".js", ".png", ".css")) for u in urls2), \
+        "regex-filtering-only-for-pages must exempt static files"
+    # …while matching PAGES are filtered out (the seed always crawls)
+    assert not any("/p/00" in u and u not in seeds
+                   and not u.endswith((".js", ".png", ".css", ".ico"))
+                   for u in urls2)
+
+
 def test_span_sequence_equality(tmp_workdir):
     """Per-row invariant from BASELINE.json input_hint: output spans must
     equal corpus spans in (kind, text, media_ref, order)."""
