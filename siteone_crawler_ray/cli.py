@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--disable-styles", action="store_true")
     p.add_argument("--disable-all-assets", action="store_true")
     p.add_argument("--regex-filtering-only-for-pages", action="store_true")
+    p.add_argument("--single-page", action="store_true",
+                   help="crawl only the seed page(s) + their assets (no href expansion)")
+    p.add_argument("--single-foreign-page", action="store_true",
+                   help="fetch pages on other 2nd-level domains but never expand them")
     # extra columns (extra_column.rs:102-160; comma-separated like the
     # reference's --extra-columns / -ec, repeatable to avoid comma
     # collisions inside regexp specs)
@@ -203,6 +207,8 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
                                       ("css", args.disable_styles)) if d)
         ),
         regex_filtering_only_for_pages=args.regex_filtering_only_for_pages,
+        single_page=args.single_page,
+        single_foreign_page=args.single_foreign_page,
         num_shards=args.num_shards,
         fetch_concurrency=args.workers,
         routing=args.routing,

@@ -74,6 +74,11 @@ class CrawlConfig:
     # for-pages: static files bypass include/ignore (crawler.rs:1316)
     disabled_span_kinds: tuple = ()
     regex_filtering_only_for_pages: bool = False
+    # --single-page: no href extraction, assets only (html_processor.rs:781);
+    # --single-foreign-page: pages on a different 2nd-level domain than the
+    # initial URL are fetched but never expanded (html_processor.rs:179-182)
+    single_page: bool = False
+    single_foreign_page: bool = False
     ignore_robots_txt: bool = False
     max_reqs_per_sec: float | None = None  # None → politeness off (corpus mode)
     # physical execution
@@ -494,6 +499,8 @@ class EpochCrawler:
             initial_url=self.seed_urls[0] if self.seed_urls else "",
             disabled_span_kinds=self.cfg.disabled_span_kinds,
             regex_filtering_only_for_pages=self.cfg.regex_filtering_only_for_pages,
+            single_page=self.cfg.single_page,
+            single_foreign_page=self.cfg.single_foreign_page,
             basename_blocklist=frozenset(
                 b for b, c in self.basename_counts.items() if c >= self.cfg.max_non200_per_basename
             ),

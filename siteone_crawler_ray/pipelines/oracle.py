@@ -142,16 +142,31 @@ def run_oracle(
         if not in_corpus:
             continue
 
+        # --single-foreign-page: a page on a different 2nd-level domain
+        # than the initial URL is fetched but never expanded
+        # (html_processor.rs:179-182); its Location redirect still
+        # follows (crawler.rs:733-755 is outside the extraction gating)
+        foreign_page = bool(
+            cfg.single_foreign_page and seeds
+            and U.domain_2nd_level(U.host_of(url))
+            != U.domain_2nd_level(U.host_of(seeds[0]))
+        )
         # link extraction in span order with per-page first-occurrence dedup
         page_seen: set[str] = set()
         for span in docs[url]:
             ref = span["media_ref"]
             if not ref:
                 continue
+            if foreign_page and span["kind"] != "redirect":
+                continue
             # --disable-* span gating happens BEFORE the per-page dedup
             # (a disabled extractor never adds the URL to found_urls, so
-            # a later enabled span with the same href still wins)
+            # a later enabled span with the same href still wins); a
+            # --single-page crawl disables href extraction entirely
+            # (html_processor.rs:781)
             if span["kind"] in cfg.disabled_span_kinds:
+                continue
+            if cfg.single_page and span["kind"] == "link":
                 continue
             norm = U.normalize_href(ref)
             if norm in page_seen:

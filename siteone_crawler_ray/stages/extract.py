@@ -149,6 +149,8 @@ class CandidateGauntlet:
         initial_url: str = "",
         disabled_span_kinds: tuple[str, ...] = (),
         regex_filtering_only_for_pages: bool = False,
+        single_page: bool = False,
+        single_foreign_page: bool = False,
     ):
         import re
 
@@ -171,7 +173,17 @@ class CandidateGauntlet:
         # worker, before per-page dedup) + --regex-filtering-only-for-pages
         # (crawler.rs:1316-1318: static files bypass include/ignore)
         self.disabled_span_kinds = frozenset(disabled_span_kinds)
+        # --single-page = no href extraction at all (html_processor.rs:781):
+        # the "link" kind joins the disabled set consumed by explode_spans
+        if single_page:
+            self.disabled_span_kinds = self.disabled_span_kinds | {"link"}
         self.regex_only_pages = regex_filtering_only_for_pages
+        # --single-foreign-page: candidates from pages whose 2nd-level
+        # domain differs from the initial URL's are dropped wholesale
+        # (html_processor.rs:179-182)
+        self.single_foreign_sld = None
+        if single_foreign_page and initial_url:
+            self.single_foreign_sld = U.domain_2nd_level(U.host_of(initial_url))
         # --force-relative-urls host/scheme folding (crawler.rs:1245-1265)
         self.force_relative = force_relative_urls and bool(initial_url)
         if self.force_relative:
@@ -251,6 +263,19 @@ class CandidateGauntlet:
         depths = batch["depth"].to_numpy(zero_copy_only=False)
         n = len(hrefs)
 
+        foreign_src = None
+        if self.single_foreign_sld is not None:
+            # one SLD lookup per source origin, not per row
+            memo: dict = {}
+            foreign_src = np.zeros(n, dtype=bool)
+            for i in range(n):
+                o = _origin_of(sources[i])
+                v = memo.get(o)
+                if v is None:
+                    v = U.domain_2nd_level(U.host_of(sources[i]))
+                    memo[o] = v
+                foreign_src[i] = v != self.single_foreign_sld
+
         url = np.empty(n, dtype=object)  # canonical absolute (query-filtered)
         skip_url = np.empty(n, dtype=object)  # canonical absolute (unfiltered)
         tag = np.empty(n, dtype=object)
@@ -263,6 +288,12 @@ class CandidateGauntlet:
         cache = self._cache
         for i in range(n):
             h, b = hrefs[i], sources[i]
+            if foreign_src is not None and foreign_src[i] and kinds[i] != "redirect":
+                # foreign source page never expands — but its Location
+                # redirect still follows (crawler.rs:733-755 is outside
+                # the extraction gating)
+                tag[i] = ""
+                continue
             if not U.is_requestable_resource(raw[i]):
                 tag[i] = ""
                 continue

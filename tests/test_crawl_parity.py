@@ -120,6 +120,37 @@ def test_disable_assets_and_regex_only_pages_parity(tmp_workdir):
                    for u in urls2)
 
 
+def test_single_page_and_single_foreign_page_parity(tmp_workdir):
+    """--single-page (assets only, no href expansion —
+    html_processor.rs:781) and --single-foreign-page (foreign 2nd-level
+    pages fetched but never expanded, redirects still followed —
+    html_processor.rs:179-182)."""
+    tabs = make_graph_corpus(seed=23, hosts=3, total_pages=300, out_degree=5)
+    cp, seeds, robots = _setup(tmp_workdir, tabs)
+
+    sp_cfg = CrawlConfig(use_ray=False, num_shards=2, single_page=True)
+    res = EpochCrawler(cp, seeds, robots, os.path.join(tmp_workdir, "sp"), sp_cfg).run()
+    _assert_parity(res, run_oracle(tabs["documents"], seeds, robots, sp_cfg))
+    # only the seed page + its direct assets: nothing at depth 2+, and no
+    # visited page beyond the seed
+    vt = res.visited_table(columns=["url", "depth", "content_type"])
+    assert max(vt["depth"].to_pylist()) <= 1
+    from siteone_crawler_ray.types import ContentType
+
+    html_rows = [u for u, ct in zip(vt["url"].to_pylist(), vt["content_type"].to_pylist())
+                 if ct == ContentType.HTML]
+    assert html_rows == [u for u in html_rows if u in seeds] or len(html_rows) <= len(seeds) + 1
+
+    sf_cfg = CrawlConfig(use_ray=False, num_shards=2, single_foreign_page=True,
+                         allowed_domains_crawl=("*",))
+    res2 = EpochCrawler(cp, seeds, robots, os.path.join(tmp_workdir, "sf"), sf_cfg).run()
+    _assert_parity(res2, run_oracle(tabs["documents"], seeds, robots, sf_cfg))
+    full_cfg = CrawlConfig(use_ray=False, num_shards=2, allowed_domains_crawl=("*",))
+    full = EpochCrawler(cp, seeds, robots, os.path.join(tmp_workdir, "full"), full_cfg).run()
+    # foreign pages are reachable but never expand → strictly fewer visits
+    assert 0 < res2.metrics["visited"] < full.metrics["visited"]
+
+
 def test_span_sequence_equality(tmp_workdir):
     """Per-row invariant from BASELINE.json input_hint: output spans must
     equal corpus spans in (kind, text, media_ref, order)."""
