@@ -36,8 +36,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--url", action="append", default=[], help="seed URL (repeatable)")
     p.add_argument("--url-list", help="file with one URL per line (flat crawl seeds)")
-    p.add_argument("--corpus", required=True, help="bucketed interleaved-document corpus dir")
-    p.add_argument("--workdir", required=True, help="checkpoint/lineage directory")
+    p.add_argument("--corpus", help="bucketed interleaved-document corpus dir "
+                                    "(required except in --html-to-markdown mode)")
+    p.add_argument("--workdir", help="checkpoint/lineage directory")
+    # standalone file conversion, no crawling (main.rs:97-135)
+    p.add_argument("--html-to-markdown", metavar="FILE",
+                   help="convert one HTML file to markdown and exit")
+    p.add_argument("--html-to-markdown-output", metavar="FILE",
+                   help="write the conversion here instead of stdout")
     # crawl limits (README.md:546-573 defaults)
     p.add_argument("--max-visited-urls", type=int, default=10000)
     p.add_argument("--max-queue-length", type=int, default=9000)
@@ -158,6 +164,45 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.html_to_markdown:
+        # standalone conversion mode (main.rs:97-135): honors the
+        # --markdown-* options, writes to the output file or stdout,
+        # never touches Ray or the corpus
+        from .functions.html_markdown import html_to_markdown
+        from .functions.markdown_post import MarkdownPostOptions, postprocess_markdown
+
+        try:
+            with open(args.html_to_markdown) as f:
+                html = f.read()
+        except OSError as e:
+            print(f"ERROR: cannot read '{args.html_to_markdown}': {e}", file=sys.stderr)
+            return 1
+        md = html_to_markdown(
+            html, excluded_selectors=tuple(args.markdown_exclude_selector))
+        md = postprocess_markdown(md, MarkdownPostOptions(
+            disable_images=args.markdown_disable_images,
+            disable_files=args.markdown_disable_files,
+            replace_content=tuple(args.markdown_replace_content),
+            move_content_before_h1_to_end=args.markdown_move_content_before_h1_to_end,
+            ignore_regexes=tuple(args.ignore_regex),
+        ))
+        if args.html_to_markdown_output:
+            try:
+                with open(args.html_to_markdown_output, "w") as f:
+                    f.write(md)
+            except OSError as e:
+                print(f"ERROR: cannot write '{args.html_to_markdown_output}': {e}",
+                      file=sys.stderr)
+                return 1
+        else:
+            sys.stdout.write(md)
+        return 0
+
+    if not args.corpus or not args.workdir:
+        print("--corpus and --workdir are required (except with --html-to-markdown)",
+              file=sys.stderr)
+        return 2
 
     if init_ray:
         import ray

@@ -176,3 +176,33 @@ def test_markdown_postprocess_options():
     same = "# Title\n\nbody"
     assert postprocess_markdown(
         same, MarkdownPostOptions(move_content_before_h1_to_end=True)) == same
+
+
+def test_cli_html_to_markdown_mode(tmp_path):
+    """Standalone --html-to-markdown conversion (main.rs:97-135): no
+    corpus, no Ray; honors the --markdown-* options."""
+    from siteone_crawler_ray.cli import main
+
+    src = tmp_path / "page.html"
+    src.write_text(
+        "<html><body><p>before</p><h1>Title</h1>"
+        "<p>Hello <b>world</b> ![x] <img src='i.png' alt='pic'></p>"
+        "<div class='ads'>buy now</div></body></html>"
+    )
+    out = tmp_path / "page.md"
+    rc = main([
+        "--html-to-markdown", str(src),
+        "--html-to-markdown-output", str(out),
+        "--markdown-disable-images",
+        "--markdown-exclude-selector", ".ads",
+        "--markdown-move-content-before-h1-to-end",
+    ], init_ray=False)
+    assert rc == 0
+    md = out.read_text()
+    assert "# Title" in md and "Hello **world**" in md
+    assert "buy now" not in md          # excluded selector
+    assert "](i.png)" not in md         # images disabled
+    assert md.index("# Title") < md.index("before")  # moved behind H1
+    # missing input file → exit 1
+    assert main(["--html-to-markdown", str(tmp_path / "nope.html")],
+                init_ray=False) == 1
