@@ -64,20 +64,24 @@ def _split_srcset(value: str) -> list[str]:
 
 @dataclass
 class ExtractFlags:
-    """--disable-* gating (html_processor.rs:781-804)."""
+    """--disable-* gating (html_processor.rs:781-804) +
+    --ignore-html-comments (html_processor.rs:774-779: comments are
+    KEPT by default — commented-out links extract like the reference —
+    and stripped only when the flag is set)."""
 
     images: bool = True
     scripts: bool = True
     styles: bool = True
     files: bool = True
     fonts: bool = True
+    ignore_comments: bool = False
 
 
 def extract_urls_from_html(html: str, flags: ExtractFlags | None = None) -> list[tuple[str, int]]:
     """→ ordered (url, UrlSource code) pairs, per-document dedup on the
-    raw URL (found_urls.rs:29-32), comments stripped first."""
+    raw URL (found_urls.rs:29-32)."""
     flags = flags or ExtractFlags()
-    body = _COMMENT_RE.sub("", html)
+    body = _COMMENT_RE.sub("", html) if flags.ignore_comments else html
     found: list[tuple[str, int]] = []
     seen: set[str] = set()
 

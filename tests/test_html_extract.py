@@ -32,9 +32,15 @@ def test_escaped_href_in_inline_js():
     assert "/esc" in urls(extract_urls_from_html(html))
 
 
-def test_comments_stripped():
+def test_html_comments_included_by_default():
+    """html_processor.rs:774-779 + test_html_comments_included_by_default:
+    commented-out links ARE extracted unless --ignore-html-comments."""
+    from siteone_crawler_ray.functions.html_extract import ExtractFlags
+
     html = """<!-- <a href="/commented">no</a> --><a href="/live">yes</a>"""
-    assert urls(extract_urls_from_html(html)) == ["/live"]
+    assert urls(extract_urls_from_html(html)) == ["/commented", "/live"]
+    assert urls(extract_urls_from_html(
+        html, ExtractFlags(ignore_comments=True))) == ["/live"]
 
 
 def test_img_src_data_src_and_srcset():
