@@ -44,6 +44,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="convert one HTML file to markdown and exit")
     p.add_argument("--html-to-markdown-output", metavar="FILE",
                    help="write the conversion here instead of stdout")
+    # serve mode (server.rs; core_options.rs:487-488 defaults)
+    p.add_argument("--serve-offline", metavar="DIR",
+                   help="serve an offline website export over local HTTP")
+    p.add_argument("--serve-markdown", metavar="DIR",
+                   help="serve a markdown export rendered to HTML")
+    p.add_argument("--serve-port", type=int, default=8321)
+    p.add_argument("--serve-bind-address", default="127.0.0.1")
     # crawl limits (README.md:546-573 defaults)
     p.add_argument("--max-visited-urls", type=int, default=10000)
     p.add_argument("--max-queue-length", type=int, default=9000)
@@ -199,9 +206,24 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
             sys.stdout.write(md)
         return 0
 
-    if not args.corpus or not args.workdir:
-        print("--corpus and --workdir are required (except with --html-to-markdown)",
+    if args.serve_offline or args.serve_markdown:
+        # serve mode replaces crawling (main.rs:80-94); exit 101 on a
+        # missing root dir like server.rs:24-33
+        from .pipelines.serve import run_server
+
+        root = args.serve_markdown or args.serve_offline
+        if not os.path.isdir(root):
+            print(f"ERROR: Directory '{root}' does not exist.", file=sys.stderr)
+            return 101
+        print(f"Serving {root} at http://{args.serve_bind_address}:{args.serve_port}",
               file=sys.stderr)
+        run_server(root, markdown=bool(args.serve_markdown),
+                   port=args.serve_port, bind_address=args.serve_bind_address)
+        return 0
+
+    if not args.corpus or not args.workdir:
+        print("--corpus and --workdir are required "
+              "(except with --html-to-markdown / --serve-*)", file=sys.stderr)
         return 2
 
     if init_ray:
