@@ -90,6 +90,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ).count()
 
     qs = entrymod.queries()
+    # single-shot per query: several queries share memo caches (corpus
+    # seeds/robots, crawl artifacts), so a min-of-reps scheme would time
+    # cache hits, not work.  Ambient spikes are documented in
+    # BASELINE.md; quote quiet-window numbers.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
