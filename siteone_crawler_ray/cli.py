@@ -166,6 +166,29 @@ def build_parser() -> argparse.ArgumentParser:
     # quality gate (ci_gate.rs:34-202)
     p.add_argument("--max-404-errors", type=int, default=None)
     p.add_argument("--min-quality-score", type=float, default=None)
+    # full CI gate (--ci enables it; core_options.rs:495-510 defaults)
+    p.add_argument("--ci", action="store_true",
+                   help="run the full CI quality gate after the crawl")
+    p.add_argument("--ci-min-score", type=float, default=5.0)
+    p.add_argument("--ci-min-performance", type=float, default=None)
+    p.add_argument("--ci-min-seo", type=float, default=None)
+    p.add_argument("--ci-min-security", type=float, default=None)
+    p.add_argument("--ci-min-accessibility", type=float, default=None)
+    p.add_argument("--ci-min-best-practices", type=float, default=None)
+    p.add_argument("--ci-max-404", type=int, default=0)
+    p.add_argument("--ci-max-5xx", type=int, default=0)
+    p.add_argument("--ci-max-criticals", type=int, default=0)
+    p.add_argument("--ci-max-warnings", type=int, default=None)
+    p.add_argument("--ci-ignore-code", action="append", default=[])
+    p.add_argument("--ci-fail-on-code", action="append", default=[])
+    p.add_argument("--ci-max-avg-response", type=float, default=None)
+    p.add_argument("--ci-min-pages", type=int, default=10)
+    p.add_argument("--ci-min-assets", type=int, default=10)
+    p.add_argument("--ci-min-documents", type=int, default=0)
+    p.add_argument("--ci-baseline")
+    p.add_argument("--ci-max-score-drop", type=float, default=None)
+    p.add_argument("--ci-junit-file")
+    p.add_argument("--ci-github-annotations", action="store_true")
     return p
 
 
@@ -435,7 +458,56 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
             entry = DL.upload_report(ucfg, html_content, transport=transport)
             print(f"{entry['severity']}: {entry['message']}", file=sys.stderr)
 
-    # ---- quality gate (ci_gate.rs:34-202; exit 10 on failure) ----
+    # ---- full CI gate (--ci; ci_gate.rs:34-315; exit 10 on failure) ----
+    if args.ci:
+        from .pipelines import scoring as SC
+
+        findings = SC.findings_from_reports(
+            table_cache.get("page_findings") or RP.page_findings(visited_ds),
+            table_cache.get("count_by_status") or RP.count_by_status(visited_ds),
+        )
+        rep = SC.score(findings)
+        status_t = table_cache.get("count_by_status") or RP.count_by_status(visited_ds)
+        status_counts = {int(r["status_code"]): int(r["n"]) for r in status_t.to_pylist()}
+        ct_t = table_cache.get("content_type_table") or RP.content_type_table(visited_ds)
+        ct_counts = {int(r["content_type"]): int(r["n"]) for r in ct_t.to_pylist()}
+        stats_t = table_cache.get("basic_stats") or RP.basic_stats(visited_ds)
+        avg_time = float(stats_t.to_pylist()[0]["avg_time"])
+        opts = SC.CiGateOptions(
+            min_score=args.ci_min_score,
+            min_performance=args.ci_min_performance,
+            min_seo=args.ci_min_seo,
+            min_security=args.ci_min_security,
+            min_accessibility=args.ci_min_accessibility,
+            min_best_practices=args.ci_min_best_practices,
+            max_404=args.ci_max_404, max_5xx=args.ci_max_5xx,
+            max_criticals=args.ci_max_criticals, max_warnings=args.ci_max_warnings,
+            ignore_codes=tuple(args.ci_ignore_code),
+            fail_on_codes=tuple(args.ci_fail_on_code),
+            max_avg_response=args.ci_max_avg_response,
+            min_pages=args.ci_min_pages, min_assets=args.ci_min_assets,
+            min_documents=args.ci_min_documents,
+            baseline=args.ci_baseline, max_score_drop=args.ci_max_score_drop,
+        )
+        result = SC.evaluate_ci_gate(opts, rep, findings, status_counts,
+                                     ct_counts, avg_time)
+        for w in result.warnings:
+            print(f"WARNING: {w}", file=sys.stderr)
+        for c in result.checks:
+            if not c.passed:
+                print(f"CI gate FAILED: {c.metric} (expected {c.operator} "
+                      f"{c.threshold}, actual {c.actual})", file=sys.stderr)
+        if args.ci_junit_file:
+            with open(args.ci_junit_file, "w") as f:
+                f.write(SC.to_junit_xml(result))
+        if args.ci_github_annotations:
+            for line in SC.github_annotations(result):
+                print(line)
+        if not result.passed:
+            return 10
+        return 0
+
+    # ---- legacy quality gate (exit 10 on failure) ----
     if args.max_404_errors is not None or args.min_quality_score is not None:
         from .pipelines import scoring as SC
 

@@ -723,3 +723,24 @@ def test_cli_end_to_end(ray_session, tmp_path):
         "--min-quality-score", "11.0",
     ], init_ray=False)
     assert rc10 == 10
+    # full --ci gate over the finished crawl (--resume re-enters without
+    # re-crawling): permissive thresholds pass + write a JUnit report …
+    common = ["--url", tabs["seeds"]["url"].to_pylist()[0],
+              "--corpus", cp, "--workdir", str(tmp_path / "work"),
+              "--allowed-domain", "*", "--workers", "2", "--num-shards", "4",
+              "--result-storage-compression", "gzip", "--resume", "--ci"]
+    rc_ci = main(common + [
+        "--ci-min-score", "0", "--ci-max-404", "100000",
+        "--ci-max-criticals", "100000", "--ci-min-pages", "1",
+        "--ci-min-assets", "0", "--ci-junit-file", str(out / "junit.xml"),
+    ], init_ray=False)
+    assert rc_ci == 0
+    junit = (out / "junit.xml").read_text()
+    assert junit.startswith('<?xml version="1.0"')
+    assert 'failures="0"' in junit and 'classname="ci-gate"' in junit
+    # … and an impossible threshold fails with exit 10
+    rc_ci10 = main(common + ["--ci-min-score", "10.5", "--ci-max-404", "100000",
+                             "--ci-max-criticals", "100000",
+                             "--ci-min-pages", "1", "--ci-min-assets", "0"],
+                   init_ray=False)
+    assert rc_ci10 == 10
