@@ -108,12 +108,18 @@ def explode_spans(batch: pa.Table, disabled_kinds: frozenset = frozenset()) -> p
     # (found_urls.rs:29-32).  Dedup key = (parent page, xxh64(norm));
     # hashing keeps the sort on fixed 8-byte keys — a numpy unicode
     # array would be padded to the longest href (2 KB+) and the sort
-    # would move gigabytes.
-    norm = np.array([U.normalize_href(h) for h in out["href"].to_numpy(zero_copy_only=False)], dtype=object)
-    out = out.append_column("norm_href", pa.array(norm, type=pa.string()))
+    # would move gigabytes.  normalize_href vectorized as Arrow kernels
+    # (same replace/trim sequence as functions/urls.normalize_href —
+    # the per-href Python loop was the extract hot spot at full fanout)
+    norm_arr = out["href"]
+    for pat, repl in (("&#38;", "&"), ("&amp;", "&"), ("\\ ", "%20"), (" ", "%20")):
+        norm_arr = pc.replace_substring(norm_arr, pattern=pat, replacement=repl)
+    norm_arr = pc.utf8_rtrim(pc.utf8_ltrim(norm_arr, characters="\"'\t "),
+                             characters="&\"'\t ")
+    out = out.append_column("norm_href", norm_arr)
     m = out.num_rows
     if m:
-        hh = xxh64_strings(norm)
+        hh = xxh64_strings(norm_arr)
         parent_ids = par.astype(np.uint64)
         order = np.lexsort((np.arange(m), hh, parent_ids))
         ps, hs = parent_ids[order], hh[order]
