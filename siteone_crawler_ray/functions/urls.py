@@ -153,50 +153,90 @@ _CANON_FULL_RE = re.compile(r"^(https?)://([a-z0-9.\-]+)(?::(\d+))?(/[^?#]*)(\?[
 _CANON_ORIGIN_RE = re.compile(r"^(https?)://[a-z0-9.\-]+(?::(\d+))?$")
 
 
+def _fast_absolute(url: str) -> str | None:
+    """Accept an absolute URL only if it is ALREADY in canonical form
+    (lowercase scheme+host, no default port spelled out, explicit path,
+    no fragment/encodings/entities/dot segments, nothing normalize_href
+    would strip) — then it passes through the full pipeline unchanged."""
+    m = _CANON_FULL_RE.match(url)
+    if m is None or _FAST_ABS_BAD_RE.search(url):
+        return None
+    if url.endswith("?") or url.endswith(_FAST_TRAILING_STRIP):
+        return None
+    port = m.group(3)
+    if port and ((m.group(1) == "http" and port == "80")
+                 or (m.group(1) == "https" and port == "443")):
+        return None
+    if m.group(5) == "?":  # bare query
+        return None
+    return url
+
+
 def canonicalize_fast(href: str, base_url: str) -> str | None:
-    """O(1) shortcut for the dominant case: a *safe* path-absolute href
-    against an already-canonical base origin → ``origin + href``.
+    """O(1) shortcut for the dominant candidate shapes: safe
+    path-absolute / protocol-relative / already-canonical absolute
+    (optionally fragment-suffixed) / safe bare-relative hrefs.
 
     Returns None when not applicable (caller falls back to the full
     :func:`canonicalize`); when it does return, the result is IDENTICAL
     to the full path (property-tested in tests/test_properties.py).
-    Safe = starts with single ``/``; no whitespace/quotes/brackets,
-    ``#``, ``%``, entities, or dot segments; base origin lowercase
-    http(s) with no default port spelled out."""
-    if href[:1] != "/":
-        # absolute branch: an href that is ALREADY in canonical form
-        # passes through unchanged (lowercase scheme+host, no default
-        # port, explicit path, no fragment/encodings/dot segments) —
-        # the dominant case for same-site absolute links
-        if href[:7] != "http://" and href[:8] != "https://":
+    Every branch is conservative: rejecting costs only the fallback,
+    so any char/sequence that normalize/join/render could alter
+    disqualifies the href."""
+    if href[:2] == "//":
+        # protocol-relative: the base's scheme joins on (urljoin
+        # semantics); delegate to the canonical-absolute check
+        i = base_url.find("://")
+        if i not in (4, 5):  # "http"/"https" only
             return None
-        m = _CANON_FULL_RE.match(href)
-        if m is None or _FAST_ABS_BAD_RE.search(href):
+        return _fast_absolute(base_url[: i + 1] + href)
+    if href[:1] == "/":
+        if _FAST_ABS_BAD_RE.search(href):
             return None
-        if href.endswith("?") or href.endswith(_FAST_TRAILING_STRIP):
+        if href.endswith("?"):  # empty query: the renderer drops the bare "?"
             return None
-        port = m.group(3)
-        if port and ((m.group(1) == "http" and port == "80")
-                     or (m.group(1) == "https" and port == "443")):
+        if href.endswith(_FAST_TRAILING_STRIP):  # normalize_href would rstrip
             return None
-        if m.group(5) == "?":  # bare query
+        p = base_url.find("/", 8)
+        origin = base_url if p < 0 else base_url[:p]
+        m = _CANON_ORIGIN_RE.match(origin)
+        if not m:
             return None
-        return href
-    if href[:2] == "//" or _FAST_ABS_BAD_RE.search(href):
+        port = m.group(2)
+        if port and ((m.group(1) == "http" and port == "80") or (m.group(1) == "https" and port == "443")):
+            return None
+        return origin + href
+    if href[:7] == "http://" or href[:8] == "https://":
+        # the full path strips the fragment after the join, so a safe
+        # canonical prefix short-circuits fragment-suffixed absolutes
+        pos = href.find("#")
+        return _fast_absolute(href if pos < 0 else href[:pos])
+    # bare-relative ("a/b", "./a"): joins onto the base DIRECTORY when
+    # the base is canonical with no query and the relative is plain
+    # (no scheme-colon, dot segments, encodings, or strip chars)
+    if href[:2] == "./":
+        href = href[2:]
+    # ";" rejected: urljoin treats it as a params separator in relative
+    # references (urlparse RFC 1808 legacy), altering the join result
+    if not href or href[0] in "/.?#" or ":" in href or ";" in href:
         return None
-    if href.endswith("?"):  # empty query: the renderer drops the bare "?"
+    if _FAST_ABS_BAD_RE.search(href):
         return None
-    if href.endswith(_FAST_TRAILING_STRIP):  # normalize_href would rstrip
+    if href.endswith("?") or href.endswith(_FAST_TRAILING_STRIP):
         return None
-    p = base_url.find("/", 8)
-    origin = base_url if p < 0 else base_url[:p]
-    m = _CANON_ORIGIN_RE.match(origin)
-    if not m:
+    m = _CANON_FULL_RE.match(base_url)
+    if m is None or m.group(5) or _FAST_ABS_BAD_RE.search(base_url):
         return None
-    port = m.group(2)
-    if port and ((m.group(1) == "http" and port == "80") or (m.group(1) == "https" and port == "443")):
+    port = m.group(3)
+    if port and ((m.group(1) == "http" and port == "80")
+                 or (m.group(1) == "https" and port == "443")):
         return None
-    return origin + href
+    path = m.group(4)
+    if "//" in path or ";" in path:
+        # urljoin's RFC 3986 merge treats empty segments / params in the
+        # BASE path specially — fall back rather than replicate it
+        return None
+    return base_url[: m.start(4)] + path[: path.rfind("/") + 1] + href
 
 
 def canonicalize_many(

@@ -139,12 +139,34 @@ def test_canonicalize_fast_absolute_branch(url):
 
 def test_canonicalize_fast_absolute_rejections():
     base = "https://b.test/x"
-    # must decline: uppercase host, default port, fragment, no path,
-    # dot segments, bare query, entities
-    for href in ("HTTPS://a.test/p", "https://a.test:443/p", "https://a.test/p#f",
+    # must decline: uppercase host, default port, no path, dot
+    # segments, bare query, entities
+    for href in ("HTTPS://a.test/p", "https://a.test:443/p",
                  "https://a.test", "https://a.test/a/../b", "https://a.test/p?",
-                 "https://a.test/p?a=1&amp;b=2"):
+                 "https://a.test/p?a=1&amp;b=2", "https://a.test#f"):
         assert U.canonicalize_fast(href, base) is None, href
     # accepts and passes through canonical forms
     assert U.canonicalize_fast("https://a.test/p?a=1", base) == "https://a.test/p?a=1"
     assert U.canonicalize_fast("http://a.test:8080/p", base) == "http://a.test:8080/p"
+
+
+def test_canonicalize_fast_new_branches():
+    """r3 additions: fragment-suffixed absolutes, protocol-relative,
+    and safe bare-relative hrefs take the fast path and agree with the
+    full canonicalizer."""
+    base = "https://b.test/p/11560"
+    cases = ("https://a.test/p/1#frag", "//c.test/p/2", "./26317", "26317",
+             "a/b?q=1", "sub/page")
+    for href in cases:
+        fast = U.canonicalize_fast(href, base)
+        assert fast is not None, href
+        assert fast == U.canonicalize(href, base), href
+    assert U.canonicalize_fast("https://a.test/p/1#frag", base) == "https://a.test/p/1"
+    assert U.canonicalize_fast("//c.test/p/2", base) == "https://c.test/p/2"
+    assert U.canonicalize_fast("26317", base) == "https://b.test/p/26317"
+    # conservative rejections still fall back
+    for href in ("//c.test/p#f&", "../up", "a:b", "a b", "x?", "a%20b",
+                 "./", "a/./b"):
+        assert U.canonicalize_fast(href, base) is None, href
+    # base with a query cannot take the bare-relative shortcut
+    assert U.canonicalize_fast("a", "https://b.test/p?x=1") is None
