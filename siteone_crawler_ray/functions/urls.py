@@ -256,7 +256,16 @@ def canonicalize_many(
     return out
 
 
+# scalar fast path: already-lowercase safe host (exactly what the
+# gauntlet's canonical URLs carry) up to the first /:?# — identical to
+# urlsplit().hostname on that subset, ~15× cheaper per call
+_FAST_HOST_RE = re.compile(r"^https?://([a-z0-9.\-]+)(?=[/:?#]|$)")
+
+
 def host_of(url: str) -> str:
+    m = _FAST_HOST_RE.match(url)
+    if m is not None:
+        return m.group(1)
     try:
         return urlsplit(url).hostname or ""
     except ValueError:
