@@ -370,15 +370,28 @@ def depth_of(path: str) -> int:
 
 def basename_of(url: str) -> str | None:
     """parsed_url.rs:465-482 — key of the non-200-responses guard."""
-    sp = urlsplit(url)
-    path = sp.path
+    # fast path: fragment-free http(s) URL → path/query by string
+    # slicing (urlsplit was the gauntlet's remaining per-row hot spot);
+    # identical because urlsplit neither decodes nor normalizes here
+    if (url[:8] == "https://" or url[:7] == "http://") and "#" not in url:
+        start = 8 if url[4] == "s" else 7
+        q = url.find("?", start)
+        p = url.find("/", start)
+        if p < 0 or (0 <= q < p):  # no path, or "?" before any "/"
+            return None
+        path = url[p:q] if q >= 0 else url[p:]
+        query = url[q + 1:] if q >= 0 else ""
+    else:
+        sp = urlsplit(url)
+        path = sp.path
+        query = sp.query
     if not path or path == "/":
         return None
     seg = path.rstrip("/").rsplit("/", 1)[-1]
     if not seg:
         return None
-    if sp.query and ("/" in sp.query or "%2F" in sp.query):
-        return f"{seg}?{sp.query}"
+    if query and ("/" in query or "%2F" in query):
+        return f"{seg}?{query}"
     return seg
 
 
