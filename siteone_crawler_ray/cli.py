@@ -101,6 +101,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max rows per report table (HTML report ignores it)")
     p.add_argument("--do-not-truncate-url", action="store_true")
     p.add_argument("--show-scheme-and-host", action="store_true")
+    p.add_argument("--url-column-size", type=int, default=None,
+                   help="fixed URL column width in the text report (cap 184)")
+    p.add_argument("--hide-columns", action="append", default=[],
+                   help="comma-separated standard columns to omit "
+                        "(Status,Type,Time,Size; repeatable)")
     p.add_argument("--html-report-options", help="comma-separated section allowlist")
     # speed-report knobs (fastest_analyzer.rs:33-34, slowest_analyzer.rs:34-36 defaults)
     p.add_argument("--fastest-urls-top-limit", type=int, default=20)
@@ -397,12 +402,16 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
     if args.output_text_file:
         from .pipelines.report_text import write_text_report
 
+        hide = tuple(h.strip() for arg in args.hide_columns
+                     for h in arg.split(",") if h.strip())
         write_text_report(res, visited_ds, _outfile(args.output_text_file, "txt"),
                           config=cfg, table_cache=table_cache,
                           extras_table=extras_table,
                           rows_limit=args.rows_limit,
                           show_scheme_and_host=args.show_scheme_and_host,
-                          do_not_truncate_url=args.do_not_truncate_url)
+                          do_not_truncate_url=args.do_not_truncate_url,
+                          url_column_size=args.url_column_size,
+                          hide_columns=hide)
     # HTML report content is generated once if ANY consumer needs it:
     # file, mailer, or upload (manager.rs:487-500)
     html_report_needed = bool(args.output_html_file or args.mail_to or args.upload)

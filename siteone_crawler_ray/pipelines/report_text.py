@@ -33,7 +33,9 @@ def _banner(n_urls: int) -> str:
 def visited_table_text(visited: pa.Table, origin_host: str = "",
                        extras: pa.Table | None = None,
                        show_scheme_and_host: bool = False,
-                       do_not_truncate_url: bool = False) -> str:
+                       do_not_truncate_url: bool = False,
+                       url_column_size: int | None = None,
+                       hide_columns: tuple[str, ...] = ()) -> str:
     """text_output.rs:279-420 add_table_header/add_table_row; extra
     columns widen the table the way text_output.rs:76-84 sizes
     ``extra_columns_width`` (name-or-value width + ' | ' separator).
@@ -42,9 +44,16 @@ def visited_table_text(visited: pa.Table, origin_host: str = "",
     (text_output.rs:349-354 strips it by default); external URLs always
     render in full.  ``do_not_truncate_url`` skips the two-thirds
     truncation (text_output.rs:429-431) — long URLs overflow the
-    column, like the reference."""
+    column, like the reference.  ``url_column_size`` overrides the
+    derived URL width (capped at 184, text_output.rs:153-175);
+    ``hide_columns`` omits named standard columns (case-insensitive,
+    text_output.rs:119 should_hide)."""
     urls = visited["url"].to_pylist()
-    width = min(MAX_URL_COL, max((len(u) for u in urls), default=3))
+    if url_column_size is not None:
+        width = min(184, max(3, url_column_size))
+    else:
+        width = min(MAX_URL_COL, max((len(u) for u in urls), default=3))
+    hidden = {h.strip().lower() for h in hide_columns}
     extra_names: list[str] = []
     extra_by_url: dict = {}
     extra_w: dict = {}
@@ -54,7 +63,13 @@ def visited_table_text(visited: pa.Table, origin_host: str = "",
         for n in extra_names:
             vals = ["" if v is None else str(v) for v in extras[n].to_pylist()]
             extra_w[n] = max([len(n)] + [len(v) for v in vals])
-    head = (f"{'URL':<{width}} | Status | Type     | Time     | Size  ")
+    std_cols = [c for c in ("Status", "Type", "Time", "Size")
+                if c.lower() not in hidden]
+    std_head = {"Status": "Status", "Type": "Type    ", "Time": "Time    ",
+                "Size": "Size  "}
+    head = f"{'URL':<{width}}"
+    for c in std_cols:
+        head += f" | {std_head[c]}"
     for n in extra_names:
         head += f" | {n:<{extra_w[n]}}"
     sep = "-" * len(head)
@@ -69,11 +84,15 @@ def visited_table_text(visited: pa.Table, origin_host: str = "",
             disp = truncate_url(u, 10**9, strip_hostname=strip)
         else:
             disp = truncate_url(u, width, strip_hostname=strip)
-        ct_name = _CT_NAMES.get(int(ct), "OTHER").capitalize()
-        line = (
-            f"{disp:<{width}} | {status_code_str(int(st)):<6} | {ct_name:<8} "
-            f"| {formatted_duration(float(tm)):<8} | {formatted_size(int(sz))}"
-        )
+        cells = {
+            "Status": f"{status_code_str(int(st)):<6}",
+            "Type": f"{_CT_NAMES.get(int(ct), 'OTHER').capitalize():<8}",
+            "Time": f"{formatted_duration(float(tm)):<8}",
+            "Size": formatted_size(int(sz)),
+        }
+        line = f"{disp:<{width}}"
+        for c in std_cols:
+            line += f" | {cells[c]}"
         if extra_names:
             er = extra_by_url.get(u, {})
             for n in extra_names:
@@ -103,14 +122,18 @@ def _section(title: str, t: pa.Table, max_rows: int = 50) -> str:
 def render_text_report(report: dict, visited: pa.Table, origin_host: str = "",
                        extras: pa.Table | None = None,
                        show_scheme_and_host: bool = False,
-                       do_not_truncate_url: bool = False) -> str:
+                       do_not_truncate_url: bool = False,
+                       url_column_size: int | None = None,
+                       hide_columns: tuple[str, ...] = ()) -> str:
     """Full console document: banner → visited table → stats →
     per-analyzer sections (SuperTable analogues)."""
     parts = [_banner(len(report.get("results", [])))]
     parts.append("")
     parts.append(visited_table_text(visited, origin_host, extras=extras,
                                     show_scheme_and_host=show_scheme_and_host,
-                                    do_not_truncate_url=do_not_truncate_url))
+                                    do_not_truncate_url=do_not_truncate_url,
+                                    url_column_size=url_column_size,
+                                    hide_columns=hide_columns))
     stats = report.get("stats", {})
     if stats:
         st = pa.table({"stat": pa.array([str(k) for k in stats]),
@@ -139,7 +162,9 @@ def write_text_report(res, visited_ds, path: str, config=None,
                       extras_table: pa.Table | None = None,
                       rows_limit: int | None = 200,
                       show_scheme_and_host: bool = False,
-                      do_not_truncate_url: bool = False) -> str:
+                      do_not_truncate_url: bool = False,
+                      url_column_size: int | None = None,
+                      hide_columns: tuple[str, ...] = ()) -> str:
     from ..functions.urls import host_of
     from .report_json import build_report
 
@@ -152,7 +177,9 @@ def write_text_report(res, visited_ds, path: str, config=None,
     origin = host_of(first[0]) if first else ""
     text = render_text_report(report, visited, origin, extras=extras_table,
                               show_scheme_and_host=show_scheme_and_host,
-                              do_not_truncate_url=do_not_truncate_url)
+                              do_not_truncate_url=do_not_truncate_url,
+                              url_column_size=url_column_size,
+                              hide_columns=hide_columns)
     with open(path, "w") as f:
         f.write(text)
     return text

@@ -115,3 +115,29 @@ def test_distributed_exact_rank(ray_session):
     rank = int(math.floor(0.9 * (len(vals) - 1) + 0.5))
     p = distributed_nearest_rank_percentile(ds, "x", 90, collect_threshold=1)
     assert p == v_sorted[rank]
+
+
+def test_text_report_hide_columns_and_url_width():
+    """--hide-columns / --url-column-size (text_output.rs:119,153-175)."""
+    import pyarrow as pa
+
+    from siteone_crawler_ray.pipelines.report_text import visited_table_text
+
+    visited = pa.table({
+        "url": pa.array(["https://h.test/page-one", "https://h.test/x"]),
+        "status_code": pa.array([200, 404]),
+        "content_type": pa.array([1, 0]),
+        "request_time": pa.array([0.05, 0.01]),
+        "size": pa.array([1000, 0]),
+    })
+    full = visited_table_text(visited)
+    assert "Status" in full and "Size" in full
+    hidden = visited_table_text(visited, hide_columns=("status", "Size"))
+    head = hidden.splitlines()[0]
+    assert "Status" not in head and "Size" not in head
+    assert "Type" in head and "Time" in head
+    wide = visited_table_text(visited, url_column_size=120)
+    assert wide.splitlines()[0].index("| Type") > 100
+    # cap at 184 like the reference
+    capped = visited_table_text(visited, url_column_size=999)
+    assert capped.splitlines()[0].index("|") == 185
