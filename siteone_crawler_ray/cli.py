@@ -101,6 +101,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max rows per report table (HTML report ignores it)")
     p.add_argument("--do-not-truncate-url", action="store_true")
     p.add_argument("--show-scheme-and-host", action="store_true")
+    p.add_argument("--timezone", default=None,
+                   help="IANA timezone for report/file timestamps "
+                        "(sets TZ like main.rs:15-33)")
     p.add_argument("--url-column-size", type=int, default=None,
                    help="fixed URL column width in the text report (cap 184)")
     p.add_argument("--hide-columns", action="append", default=[],
@@ -199,6 +202,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.timezone:
+        # main.rs:15-33: set TZ before anything renders a local time so
+        # output-file timestamps and mail Date headers use it
+        import time as _time
+
+        os.environ["TZ"] = args.timezone
+        try:
+            _time.tzset()
+        except AttributeError:
+            pass  # non-POSIX platform
 
     if args.html_to_markdown:
         # standalone conversion mode (main.rs:97-135): honors the

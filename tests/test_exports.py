@@ -744,3 +744,29 @@ def test_cli_end_to_end(ray_session, tmp_path):
                              "--ci-min-pages", "1", "--ci-min-assets", "0"],
                    init_ray=False)
     assert rc_ci10 == 10
+
+
+def test_cli_timezone_sets_tz(tmp_path):
+    """--timezone sets TZ before timestamps render (main.rs:15-33)."""
+    import os
+    import time
+
+    from siteone_crawler_ray.cli import main
+
+    old = os.environ.get("TZ")
+    try:
+        src = tmp_path / "x.html"
+        src.write_text("<p>x</p>")
+        rc = main(["--timezone", "Pacific/Kiritimati",
+                   "--html-to-markdown", str(src),
+                   "--html-to-markdown-output", str(tmp_path / "x.md")],
+                  init_ray=False)
+        assert rc == 0
+        assert os.environ["TZ"] == "Pacific/Kiritimati"
+        assert time.strftime("%z") == "+1400"
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        time.tzset()
