@@ -143,6 +143,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "for the URL-only rewrite pass)")
     p.add_argument("--markdown-export-dir")
     p.add_argument("--markdown-aggregate-file")
+    p.add_argument("--markdown-export-single-file",
+                   help="alias of --markdown-aggregate-file (reference name)")
+    p.add_argument("--markdown-export-store-only-url-regex", action="append", default=[])
+    p.add_argument("--markdown-ignore-store-file-error", action="store_true")
+    p.add_argument("--ignore-store-file-error", action="store_true")
     # markdown export post-processing (markdown_exporter.rs:36-122)
     p.add_argument("--markdown-disable-images", action="store_true")
     p.add_argument("--markdown-disable-files", action="store_true")
@@ -391,7 +396,8 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
                               or args.offline_export_preserve_urls),
         )
 
-    if args.markdown_export_dir or args.markdown_aggregate_file:
+    md_aggregate = args.markdown_aggregate_file or args.markdown_export_single_file
+    if args.markdown_export_dir or md_aggregate:
         from .functions.markdown_post import MarkdownPostOptions
 
         md_opts = MarkdownPostOptions(
@@ -401,9 +407,14 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
             move_content_before_h1_to_end=args.markdown_move_content_before_h1_to_end,
             ignore_regexes=tuple(args.ignore_regex),
         )
-        _export_markdown(res, args.markdown_export_dir, args.markdown_aggregate_file,
+        _export_markdown(res, args.markdown_export_dir, md_aggregate,
                          md_opts=md_opts,
-                         exclude_selectors=tuple(args.markdown_exclude_selector))
+                         exclude_selectors=tuple(args.markdown_exclude_selector),
+                         store_only_url_regex=tuple(
+                             args.markdown_export_store_only_url_regex),
+                         ignore_store_file_error=(
+                             args.markdown_ignore_store_file_error
+                             or args.ignore_store_file_error))
 
     report = None
     if args.output_json_file:
@@ -641,7 +652,9 @@ def _export_offline(res, initial_url: str, out_dir: str, *,
 
 
 def _export_markdown(res, out_dir: str | None, aggregate_file: str | None,
-                     md_opts=None, exclude_selectors: tuple[str, ...] = ()) -> None:
+                     md_opts=None, exclude_selectors: tuple[str, ...] = (),
+                     store_only_url_regex: tuple[str, ...] = (),
+                     ignore_store_file_error: bool = False) -> None:
     """Markdown export: per-page .md files and/or the aggregated
     single-file form (markdown_exporter.rs flow).  With
     ``--markdown-exclude-selector`` the conversion goes through the DOM
@@ -656,7 +669,15 @@ def _export_markdown(res, out_dir: str | None, aggregate_file: str | None,
 
     from .functions.offline import OfflineUrl
 
+    import re as _re
+
     t = res.visited_table(columns=["url", "spans"])
+    if store_only_url_regex:
+        # --markdown-export-store-only-url-regex: only matching pages
+        # are converted/stored (markdown_exporter.rs store-only filter)
+        pats = [_re.compile(p) for p in store_only_url_regex]
+        keep = [any(p.search(u) for p in pats) for u in t["url"].to_pylist()]
+        t = t.filter(pa.array(keep, pa.bool_()))
     if exclude_selectors:
         from .functions.html_extract import spans_to_html
         from .functions.html_markdown import html_to_markdown
@@ -686,9 +707,15 @@ def _export_markdown(res, out_dir: str | None, aggregate_file: str | None,
             if ".." in rel or rel.startswith(("http://", "https://", "#")):
                 continue
             path = os.path.join(out_dir, rel.rsplit(".", 1)[0] + ".md")
-            os.makedirs(os.path.dirname(path) or out_dir, exist_ok=True)
-            with open(path, "w") as f:
-                f.write(body)
+            try:
+                os.makedirs(os.path.dirname(path) or out_dir, exist_ok=True)
+                with open(path, "w") as f:
+                    f.write(body)
+            except OSError as e:
+                # --markdown-ignore-store-file-error: log + continue
+                if not ignore_store_file_error:
+                    raise
+                print(f"WARNING: cannot store '{path}': {e}", file=sys.stderr)
     if aggregate_file:
         with open(aggregate_file, "w") as f:
             f.write(aggregate_markdown(md))

@@ -770,3 +770,38 @@ def test_cli_timezone_sets_tz(tmp_path):
         else:
             os.environ["TZ"] = old
         time.tzset()
+
+
+def test_markdown_export_store_only_and_error_tolerance(crawl_result, tmp_path):
+    """--markdown-export-store-only-url-regex filters pages;
+    --markdown-ignore-store-file-error logs and continues."""
+    import os
+
+    from siteone_crawler_ray.cli import _export_markdown
+
+    res, _ = crawl_result
+    full = tmp_path / "all"
+    _export_markdown(res, str(full), None)
+    all_files = sorted(str(p.relative_to(full))
+                       for p in full.rglob("*") if p.is_file())
+
+    only = tmp_path / "only"
+    _export_markdown(res, str(only), None, store_only_url_regex=(r"/p/000",))
+    subset = sorted(str(p.relative_to(only))
+                    for p in only.rglob("*") if p.is_file())
+    assert subset and set(subset) < set(all_files)
+
+    # unwritable target dir: ignore-store-file-error continues, default raises
+    blocked = tmp_path / "blocked"
+    blocked.mkdir()
+    os.chmod(blocked, 0o500)
+    try:
+        if os.getuid() != 0:  # root ignores modes; only meaningful unprivileged
+            import pytest as _pytest
+
+            with _pytest.raises(OSError):
+                _export_markdown(res, str(blocked / "sub"), None)
+        _export_markdown(res, str(blocked / "sub"), None,
+                         ignore_store_file_error=True)
+    finally:
+        os.chmod(blocked, 0o700)
