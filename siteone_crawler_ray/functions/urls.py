@@ -239,6 +239,75 @@ def canonicalize_fast(href: str, base_url: str) -> str | None:
     return base_url[: m.start(4)] + path[: path.rfind("/") + 1] + href
 
 
+# Vectorized url-list fast path (flat crawl).  A row is admitted
+# unchanged only when one Arrow regex pass proves it is ALREADY in
+# canonical absolute form — the same conservative conditions as
+# _fast_absolute, expressed as column kernels.  RE2 has no lookahead,
+# so the disqualifiers are separate match passes combined with boolean
+# kernels.
+_VEC_CANON_RE = r"^(https?)://([a-z0-9.\-]+)(:[0-9]+)?(/[^?#]*)(\?[^#]+)?$"
+_VEC_TRAIL_RE = r"""[&"'\t ?]$"""
+_VEC_DEFAULT_PORT_RE = r"^(http://[a-z0-9.\-]+:80/|https://[a-z0-9.\-]+:443/)"
+
+
+def canonicalize_urls(arr, max_len: int = DEFAULT_MAX_URL_LENGTH) -> np.ndarray:
+    """Vectorized ``canonicalize(u, u)`` over a URL-list column → object
+    ndarray aligned with the input (None = dropped / over-length).
+
+    The dominant shape in a ``--url-list`` file (crawler.rs:226-230) is
+    an already-canonical absolute URL; those pass through with zero
+    per-row Python.  Everything else falls back to the scalar
+    fast/full gauntlet for exact parity (property-tested)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    elif not isinstance(arr, (pa.Array,)):
+        try:
+            arr = pa.array(list(arr), type=pa.string())
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            seq = list(arr)
+            out = np.empty(len(seq), dtype=object)
+            for i, u in enumerate(seq):
+                c = canonicalize_fast(u, u) if u else None
+                if c is None:
+                    c = canonicalize(u, u) if u else None
+                out[i] = c if c is not None and len(c) <= max_len else None
+            return out
+    n = len(arr)
+    out = np.empty(n, dtype=object)
+    if n == 0:
+        return out
+    admit = pc.and_(
+        pc.and_(
+            pc.match_substring_regex(arr, pattern=_VEC_CANON_RE),
+            pc.invert(pc.match_substring_regex(arr, pattern=_FAST_ABS_BAD_RE.pattern)),
+        ),
+        pc.and_(
+            pc.invert(pc.match_substring_regex(arr, pattern=_VEC_TRAIL_RE)),
+            pc.and_(
+                pc.invert(pc.match_substring_regex(arr, pattern=_VEC_DEFAULT_PORT_RE)),
+                pc.less_equal(pc.utf8_length(arr), max_len),
+            ),
+        ),
+    )
+    admit_np = pc.fill_null(admit, False).to_numpy(zero_copy_only=False)
+    vals = arr.to_numpy(zero_copy_only=False)
+    out[admit_np] = vals[admit_np]
+    miss = np.nonzero(~admit_np)[0]
+    for i in miss:
+        u = vals[i]
+        if u is None or not u:
+            out[i] = None
+            continue
+        c = canonicalize_fast(u, u)
+        if c is None:
+            c = canonicalize(u, u)
+        out[i] = c if c is not None and len(c) <= max_len else None
+    return out
+
+
 def canonicalize_many(
     hrefs,
     bases,

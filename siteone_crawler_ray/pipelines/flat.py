@@ -29,14 +29,13 @@ from ..stages.fetch import FetchStage
 def prep_url_batch(batch: pa.Table) -> pa.Table:
     """url strings → the fetch-stage input schema (canonical URL, key,
     host; seq derives from the key so it is stable under any
-    partitioning)."""
-    raw = batch["url"].to_numpy(zero_copy_only=False)
-    canon = []
-    for u in raw:
-        c = U.canonicalize(u, u)
-        if c is not None and len(c) <= U.DEFAULT_MAX_URL_LENGTH:
-            canon.append(c)
-    keys = xxh64_strings(canon) if canon else np.empty(0, np.uint64)
+    partitioning).  Canonicalization is the vectorized fast-path split
+    (one Arrow regex pass admits already-canonical rows; scalar
+    gauntlet only for the residue) — no per-row Python on the dominant
+    shape of a 10^10-row URL list."""
+    canon_all = U.canonicalize_urls(batch["url"])
+    canon = canon_all[canon_all != None]  # noqa: E711 — object-array None mask
+    keys = xxh64_strings(list(canon)) if len(canon) else np.empty(0, np.uint64)
     n = len(canon)
     return pa.table(
         {

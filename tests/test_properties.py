@@ -170,3 +170,24 @@ def test_canonicalize_fast_new_branches():
         assert U.canonicalize_fast(href, base) is None, href
     # base with a query cannot take the bare-relative shortcut
     assert U.canonicalize_fast("a", "https://b.test/p?x=1") is None
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(
+    st.one_of(
+        absolute_urls(),
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40),
+        absolute_urls().map(lambda u: u + "#frag"),
+        absolute_urls().map(lambda u: u.replace("https://", "HTTPS://", 1)),
+    ),
+    max_size=12,
+))
+def test_canonicalize_urls_matches_scalar(urls):
+    """The vectorized url-list kernel (flat crawl prep) must agree
+    row-for-row with canonicalize(u, u) + the length cap."""
+    vec = U.canonicalize_urls(urls)
+    for u, got in zip(urls, vec):
+        want = U.canonicalize(u, u) if u else None
+        if want is not None and len(want) > U.DEFAULT_MAX_URL_LENGTH:
+            want = None
+        assert got == want, (u, got, want)
