@@ -117,8 +117,30 @@ class CrawlResult:
     workdir: str
     visited_dir: str
     skipped: pa.Table
-    seen_keys: np.ndarray
+    # per-shard seen-set snapshots: ObjectRefs (ray mode) or uint64
+    # ndarrays (in-process).  Kept as refs so run() never concatenates
+    # the full seen set on the driver — at 10^10 keys that is an 80 GB
+    # materialization whose only consumers are parity tests.
+    seen_parts: list = field(default_factory=list)
     metrics: dict = field(default_factory=dict)
+    _seen_cache: np.ndarray | None = field(default=None, repr=False)
+
+    @property
+    def seen_keys(self) -> np.ndarray:
+        """Sorted uint64 seen set, gathered lazily from the per-shard
+        snapshot refs.  O(total-seen) on the driver — opt-in for parity
+        tests / small crawls only; scale consumers should ray.get and
+        process ``seen_parts`` shard-by-shard."""
+        if self._seen_cache is None:
+            parts = self.seen_parts
+            if parts and not isinstance(parts[0], np.ndarray):
+                import ray
+
+                parts = ray.get(list(parts))
+            self._seen_cache = (
+                np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+            )
+        return self._seen_cache
 
     def visited_table(self, columns: list[str] | None = None) -> pa.Table:
         """Seq-ordered visited rows as ONE driver-side table.  Only for
@@ -790,7 +812,16 @@ class EpochCrawler:
         total = time.perf_counter() - t0
         self._flush_pending()  # final epoch's ingest/ckpt refs + manifest
         skipped = self._collect_skipped()
-        seen = np.sort(np.concatenate(self._shard_call("snapshot_seen")))
+        # snapshot refs only: the arrays stay in the object store (they
+        # outlive the shard actors as long as the result holds the refs);
+        # CrawlResult.seen_keys gathers on demand.
+        if self._use_ray:
+            import ray
+
+            seen_parts = [s.snapshot_seen.remote() for s in self._shards]
+            ray.wait(seen_parts, num_returns=len(seen_parts), fetch_local=False)
+        else:
+            seen_parts = [s.snapshot_seen() for s in self._shards]
         self.metrics["total_sec"] = round(total, 4)
         self.metrics["visited"] = self.visited_count
         self.metrics["candidates"] = int(sum(m["candidates"] for m in self.metrics["epochs"]))
@@ -803,7 +834,7 @@ class EpochCrawler:
             workdir=self.workdir,
             visited_dir=os.path.join(self.workdir, "visited"),
             skipped=skipped,
-            seen_keys=seen,
+            seen_parts=seen_parts,
             metrics=self.metrics,
         )
 
