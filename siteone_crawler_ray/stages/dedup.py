@@ -90,6 +90,26 @@ _SCATTER_THRESHOLD_ROWS = 4_000_000
 _EXACT_DRIVER_COMBINE_ROWS = 4_000_000
 
 
+def _auto_partitions(num_rows: int | None = None, *, rows_per_partition: int = 250_000,
+                     floor: int = 8) -> int:
+    """Partition count for key-hash exchanges: at least the cluster CPU
+    count (every core gets a partition) and grows with the data so one
+    partition stays ~``rows_per_partition`` rows — a 100-TB candidate
+    set fans out with the cluster instead of pinning 32 tasks.
+    Exchange outputs are partition-independent (identical key ⇒ one
+    partition for any P), so P only affects parallelism."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", floor)) if ray.is_initialized() else floor
+    except Exception:
+        cpus = floor
+    p = max(cpus, floor)
+    if num_rows:
+        p = max(p, -(-num_rows // rows_per_partition))
+    return p
+
+
 def _key_mod(block: pa.Table, key_col: str, P: int) -> np.ndarray:
     """key % P as int64, bit-stable for int64 OR uint64 key columns."""
     keys = block[key_col].to_numpy(zero_copy_only=False)
@@ -128,7 +148,7 @@ def _scatter_exchange(refs, key_col: str, fn, num_partitions: int) -> list[pa.Ta
     return [t for t in out if t is not None and t.num_rows]
 
 
-def _partitioned_exchange(ds, key_col: str, fn, num_partitions: int = 32) -> list[pa.Table]:
+def _partitioned_exchange(ds, key_col: str, fn, num_partitions: int | None = None) -> list[pa.Table]:
     """Hash-partitioned all-to-all without driver materialization.
 
     Small exchanged tables (≤ ``_SCATTER_THRESHOLD_ROWS``): the
@@ -146,6 +166,8 @@ def _partitioned_exchange(ds, key_col: str, fn, num_partitions: int = 32) -> lis
     refs = [r for b in bundles for r in b.block_refs]
     counts = [b.num_rows() for b in bundles]
     total = None if any(c is None for c in counts) else sum(counts)
+    if num_partitions is None:
+        num_partitions = _auto_partitions(total)
     if total is None or total > _SCATTER_THRESHOLD_ROWS:
         return _scatter_exchange(refs, key_col, fn, num_partitions)
 
@@ -216,7 +238,7 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
         if not parts:
             return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64())}))
         return rd.from_arrow(combine(pa.concat_tables(parts)))
-    out = _scatter_exchange(refs, "content_hash", combine, num_partitions=32)
+    out = _scatter_exchange(refs, "content_hash", combine, num_partitions=_auto_partitions(total))
     if not out:
         return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64())}))
     return rd.from_arrow(out)
@@ -331,9 +353,11 @@ def minhash_dedup_pairs(ds, *, id_col="doc_id", text_col="text", num_perm=64,
     # candidate id, no text/shingles).
     import pyarrow.compute as pc
 
-    P = 32
     ia_all = cand["id_a"].to_numpy(zero_copy_only=False)
     ib_all = cand["id_b"].to_numpy(zero_copy_only=False)
+    # verify fanout scales with cluster size and candidate volume
+    # (output is P-independent: pair ownership is hash(id_a) % P)
+    P = _auto_partitions(len(ia_all), rows_per_partition=50_000)
     pair_part = ia_all.view(np.uint64) % np.uint64(P)
     # routing table: (doc id → partitions that need its shingles)
     route = np.unique(

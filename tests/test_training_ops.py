@@ -492,3 +492,15 @@ def test_near_dup_clusters(ray_session):
     assert set(rows) == {1, 2, 4}
     assert all(r["component"] == 1 for r in rows.values())
     assert [d for d, r in rows.items() if r["keep"]] == [1]
+
+
+def test_auto_partitions_scales_with_rows_and_cpus():
+    """The exchange/verify fanout must grow with candidate volume
+    instead of pinning at a constant (VERDICT r3 #4)."""
+    from siteone_crawler_ray.stages.dedup import _auto_partitions
+
+    base = _auto_partitions(None)
+    assert base >= 8  # at least the floor / cluster CPU count
+    assert _auto_partitions(10_000_000, rows_per_partition=250_000) >= 40
+    assert _auto_partitions(100_000_000, rows_per_partition=50_000) >= 2000
+    assert _auto_partitions(10**9) > _auto_partitions(10**6)
