@@ -399,6 +399,45 @@ def test_flat_crawl_streams_all_urls(tmp_workdir):
     assert len({r["url"] for r in rows}) == len(rows)
 
 
+def test_fetch_actor_pool_survives_actor_death(tmp_workdir, tmp_path):
+    """Actor-pool fault tolerance (the ray#53727 warning context): Ray
+    Data pins the ray.put MapTransformer ref on the operator for the
+    life of the execution (ray map_operator.py:295), so a fetch actor
+    hard-killed mid-task restarts, the task retries, and the pipeline
+    completes exactly-once."""
+    import os
+
+    import ray.data as rd
+
+    from siteone_crawler_ray.pipelines.flat import prep_url_batch
+    from siteone_crawler_ray.stages.fetch import FetchStage
+
+    tabs = make_graph_corpus(seed=9, hosts=2, total_pages=200)
+    cp, seeds, robots = _setup(tmp_workdir, tabs)
+    marker = str(tmp_path / "died-once")
+
+    class DieOnceFetch(FetchStage):
+        def __call__(self, batch):
+            if not os.path.exists(marker) and batch.num_rows:
+                with open(marker, "w") as f:
+                    f.write("x")
+                os._exit(1)  # hard-kill this actor process mid-task
+            return super().__call__(batch)
+
+    urls = rd.from_arrow(pa.table({"url": tabs["documents"]["doc_id"]})).repartition(8)
+    out = urls.map_batches(prep_url_batch, batch_format="pyarrow").map_batches(
+        DieOnceFetch,
+        fn_constructor_kwargs=dict(corpus_path=cp, budget_split=2),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+    rows = out.select_columns(["url"]).take_all()
+    assert os.path.exists(marker), "the kill branch never ran"
+    assert len(rows) == tabs["documents"].num_rows
+    assert len({r["url"] for r in rows}) == len(rows)
+
+
 def test_empty_seeds_and_all_404_corpus(tmp_workdir):
     """Degenerate inputs: no seeds → empty result; seeds pointing at
     URLs absent from the corpus → 404 rows, no link expansion."""
