@@ -338,12 +338,82 @@ def interleaved_from_testdata(sf_dir: str, hosts: int = 8, out_degree: int = 6) 
 
 
 # ---------------------------------------------------------------------------
-# bucketed columnar store (Lance stand-in)
+# bucketed columnar store
 
 
-def write_corpus(documents: pa.Table, path: str, num_buckets: int = 16) -> None:
-    """Write hash-bucketed, key-sorted parquet: one dir per bucket so a
-    failed run / a fetch actor touches only its buckets."""
+class BucketFormat:
+    """Physical-format seam for the bucketed corpus store.
+
+    The logical layout — hash buckets on ``xxh64(doc_id)``, key-sorted
+    rows within a bucket, ``_meta.json`` at the root — is format-
+    independent; an adapter only turns one bucket's table into/out of
+    files under its ``bucket=XX/`` directory.  ``BASELINE.json`` names a
+    Lance input: :class:`LanceBucketFormat` drops in wherever ``lance``
+    is installed, while this sandbox (no ``lance`` wheel) defaults to
+    parquet with small row groups."""
+
+    name = "?"
+
+    def write_bucket(self, table: pa.Table, bucket_dir: str) -> None:
+        raise NotImplementedError
+
+    def read_bucket(self, bucket_dir: str) -> pa.Table:
+        raise NotImplementedError
+
+
+class ParquetBucketFormat(BucketFormat):
+    name = "parquet"
+
+    def write_bucket(self, table: pa.Table, bucket_dir: str) -> None:
+        pq.write_table(table, os.path.join(bucket_dir, "part.parquet"), row_group_size=4096)
+
+    def read_bucket(self, bucket_dir: str) -> pa.Table:
+        return pq.read_table(os.path.join(bucket_dir, "part.parquet"))
+
+
+class LanceBucketFormat(BucketFormat):
+    """Lance-backed buckets (import-gated: the wheel is not in this
+    container, but the adapter is the complete integration point)."""
+
+    name = "lance"
+
+    def __init__(self):
+        try:
+            import lance
+        except ImportError as e:  # pragma: no cover - no lance wheel here
+            raise ImportError(
+                "corpus format 'lance' requires the `lance` package; "
+                "this environment ships parquet buckets instead"
+            ) from e
+        self._lance = lance
+
+    def write_bucket(self, table: pa.Table, bucket_dir: str) -> None:  # pragma: no cover
+        self._lance.write_dataset(table, os.path.join(bucket_dir, "part.lance"), mode="overwrite")
+
+    def read_bucket(self, bucket_dir: str) -> pa.Table:  # pragma: no cover
+        return self._lance.dataset(os.path.join(bucket_dir, "part.lance")).to_table()
+
+
+BUCKET_FORMATS: dict[str, type[BucketFormat]] = {
+    "parquet": ParquetBucketFormat,
+    "lance": LanceBucketFormat,
+}
+
+
+def get_bucket_format(name: str) -> BucketFormat:
+    cls = BUCKET_FORMATS.get(name)
+    if cls is None:
+        raise ValueError(f"unknown corpus bucket format {name!r} (have {sorted(BUCKET_FORMATS)})")
+    return cls()
+
+
+def write_corpus(
+    documents: pa.Table, path: str, num_buckets: int = 16, bucket_format: str = "parquet"
+) -> None:
+    """Write hash-bucketed, key-sorted buckets (one dir per bucket so a
+    failed run / a fetch actor touches only its buckets); the physical
+    file format inside a bucket is pluggable via ``bucket_format``."""
+    fmt = get_bucket_format(bucket_format)
     keys = xxh64_strings(documents["doc_id"])
     bucket = (keys % np.uint64(num_buckets)).astype(np.int32)
     t = documents.append_column("url_key", pa.array(keys, type=pa.uint64()))
@@ -351,14 +421,14 @@ def write_corpus(documents: pa.Table, path: str, num_buckets: int = 16) -> None:
     with open(os.path.join(path, "_meta.json"), "w") as f:
         import json
 
-        json.dump({"num_buckets": num_buckets, "num_rows": t.num_rows}, f)
+        json.dump({"num_buckets": num_buckets, "num_rows": t.num_rows, "format": fmt.name}, f)
     for b in range(num_buckets):
         sub = t.filter(pa.array(bucket == b))
         order = pa.compute.sort_indices(sub["url_key"])
         sub = sub.take(order)
         bdir = os.path.join(path, f"bucket={b:02d}")
         os.makedirs(bdir, exist_ok=True)
-        pq.write_table(sub, os.path.join(bdir, "part.parquet"), row_group_size=4096)
+        fmt.write_bucket(sub, bdir)
 
 
 class CorpusReader:
@@ -376,11 +446,13 @@ class CorpusReader:
             meta = json.load(f)
         self.path = path
         self.num_buckets = meta["num_buckets"]
+        # pre-seam corpora have no "format" key → parquet
+        self.format = get_bucket_format(meta.get("format", "parquet"))
         self._cache: dict[int, tuple[np.ndarray, pa.Table]] = {}
 
     def _bucket(self, b: int) -> tuple[np.ndarray, pa.Table]:
         if b not in self._cache:
-            t = pq.read_table(os.path.join(self.path, f"bucket={b:02d}", "part.parquet"))
+            t = self.format.read_bucket(os.path.join(self.path, f"bucket={b:02d}"))
             self._cache[b] = (t["url_key"].to_numpy(), t)
         return self._cache[b]
 
