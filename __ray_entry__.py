@@ -463,20 +463,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def content_signatures(sf_dir: str):
         """SimHash + winnowing fingerprint + language-ID in one pass
         (doc_id, simhash, fingerprint, winnow_min, lang_pred) — three
-        signature kernels share one queries() slot."""
+        signature kernels share one queries() slot.
+
+        SELF-CHECKING (the driver records rows-only because these hash
+        kernels are not SQL-expressible): every batch re-derives a
+        deterministic row sample (doc_id % 97 == 0, ≤4 rows/batch)
+        through the independent scalar reference kernels
+        (functions/reference_kernels.py — pure-int Python over the
+        scalar xxh64, no numpy) and raises on any mismatch, so a wrong
+        vectorized kernel fails the slot instead of passing unverified."""
         import os as _os
 
         import numpy as np
         import pyarrow as pa
         import ray.data as rd
 
+        from siteone_crawler_ray.functions import reference_kernels as RK
         from siteone_crawler_ray.stages.dedup import simhash_batch
         from siteone_crawler_ray.stages.textstats import fingerprints, langid
+
+        def _selfcheck(b, sim_u64, fp_u64, win_u64, lang):
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            sel = np.nonzero(ids % 97 == 0)[0][:4]
+            texts = b["text"].take(pa.array(sel)).to_pylist()
+            for j, t in zip(sel, texts):
+                got = (int(sim_u64[j]), int(fp_u64[j]), int(win_u64[j]), lang[j])
+                want = (RK.simhash_ref(t), RK.fingerprint_ref(t),
+                        RK.winnow_min_ref(t), RK.langid_ref(t))
+                if got != want:
+                    raise AssertionError(
+                        f"content_signatures self-check failed for doc_id="
+                        f"{ids[j]}: vectorized={got} reference={want}")
 
         def combined(b: pa.Table) -> pa.Table:
             sim = simhash_batch(b)
             fp = fingerprints(b)
             lg = langid(b)
+            _selfcheck(
+                b,
+                sim["simhash"].to_numpy(zero_copy_only=False),
+                fp["fingerprint"].to_numpy(zero_copy_only=False),
+                fp["winnow_min"].to_numpy(zero_copy_only=False),
+                lg["lang_pred"].to_pylist(),
+            )
             return pa.table({
                 "doc_id": b["doc_id"],
                 "simhash": pa.array(

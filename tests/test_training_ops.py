@@ -504,3 +504,36 @@ def test_auto_partitions_scales_with_rows_and_cpus():
     assert _auto_partitions(10_000_000, rows_per_partition=250_000) >= 40
     assert _auto_partitions(100_000_000, rows_per_partition=50_000) >= 2000
     assert _auto_partitions(10**9) > _auto_partitions(10**6)
+
+
+def test_reference_kernels_match_vectorized_signatures():
+    """The scalar reference kernels (independent code path) must agree
+    with the production kernels — this is what makes the
+    content_signatures slot self-checking (VERDICT r3 #7)."""
+    import pyarrow as pa
+
+    from siteone_crawler_ray.functions import reference_kernels as RK
+    from siteone_crawler_ray.stages.dedup import simhash_batch
+    from siteone_crawler_ray.stages.textstats import fingerprints, langid
+
+    texts = [
+        "the quick brown fox and the lazy dog",
+        "der hund und die katze ist nicht da",
+        "",
+        "one-token",
+        "el que y en un es por con la de",
+        "data span crawl page link " * 20,
+        "x y " * 3 + "\t tab\nnewline mix",
+    ]
+    b = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    sim = simhash_batch(b)["simhash"].to_pylist()
+    fp = fingerprints(b)
+    full = fp["fingerprint"].to_pylist()
+    win = fp["winnow_min"].to_pylist()
+    lang = langid(b)["lang_pred"].to_pylist()
+    for i, t in enumerate(texts):
+        assert sim[i] == RK.simhash_ref(t), t
+        assert full[i] == RK.fingerprint_ref(t), t
+        assert win[i] == RK.winnow_min_ref(t), t
+        assert lang[i] == RK.langid_ref(t), t
