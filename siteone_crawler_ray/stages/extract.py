@@ -42,7 +42,11 @@ def _origin_of(b: str) -> str:
     return b if p < 0 else b[:p]
 
 
-def explode_spans(batch: pa.Table, disabled_kinds: frozenset = frozenset()) -> pa.Table:
+def explode_spans(
+    batch: pa.Table,
+    disabled_kinds: frozenset = frozenset(),
+    foreign_sld: str | None = None,
+) -> pa.Table:
     """documents(doc_id, spans, seq) → found hrefs, one row per link/asset
     span, deduplicated per page on the normalized href (first span wins —
     found_urls.rs:29-32 per-page MD5 dedup, made deterministic by span
@@ -53,7 +57,16 @@ def explode_spans(batch: pa.Table, disabled_kinds: frozenset = frozenset()) -> p
     reference a disabled extractor never adds the URL to found_urls
     (html_processor.rs:789, remove_unwanted_code_from_html gating), so
     a later span of an enabled kind with the same href still wins its
-    first-occurrence slot."""
+    first-occurrence slot.
+
+    ``foreign_sld`` (--single-foreign-page, html_processor.rs:179-182):
+    when set, spans from pages whose 2nd-level domain differs from it
+    are dropped here — BEFORE the per-page dedup, like the reference,
+    where a foreign page's extractor never runs at all — except
+    Location redirects, which follow regardless (crawler.rs:733-755 is
+    outside the extraction gating).  Gating after dedup would let a
+    same-href non-redirect span consume the redirect's first-occurrence
+    slot and strand the redirect."""
     spans = batch["spans"]
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
@@ -73,9 +86,25 @@ def explode_spans(batch: pa.Table, disabled_kinds: frozenset = frozenset()) -> p
         extract_idx = np.empty(0, dtype=np.int64)
 
     has_ref = pc.and_(pc.is_valid(ref), pc.not_equal(ref, "")).to_numpy(zero_copy_only=False)
+    kind_np = None
     if disabled_kinds:
         kind_np = kind.to_numpy(zero_copy_only=False)
         has_ref = has_ref & ~np.isin(kind_np, list(disabled_kinds))
+    if foreign_sld is not None and batch.num_rows:
+        page_hosts = U.hosts_of(batch["doc_id"])
+        sld_memo: dict[str, bool] = {}
+        is_foreign = np.fromiter(
+            (
+                sld_memo.setdefault(h, U.domain_2nd_level(h) != foreign_sld)
+                for h in page_hosts
+            ),
+            dtype=bool,
+            count=len(page_hosts),
+        )
+        if is_foreign.any():
+            if kind_np is None:
+                kind_np = kind.to_numpy(zero_copy_only=False)
+            has_ref = has_ref & ~(is_foreign[parent] & (kind_np != "redirect"))
     keep = np.nonzero(has_ref)[0]
 
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -184,9 +213,10 @@ class CandidateGauntlet:
         if single_page:
             self.disabled_span_kinds = self.disabled_span_kinds | {"link"}
         self.regex_only_pages = regex_filtering_only_for_pages
-        # --single-foreign-page: candidates from pages whose 2nd-level
-        # domain differs from the initial URL's are dropped wholesale
-        # (html_processor.rs:179-182)
+        # --single-foreign-page: spans from pages whose 2nd-level domain
+        # differs from the initial URL's are dropped (except redirects)
+        # — consumed by explode_spans BEFORE its per-page dedup, like
+        # disabled_span_kinds (html_processor.rs:179-182)
         self.single_foreign_sld = None
         if single_foreign_page and initial_url:
             self.single_foreign_sld = U.domain_2nd_level(U.host_of(initial_url))
@@ -269,18 +299,6 @@ class CandidateGauntlet:
         depths = batch["depth"].to_numpy(zero_copy_only=False)
         n = len(hrefs)
 
-        foreign_src = None
-        if self.single_foreign_sld is not None:
-            # one SLD lookup per source origin, not per row
-            memo: dict = {}
-            foreign_src = np.zeros(n, dtype=bool)
-            for i in range(n):
-                o = _origin_of(sources[i])
-                v = memo.get(o)
-                if v is None:
-                    v = U.domain_2nd_level(U.host_of(sources[i]))
-                    memo[o] = v
-                foreign_src[i] = v != self.single_foreign_sld
 
         url = np.empty(n, dtype=object)  # canonical absolute (query-filtered)
         skip_url = np.empty(n, dtype=object)  # canonical absolute (unfiltered)
@@ -292,14 +310,10 @@ class CandidateGauntlet:
         # an origin, and asset hrefs repeat on every page — the cache
         # collapses the per-row canonicalize+robots work to a dict get.
         cache = self._cache
+        # NB: --single-foreign-page gating happens in explode_spans
+        # (before per-page dedup), not here — see its docstring.
         for i in range(n):
             h, b = hrefs[i], sources[i]
-            if foreign_src is not None and foreign_src[i] and kinds[i] != "redirect":
-                # foreign source page never expands — but its Location
-                # redirect still follows (crawler.rs:733-755 is outside
-                # the extraction gating)
-                tag[i] = ""
-                continue
             if not U.is_requestable_resource(raw[i]):
                 tag[i] = ""
                 continue

@@ -160,7 +160,13 @@ class CrawlWorker:
         pages = out.select(EXTRACT_COLUMNS)
         pages = pages.filter(pc.is_valid(pages["spans"]))
         cands = (
-            self.gauntlet(explode_spans(pages, self.gauntlet.disabled_span_kinds))
+            self.gauntlet(
+                explode_spans(
+                    pages,
+                    self.gauntlet.disabled_span_kinds,
+                    foreign_sld=self.gauntlet.single_foreign_sld,
+                )
+            )
             if pages.num_rows else None
         )
         cands_raw = cands.num_rows if cands is not None else 0

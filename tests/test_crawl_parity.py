@@ -151,6 +151,46 @@ def test_single_page_and_single_foreign_page_parity(tmp_workdir):
     assert 0 < res2.metrics["visited"] < full.metrics["visited"]
 
 
+def test_single_foreign_page_gates_before_dedup(tmp_workdir):
+    """ADVICE r3: on a foreign page where a non-redirect span with the
+    same normalized href PRECEDES a redirect span, the redirect must
+    still follow.  That requires the foreign gating to run before the
+    per-page first-occurrence dedup (html_processor.rs:179-182: a
+    foreign page's extractors never run, so the link span never claims
+    the href's dedup slot)."""
+    from siteone_crawler_ray.sources.corpus import DOCUMENTS_SCHEMA, SPAN_TYPE
+
+    target = "https://b.test/p/00002"
+
+    def span(kind, text, ref):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": 0}
+
+    docs = pa.Table.from_arrays(
+        [
+            pa.array(["https://a.test/p/00000", "https://b.test/p/00001", target]),
+            pa.array(
+                [
+                    [span("title", "seed", ""), span("link", "f", "https://b.test/p/00001")],
+                    # non-redirect span with the SAME normalized href first
+                    [span("link", "same-href first", target), span("redirect", "", target)],
+                    [span("title", "t2", "")],
+                ],
+                type=pa.list_(SPAN_TYPE),
+            ),
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    seeds = ["https://a.test/p/00000"]
+    cfg = CrawlConfig(use_ray=False, num_shards=2, single_foreign_page=True,
+                      allowed_domains_crawl=("*",))
+    cp = os.path.join(tmp_workdir, "corpus")
+    write_corpus(docs, cp, num_buckets=2)
+    res = EpochCrawler(cp, seeds, {}, os.path.join(tmp_workdir, "work"), cfg).run()
+    _assert_parity(res, run_oracle(docs, seeds, {}, cfg))
+    urls = res.visited_table(columns=["url"])["url"].to_pylist()
+    assert target in urls, "redirect span on the foreign page must still follow"
+
+
 def test_span_sequence_equality(tmp_workdir):
     """Per-row invariant from BASELINE.json input_hint: output spans must
     equal corpus spans in (kind, text, media_ref, order)."""
