@@ -446,7 +446,8 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
 
         sections = args.html_report_options.split(",") if args.html_report_options else None
         html_content = render_html_report(
-            build_report(res, visited_ds, cfg, table_cache=table_cache, rows_limit=None),
+            build_report(res, visited_ds, cfg, table_cache=table_cache,
+                         extras_table=extras_table, rows_limit=None),
             sections,
         )
         if args.output_html_file:
@@ -507,14 +508,22 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
         ct_counts = {int(r["content_type"]): int(r["n"]) for r in ct_t.to_pylist()}
         stats_t = table_cache.get("basic_stats") or RP.basic_stats(visited_ds)
         avg_time = float(stats_t.to_pylist()[0]["avg_time"])
+        # fold the legacy gate flags in (stricter bound wins) instead of
+        # silently ignoring them when both are given (ADVICE r3)
+        min_score = args.ci_min_score
+        if args.min_quality_score is not None:
+            min_score = max(min_score, args.min_quality_score)
+        max_404 = args.ci_max_404
+        if args.max_404_errors is not None:
+            max_404 = min(max_404, args.max_404_errors)
         opts = SC.CiGateOptions(
-            min_score=args.ci_min_score,
+            min_score=min_score,
             min_performance=args.ci_min_performance,
             min_seo=args.ci_min_seo,
             min_security=args.ci_min_security,
             min_accessibility=args.ci_min_accessibility,
             min_best_practices=args.ci_min_best_practices,
-            max_404=args.ci_max_404, max_5xx=args.ci_max_5xx,
+            max_404=max_404, max_5xx=args.ci_max_5xx,
             max_criticals=args.ci_max_criticals, max_warnings=args.ci_max_warnings,
             ignore_codes=tuple(args.ci_ignore_code),
             fail_on_codes=tuple(args.ci_fail_on_code),

@@ -9,7 +9,10 @@ the visited dataset, from
   ``DOM`` (element count),
 - a response header name (``X-Cache``),
 - a custom regexp: ``Name=regexp:pattern#group`` (reference syntax) or
-  ``Name=regexp:/pattern/#group`` (legacy),
+  ``Name=regexp:/pattern/#group`` (legacy).  A trailing ``(digits)``
+  always parses as a length suffix; a pattern that genuinely ends in
+  ``(digits)`` must use the legacy ``/…/`` wrapping, which
+  disambiguates (a warning flags the ambiguous unwrapped form),
 - an xpath subset: ``Name=xpath://tag[@attr='v']/@attr#index`` —
   evaluated on the html.parser DOM shared with html_markdown.py after
   the reference's xpath→CSS conversion (// → descendant, / → child,
@@ -87,9 +90,24 @@ def parse_extra_columns(specs: list[str] | tuple[str, ...]) -> list[ExtraColumn]
             max_len = int(cm.group("len")) if cm.group("len") else None
             truncate = cm.group("gt") != ">"
             if method == "regexp":
-                # accept the legacy /pattern/ wrapping too
+                # accept the legacy /pattern/ wrapping too — it is also
+                # the documented escape hatch for the length-suffix
+                # ambiguity: in `X=regexp:foo(12)` the trailing `(12)`
+                # parses as a length suffix (pattern "foo", max_len 12);
+                # a pattern that really ends in `(digits)` must be
+                # written `X=regexp:/foo(12)/` (ADVICE r3)
                 if pat.startswith("/") and pat.endswith("/") and len(pat) > 1:
                     pat = pat[1:-1]
+                elif max_len is not None:
+                    import warnings
+
+                    warnings.warn(
+                        f"extra-column spec {raw!r}: trailing ({max_len}"
+                        f"{'>' if not truncate else ''}) parsed as a length "
+                        "suffix; wrap the pattern in /…/ if it was part of "
+                        "the regexp",
+                        stacklevel=2,
+                    )
                 out.append(ExtraColumn(name, "regexp", pattern=re.compile(pat),
                                        group=group, max_len=max_len, truncate=truncate))
             else:

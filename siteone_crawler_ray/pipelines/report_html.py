@@ -227,11 +227,29 @@ def _build_tabs(report: dict, allowed) -> list[_Tab]:
     if allowed("visited-urls"):
         results = report.get("results", [])
         cols = list(results[0].keys()) if results else []
+        rows = [{k: str(v) for k, v in r.items()} for r in results]
+        if results and "extras" in cols:
+            ex0 = results[0]["extras"]
+            if isinstance(ex0, dict):
+                # --extra-columns: one real column per extra, as the
+                # reference renders them in every output (ADVICE r3)
+                extra_names = list(ex0.keys())
+                cols = [c for c in cols if c != "extras"] + extra_names
+                rows = []
+                for r in results:
+                    row = {k: str(v) for k, v in r.items() if k != "extras"}
+                    ex = r.get("extras") or {}
+                    for nm in extra_names:
+                        row[nm] = str(ex.get(nm, ""))
+                    rows.append(row)
+            else:  # json_output.rs empty-array sentinel — no extras configured
+                cols = [c for c in cols if c != "extras"]
+                for row in rows:
+                    row.pop("extras", None)
         tabs.append(_Tab(
             "visited-urls", "visited-urls",
             "<h2>visited-urls</h2>" + _super_table(
-                {"columns": cols,
-                 "rows": [{k: str(v) for k, v in r.items()} for r in results]}),
+                {"columns": cols, "rows": rows}),
             [_Badge(str(len(results)), "blue", "Visited URLs")],
         ))
     if allowed("crawler-stats"):

@@ -240,6 +240,28 @@ def handle_request(raw: bytes, root: str, is_markdown: bool) -> bytes:
     return resp
 
 
+# header cap: a request line + headers beyond this is hostile input
+_MAX_REQUEST_BYTES = 64 * 1024
+
+
+def _recv_request(conn: socket.socket) -> bytes:
+    """Read until the end of the header block (``\\r\\n\\r\\n``) or the
+    size cap — a request line split across TCP segments (long
+    percent-encoded URLs, proxies) must not be truncated and mis-parsed
+    as a bad request.  GET-only server: the body, if any, is ignored."""
+    chunks: list[bytes] = []
+    total = 0
+    while total < _MAX_REQUEST_BYTES:
+        part = conn.recv(8192)
+        if not part:
+            break
+        chunks.append(part)
+        total += len(part)
+        if b"\r\n\r\n" in (chunks[-2] + part if len(chunks) > 1 else part):
+            break
+    return b"".join(chunks)
+
+
 def run_server(root: str, *, markdown: bool = False, port: int = 8321,
                bind_address: str = "127.0.0.1",
                ready: threading.Event | None = None,
@@ -266,7 +288,7 @@ def run_server(root: str, *, markdown: bool = False, port: int = 8321,
             with conn:
                 try:
                     conn.settimeout(30)
-                    raw = conn.recv(8192)
+                    raw = _recv_request(conn)
                     if raw:
                         conn.sendall(handle_request(raw, root, markdown))
                 except OSError:

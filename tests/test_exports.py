@@ -744,6 +744,14 @@ def test_cli_end_to_end(ray_session, tmp_path):
                              "--ci-min-pages", "1", "--ci-min-assets", "0"],
                    init_ray=False)
     assert rc_ci10 == 10
+    # legacy thresholds fold into --ci instead of being silently ignored
+    # (ADVICE r3): permissive --ci-* + impossible --min-quality-score → 10
+    rc_fold = main(common + ["--ci-min-score", "0", "--ci-max-404", "100000",
+                             "--ci-max-criticals", "100000",
+                             "--ci-min-pages", "1", "--ci-min-assets", "0",
+                             "--min-quality-score", "11.0"],
+                   init_ray=False)
+    assert rc_fold == 10
 
 
 def test_cli_timezone_sets_tz(tmp_path):
@@ -805,3 +813,48 @@ def test_markdown_export_store_only_and_error_tolerance(crawl_result, tmp_path):
                          ignore_store_file_error=True)
     finally:
         os.chmod(blocked, 0o700)
+
+
+def test_extra_columns_length_suffix_ambiguity_and_escape_hatch():
+    """ADVICE r3: a trailing (digits) always parses as a length suffix
+    (with a warning); the legacy /…/ wrapping expresses a pattern that
+    genuinely ends in (digits)."""
+    import warnings
+
+    from siteone_crawler_ray.functions.extra_columns import parse_extra_columns
+
+    (c,) = parse_extra_columns(["X=regexp:/foo(12)/"])
+    assert c.pattern.pattern == "foo(12)" and c.max_len is None
+    (c,) = parse_extra_columns(["X=regexp:/foo(12)/#1(20)"])
+    assert c.pattern.pattern == "foo(12)" and c.group == 1 and c.max_len == 20
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        (c,) = parse_extra_columns(["X=regexp:foo(12)"])
+        assert c.pattern.pattern == "foo" and c.max_len == 12
+        assert any("length" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        parse_extra_columns(["X=regexp:/price (\\d+)/#1"])
+        assert not w  # wrapped + no suffix → quiet
+
+
+def test_html_report_renders_extra_columns(crawl_result):
+    """ADVICE r3: --extra-columns values must appear in the HTML
+    visited-urls tab (one real column per extra), and the empty-array
+    sentinel column disappears when no extras are configured."""
+    import pyarrow as pa
+
+    from siteone_crawler_ray.pipelines.report_html import render_html_report
+    from siteone_crawler_ray.pipelines.report_json import build_report
+
+    res, _ = crawl_result
+    visited_ds = res.visited_ds()
+    urls = res.visited_table(columns=["url"])["url"].to_pylist()
+    extras = pa.table({"url": urls,
+                       "MyCol": [f"val-{i}" for i in range(len(urls))]})
+    html = render_html_report(
+        build_report(res, visited_ds, extras_table=extras, rows_limit=None))
+    assert "<th>MyCol</th>" in html and "<td>val-0</td>" in html
+    assert "<th>extras</th>" not in html
+    html2 = render_html_report(build_report(res, visited_ds, rows_limit=None))
+    assert "<th>extras</th>" not in html2 and "<td>[]</td>" not in html2

@@ -128,3 +128,40 @@ def test_response_framing():
     assert lines[0] == b"HTTP/1.1 200 OK"
     assert b"Content-Length: 3" in lines
     assert b"Connection: close" in lines
+
+
+def test_request_split_across_tcp_segments(tmp_path):
+    """ADVICE r3: a request line/headers arriving in multiple TCP
+    segments (long URLs, proxies) must be assembled until CRLFCRLF, not
+    truncated at the first recv."""
+    import socket
+    import time
+
+    root = _site(tmp_path)
+    ready, stop = threading.Event(), threading.Event()
+    t = threading.Thread(target=run_server, args=(root,),
+                         kwargs=dict(port=0, ready=ready, stop=stop), daemon=True)
+    t.start()
+    assert ready.wait(5)
+    port = ready.port
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=5)
+        # drip the request byte-group by byte-group with TCP_NODELAY so
+        # each send is its own segment
+        s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        req = b"GET /sub/ HTTP/1.1\r\nHost: x\r\nX-Pad: " + b"a" * 9000 + b"\r\n\r\n"
+        for i in range(0, len(req), 700):
+            s.sendall(req[i:i + 700])
+            time.sleep(0.01)
+        resp = b""
+        while True:
+            part = s.recv(65536)
+            if not part:
+                break
+            resp += part
+        assert resp.startswith(b"HTTP/1.1 200"), resp[:80]
+        assert b"sub" in resp
+        s.close()
+    finally:
+        stop.set()
+        t.join(3)
