@@ -856,7 +856,6 @@ def _empty_cand_table() -> pa.Table:
             "reason": pa.array([], pa.int8()),
             "source_uq_id": pa.array([], pa.string()),
             "source_attr": pa.array([], pa.int8()),
-            "source_seq": pa.array([], pa.int64()),
             "priority": pa.array([], pa.int64()),
             "depth": pa.array([], pa.int32()),
         }

@@ -107,24 +107,35 @@ def explode_spans(
             has_ref = has_ref & ~(is_foreign[parent] & (kind_np != "redirect"))
     keep = np.nonzero(has_ref)[0]
 
-    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    seqs = batch["seq"].to_numpy(zero_copy_only=False)
     wavepos = batch["wavepos"].to_numpy(zero_copy_only=False)
     depths = batch["depth"].to_numpy(zero_copy_only=False)
-    uqids = batch["uq_id"].to_numpy(zero_copy_only=False)
 
-    kinds = kind.to_numpy(zero_copy_only=False)[keep]
-    hrefs = ref.to_numpy(zero_copy_only=False)[keep]
     par = parent[keep]
-    src_attr = np.array([SPAN_KIND_TO_SOURCE.get(k, 10) for k in kinds], dtype=np.int8)
+    keep_pa = pa.array(keep)
+    par_pa = pa.array(par)
+    # string columns stay Arrow end-to-end: `take` copies buffer bytes
+    # in C++ instead of round-tripping every string through a Python
+    # object (the numpy-object → pa.array re-encode was ~25% of
+    # explode time on full-fanout waves)
+    href_arr = ref.take(keep_pa)
+    kind_arr = kind.take(keep_pa)
+    # src_attr via factorize: map the handful of distinct kinds once
+    kept_kinds = kind_arr.to_numpy(zero_copy_only=False)
+    uk, inv = np.unique(kept_kinds, return_inverse=True)
+    src_attr = np.array([SPAN_KIND_TO_SOURCE.get(k, 10) for k in uk], dtype=np.int8)[inv]
 
+    doc_id_col = batch["doc_id"]
+    uq_col = batch["uq_id"]
+    if isinstance(doc_id_col, pa.ChunkedArray):
+        doc_id_col = doc_id_col.combine_chunks()
+    if isinstance(uq_col, pa.ChunkedArray):
+        uq_col = uq_col.combine_chunks()
     out = pa.table(
         {
-            "href": pa.array(hrefs, type=pa.string()),
-            "kind": pa.array(kinds, type=pa.string()),
-            "source_url": pa.array(doc_ids[par], type=pa.string()),
-            "source_uq_id": pa.array(uqids[par], type=pa.string()),
-            "source_seq": pa.array(seqs[par], type=pa.int64()),
+            "href": href_arr,
+            "kind": kind_arr,
+            "source_url": doc_id_col.take(par_pa),
+            "source_uq_id": uq_col.take(par_pa),
             "source_wavepos": pa.array(wavepos[par], type=pa.int64()),
             "source_attr": pa.array(src_attr, type=pa.int8()),
             "extract_idx": pa.array(extract_idx[keep], type=pa.int64()),
@@ -250,11 +261,10 @@ class CandidateGauntlet:
             allowed_s = any(p.match(host) for p in self.allowed_static)
             allowed_c = any(p.match(host) for p in self.allowed_crawl)
         basename = U.basename_of(canon)
+        static = U.is_static_file(canon)
         # robots on the RAW normalized href (crawler.rs:1113-1124);
         # static files bypass robots (robots_txt.rs:8-10,107)
-        robots_ok = (
-            self.ignore_robots or U.is_static_file(canon) or self._robots_allowed(host, h)
-        )
+        robots_ok = self.ignore_robots or static or self._robots_allowed(host, h)
         if fast:
             # the fast canon is already rendered; query filtering is a
             # pure string op on it (identical to the full path's
@@ -276,7 +286,7 @@ class CandidateGauntlet:
             final = U.normalize_url_to_initial(final, self.initial_scheme, self.initial_host)
         # static files bypass the include/ignore regexes when configured
         # (crawler.rs:1316-1318 is_url_allowed_by_regexes)
-        regex_bypass = self.regex_only_pages and U.is_static_file(canon)
+        regex_bypass = self.regex_only_pages and static
         if final is None or len(final) > self.max_url_length:
             final = None
         elif (self.include and not regex_bypass
@@ -293,11 +303,21 @@ class CandidateGauntlet:
         """→ rows tagged ``ok`` (enqueue candidates) or ``skip`` (recorded
         with a reason); silently-dropped rows are removed."""
         hrefs = batch["norm_href"].to_numpy(zero_copy_only=False)
-        raw = batch["href"].to_numpy(zero_copy_only=False)
         sources = batch["source_url"].to_numpy(zero_copy_only=False)
         kinds = batch["kind"].to_numpy(zero_copy_only=False)
         depths = batch["depth"].to_numpy(zero_copy_only=False)
         n = len(hrefs)
+        # is_requestable_resource (utils.rs:607-633) on the RAW href,
+        # vectorized: one Arrow regex pass replaces n Python calls and
+        # the n-string materialization of the raw column
+        raw_col = batch["href"]
+        bad = pc.match_substring_regex(raw_col, pattern=r"^#|\{|<|&#")
+        has_scheme = pc.match_substring_regex(raw_col, pattern=r"^[a-zA-Z0-9]+:")
+        is_http = pc.match_substring_regex(raw_col, pattern=r"(?i)^https?:/")
+        requestable = pc.and_(
+            pc.invert(bad),
+            pc.or_(pc.invert(has_scheme), is_http),
+        ).to_numpy(zero_copy_only=False)
 
 
         url = np.empty(n, dtype=object)  # canonical absolute (query-filtered)
@@ -314,7 +334,7 @@ class CandidateGauntlet:
         # (before per-page dedup), not here — see its docstring.
         for i in range(n):
             h, b = hrefs[i], sources[i]
-            if not U.is_requestable_resource(raw[i]):
+            if not requestable[i]:
                 tag[i] = ""
                 continue
             if h[:1] == "/" or U.HTTP_URL_RE.match(h):
@@ -362,7 +382,11 @@ class CandidateGauntlet:
         keep = np.nonzero(tag != "")[0]
         out_url = np.where(tag == "ok", url, skip_url)[keep]
         kept = batch.take(pa.array(keep))
-        keys = xxh64_strings(list(out_url))
+        # encode the URLs to Arrow ONCE; hashing and host extraction both
+        # read the Arrow buffers (the object-array round trips re-encoded
+        # every URL twice before r4)
+        url_arr = pa.array(out_url, type=pa.string())
+        keys = xxh64_strings(url_arr)
         extract_idx = kept["extract_idx"].to_numpy(zero_copy_only=False)
         if len(extract_idx) and int(extract_idx.max()) >= PRIO_SHIFT:
             raise ValueError(
@@ -373,17 +397,16 @@ class CandidateGauntlet:
             kept["source_wavepos"].to_numpy(zero_copy_only=False) * PRIO_SHIFT
             + extract_idx
         )
-        hosts = U.hosts_of(out_url)
+        hosts = U.hosts_of(url_arr, return_arrow=True)
         return pa.table(
             {
-                "url": pa.array(out_url, type=pa.string()),
+                "url": url_arr,
                 "url_key": pa.array(keys, type=pa.uint64()),
-                "host": pa.array(hosts, type=pa.string()),
+                "host": hosts,
                 "tag": pa.array(tag[keep], type=pa.string()),
                 "reason": pa.array(reason[keep], type=pa.int8()),
                 "source_uq_id": kept["source_uq_id"],
                 "source_attr": kept["source_attr"],
-                "source_seq": kept["source_seq"],
                 "priority": pa.array(prio, type=pa.int64()),
                 "depth": kept["depth"],
             }

@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 from .extract import CandidateGauntlet, explode_spans
 from .fetch import FetchStage
 
-EXTRACT_COLUMNS = ["doc_id", "spans", "seq", "wavepos", "depth", "uq_id"]
+EXTRACT_COLUMNS = ["doc_id", "spans", "wavepos", "depth", "uq_id"]
 
 
 class CrawlWorker:

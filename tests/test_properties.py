@@ -139,9 +139,17 @@ def test_canonicalize_fast_absolute_branch(url):
 
 def test_canonicalize_fast_absolute_rejections():
     base = "https://b.test/x"
-    # must decline: uppercase host, default port, no path, dot
-    # segments, bare query, entities
-    for href in ("HTTPS://a.test/p", "https://a.test:443/p",
+    # uppercase scheme/host now takes the any-case fast branch (r4) and
+    # must agree with the full canonicalizer
+    for href in ("HTTPS://a.test/p", "HtTpS://A.TEST/p?q=Mixed",
+                 "HTTP://a.test/p#Frag", "HTTPS://USER@a.test/p"):
+        fast = U.canonicalize_fast(href, base)
+        full = U.canonicalize(href, base)
+        if fast is not None:
+            assert fast == full, href
+    assert U.canonicalize_fast("HTTPS://a.test/p", base) == "https://a.test/p"
+    # must decline: default port, no path, dot segments, bare query, entities
+    for href in ("https://a.test:443/p",
                  "https://a.test", "https://a.test/a/../b", "https://a.test/p?",
                  "https://a.test/p?a=1&amp;b=2", "https://a.test#f"):
         assert U.canonicalize_fast(href, base) is None, href
@@ -191,3 +199,18 @@ def test_canonicalize_urls_matches_scalar(urls):
         if want is not None and len(want) > U.DEFAULT_MAX_URL_LENGTH:
             want = None
         assert got == want, (u, got, want)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    absolute_urls().map(lambda u: u.upper()),
+    st.sampled_from(["", "#Frag", "?", "&"]),
+    absolute_urls(),
+)
+def test_canonicalize_fast_anycase_absolute_matches_full(url, suffix, base):
+    """The r4 any-case absolute branch must agree with the full
+    canonicalizer on uppercase scheme/host inputs."""
+    href = url + suffix
+    fast = U.canonicalize_fast(href, base)
+    if fast is not None:
+        assert fast == U.canonicalize(href, base), href
