@@ -274,7 +274,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def json_report(sf_dir: str):
         """full 8-key JSON report + quality-score CI gate → one
         (key, value) summary table (sizes per report section; score per
-        quality category; gate exit code)."""
+        quality category; gate exit code).
+
+        SELF-CHECKING (rows-only to the driver — composite JSON is not
+        SQL-hashable): section sizes are re-derived via DuckDB SQL over
+        the visited parquet and any mismatch raises, so a broken report
+        assembly fails the slot instead of passing unverified."""
         import os as _os
 
         import pyarrow as pa
@@ -314,6 +319,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 path.replace(".json", ".txt"), table_cache=cache)
         keys += ["export:html_bytes", "export:text_bytes"]
         vals += [float(len(html)), float(len(txt))]
+
+        # SELF-CHECK (the driver records rows-only for this composite
+        # slot): re-derive section sizes through DuckDB SQL over the
+        # visited parquet — an independent code path from the Ray
+        # report pipelines — and fail the slot on any mismatch.
+        import duckdb
+
+        glob = _os.path.join(res.visited_dir, "*", "*.parquet")
+        con = duckdb.connect()
+        n_visited = con.execute(
+            f"SELECT count(*) FROM read_parquet('{glob}')").fetchone()[0]
+        assert len(rep["results"]) == n_visited, (len(rep["results"]), n_visited)
+        assert int(rep["stats"]["total_urls"]) == n_visited
+        blocks = {t["aplCode"]: t for t in rep["tables"]}
+        n_ct = con.execute(
+            f"SELECT count(DISTINCT content_type) FROM read_parquet('{glob}')"
+        ).fetchone()[0]
+        assert len(blocks["content-types"]["rows"]) == min(n_ct, 200)
+        n404 = con.execute(
+            f"SELECT count(*) FROM read_parquet('{glob}') WHERE status_code = 404"
+        ).fetchone()[0]
+        assert len(blocks["404-pages"]["rows"]) == min(n404, 200)
+        con.close()
         return pa.table({"key": pa.array(keys, pa.string()), "value": pa.array(vals, pa.float64())})
 
     def markdown_pages(sf_dir: str):
