@@ -797,6 +797,33 @@ class EpochCrawler:
             # export + first-schedule of the num_cpus=0 assemble task
             # costs ~1.3s cold on this box; pay it here, not in epoch 0
             ray.get(self._get_assemble_remote().remote(0, 0, False)[0])
+        # First process() call per worker pays cold costs (parquet
+        # writer import, Arrow kernel modules, first plasma map) —
+        # measured ~0.2 s.  Adaptive fanout touches NEW workers on every
+        # ramp-up epoch, so without this warm-up each ramp epoch pays it
+        # on its critical path.  One dummy wave through every worker
+        # (and the driver-local one) moves it all here; the throwaway
+        # parts dir is deleted and no shard state is touched.
+        if self.seed_urls:
+            import shutil
+
+            from ..functions.hashing import xxh64
+            from ..functions import urls as U
+
+            u = self.seed_urls[0]
+            dummy = _dispatch_table([(u, xxh64(u), U.host_of(u), 0, 0, "", 0)])
+            dummy = dummy.append_column("seq", pa.array([0], pa.int64()))
+            dummy = dummy.append_column("wavepos", pa.array([0], pa.int64()))
+            dummy = dummy.append_column("epoch", pa.array([0], pa.int32()))
+            wdir = os.path.join(self.workdir, "warmup")
+            if self._workers:
+                import ray
+
+                ray.get([
+                    w.process.remote(dummy, wdir, i) for i, w in enumerate(self._workers)
+                ])
+            self._local_worker.process(dummy, wdir, len(self._workers))
+            shutil.rmtree(wdir, ignore_errors=True)
         dt = time.perf_counter() - t0
         self.metrics["startup_sec"] = round(dt, 4)
         return dt
