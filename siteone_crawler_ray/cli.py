@@ -34,6 +34,14 @@ def build_parser() -> argparse.ArgumentParser:
         prog="siteone-crawler-ray",
         description="Ray-Data-native crawl engine (reference-compatible options)",
     )
+    p.add_argument("--version", action="version",
+                   version="%(prog)s (siteone-crawler parity engine, Ray Data)")
+    p.add_argument("--config-file", help="file with one option per line "
+                                         "(# comments; CLI args override)")
+    p.add_argument("--user-agent", default=None,
+                   help="request User-Agent string (recorded in reports; corpus-mode "
+                        "fetches send no headers, and robots.txt groups are matched "
+                        "against '*'/'SiteOne-Crawler' as in robots_txt.rs:61-63)")
     p.add_argument("--url", action="append", default=[], help="seed URL (repeatable)")
     p.add_argument("--url-list", help="file with one URL per line (flat crawl seeds)")
     p.add_argument("--corpus", help="bucketed interleaved-document corpus dir "
@@ -59,10 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-reqs-per-sec", type=float, default=None)
     p.add_argument("--max-non200-per-basename", type=int, default=5)
     # URL filtering (crawler.rs:1018-1187 gauntlet options)
-    p.add_argument("--allowed-domain", action="append", default=[])
+    p.add_argument("--allowed-domain", "--allowed-domain-for-crawling", "-adc",
+                   action="append", default=[], dest="allowed_domain")
     p.add_argument("--allowed-domain-for-external-files", action="append", default=[])
-    p.add_argument("--include-regex", action="append", default=[])
-    p.add_argument("--ignore-regex", action="append", default=[])
+    p.add_argument("--include-regex", "--include-regexp", action="append", default=[],
+                   dest="include_regex")
+    p.add_argument("--ignore-regex", "--ignore-regexp", action="append", default=[],
+                   dest="ignore_regex")
     p.add_argument("--transform-url", action="append", default=[])
     p.add_argument("--remove-query-params", action="store_true")
     p.add_argument("--keep-query-param", action="append", default=[])
@@ -205,8 +216,57 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _parse_line_list(content: str) -> list[str]:
+    """Newline-delimited option/url lists: BOM stripped first (it is not
+    whitespace — a Windows-saved file would corrupt the first entry),
+    lines trimmed, blanks and ``#`` comments dropped
+    (core_options.rs parse_line_list)."""
+    if content.startswith("﻿"):
+        content = content[1:]
+    out = []
+    for line in content.splitlines():
+        line = line.strip()
+        if line and not line.startswith("#"):
+            out.append(line)
+    return out
+
+
+def _merge_config_args(argv: list[str]) -> list[str]:
+    """--config-file=PATH (or ``--config-file PATH``), else
+    ``~/.siteone-crawler.conf`` / ``/etc/siteone-crawler.conf``
+    auto-discovery; config args are PREPENDED so explicit CLI args
+    override them (core_options.rs:3403-3460 merge semantics)."""
+    path = None
+    real: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--config-file="):
+            path = a.split("=", 1)[1]
+        elif a == "--config-file" and i + 1 < len(argv):
+            path = argv[i + 1]
+            i += 1
+        else:
+            real.append(a)
+        i += 1
+    if path is None:
+        home = os.environ.get("HOME")
+        for cand in ([os.path.join(home, ".siteone-crawler.conf")] if home else []) + [
+            "/etc/siteone-crawler.conf"
+        ]:
+            if os.path.exists(cand):
+                path = cand
+                break
+    if path is None:
+        return real
+    with open(path, encoding="utf-8") as f:
+        return _parse_line_list(f.read()) + real
+
+
 def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
-    args = build_parser().parse_args(argv)
+    if argv is None:
+        argv = sys.argv[1:]
+    args = build_parser().parse_args(_merge_config_args(list(argv)))
 
     if args.timezone:
         # main.rs:15-33: set TZ before anything renders a local time so
@@ -323,6 +383,7 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
         regex_filtering_only_for_pages=args.regex_filtering_only_for_pages,
         single_page=args.single_page,
         single_foreign_page=args.single_foreign_page,
+        user_agent=args.user_agent,
         num_shards=args.num_shards,
         fetch_concurrency=args.workers,
         routing=args.routing,

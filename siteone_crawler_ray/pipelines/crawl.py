@@ -60,6 +60,10 @@ class CrawlConfig:
     max_queue_length: int = 9000
     max_url_length: int = 2083
     max_non200_per_basename: int = 5
+    # recorded in the report `options` (corpus-mode fetches send no
+    # headers; robots groups stay '*'/'SiteOne-Crawler' per
+    # robots_txt.rs:61-63 regardless of UA, as in the reference)
+    user_agent: str | None = None
     max_depth: int | None = None
     remove_query_params: bool = False
     keep_query_params: tuple = ()

@@ -858,3 +858,37 @@ def test_html_report_renders_extra_columns(crawl_result):
     assert "<th>extras</th>" not in html
     html2 = render_html_report(build_report(res, visited_ds, rows_limit=None))
     assert "<th>extras</th>" not in html2 and "<td>[]</td>" not in html2
+
+
+def test_config_file_merge_and_option_aliases(tmp_path, monkeypatch):
+    """--config-file: one option per line, # comments, BOM stripped,
+    CLI args override (core_options.rs merge semantics); --include-regexp
+    /--ignore-regexp/--allowed-domain-for-crawling parse as aliases."""
+    from siteone_crawler_ray.cli import _merge_config_args, build_parser
+
+    monkeypatch.delenv("HOME", raising=False)
+    conf = tmp_path / "c.conf"
+    conf.write_text("﻿--workers=5\n# comment\n\n--max-reqs-per-sec=20\n")
+    merged = _merge_config_args([f"--config-file={conf}", "--workers", "9"])
+    assert merged == ["--workers=5", "--max-reqs-per-sec=20", "--workers", "9"]
+    args = build_parser().parse_args(merged + ["--url", "https://a.test/"])
+    assert args.workers == 9  # CLI overrides config
+    assert args.max_reqs_per_sec == 20.0
+    # two-token form + no config file → argv unchanged
+    assert _merge_config_args(["--config-file", str(conf)])[:1] == ["--workers=5"]
+    assert _merge_config_args(["--url", "x"]) == ["--url", "x"]
+
+    args = build_parser().parse_args([
+        "--include-regexp", r"\.html$", "--ignore-regexp", r"/private/",
+        "--allowed-domain-for-crawling", "*.a.test",
+        "--user-agent", "MyBot/1.0",
+    ])
+    assert args.include_regex == [r"\.html$"]
+    assert args.ignore_regex == [r"/private/"]
+    assert args.allowed_domain == ["*.a.test"]
+    assert args.user_agent == "MyBot/1.0"
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit) as e:
+        build_parser().parse_args(["--version"])
+    assert e.value.code == 0
