@@ -80,12 +80,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--force-relative-urls", action="store_true")
     p.add_argument("--ignore-robots-txt", action="store_true")
     # asset gating (html_processor.rs:789 extraction gating; corpus-mode
-    # span kinds: img/script/css/media.  --disable-fonts/-files act on
-    # the live-HTML regex battery in functions/html_extract.py)
+    # span kinds: img/script/css/media.  --disable-files gates a-href
+    # targets by extension, --disable-fonts gates font-extension refs
+    # (html_processor.rs:193, 34-40) — both before per-page dedup)
     p.add_argument("--disable-images", action="store_true")
     p.add_argument("--disable-javascript", action="store_true")
     p.add_argument("--disable-styles", action="store_true")
     p.add_argument("--disable-all-assets", action="store_true")
+    p.add_argument("--disable-files", action="store_true",
+                   help="never follow a-href targets with non-HTML file extensions")
+    p.add_argument("--disable-fonts", action="store_true",
+                   help="never follow font-extension refs")
     p.add_argument("--regex-filtering-only-for-pages", action="store_true")
     p.add_argument("--single-page", action="store_true",
                    help="crawl only the seed page(s) + their assets (no href expansion)")
@@ -384,6 +389,8 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
         single_page=args.single_page,
         single_foreign_page=args.single_foreign_page,
         user_agent=args.user_agent,
+        disable_files=args.disable_files,
+        disable_fonts=args.disable_fonts,
         num_shards=args.num_shards,
         fetch_concurrency=args.workers,
         routing=args.routing,

@@ -83,6 +83,9 @@ class CrawlConfig:
     # initial URL are fetched but never expanded (html_processor.rs:179-182)
     single_page: bool = False
     single_foreign_page: bool = False
+    # --disable-files / --disable-fonts (html_processor.rs:193, 34-40)
+    disable_files: bool = False
+    disable_fonts: bool = False
     ignore_robots_txt: bool = False
     max_reqs_per_sec: float | None = None  # None → politeness off (corpus mode)
     # physical execution
@@ -527,6 +530,8 @@ class EpochCrawler:
             regex_filtering_only_for_pages=self.cfg.regex_filtering_only_for_pages,
             single_page=self.cfg.single_page,
             single_foreign_page=self.cfg.single_foreign_page,
+            disable_files=self.cfg.disable_files,
+            disable_fonts=self.cfg.disable_fonts,
             basename_blocklist=frozenset(
                 b for b, c in self.basename_counts.items() if c >= self.cfg.max_non200_per_basename
             ),

@@ -27,6 +27,7 @@ import pyarrow as pa
 from ..functions import urls as U
 from ..functions.hashing import uq_id, xxh64
 from ..functions.robots import RobotsIndex
+from ..stages.extract import FILE_EXT_RE, FONT_EXT_RE, HTML_PAGE_EXT_RE
 from ..pipelines.crawl import CrawlConfig
 from ..stages.fetch import synthetic_status
 from ..types import SPAN_KIND_TO_SOURCE, SkippedReason, UrlSource
@@ -167,6 +168,15 @@ def run_oracle(
             if span["kind"] in cfg.disabled_span_kinds:
                 continue
             if cfg.single_page and span["kind"] == "link":
+                continue
+            # --disable-files: a-href targets with a non-HTML file
+            # extension are never found (html_processor.rs:193);
+            # --disable-fonts: font refs never found (find_fonts is the
+            # only font source) — both BEFORE the per-page dedup
+            if (cfg.disable_files and span["kind"] == "link"
+                    and FILE_EXT_RE.search(ref) and not HTML_PAGE_EXT_RE.search(ref)):
+                continue
+            if cfg.disable_fonts and FONT_EXT_RE.search(ref):
                 continue
             norm = U.normalize_href(ref)
             if norm in page_seen:

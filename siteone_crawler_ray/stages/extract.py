@@ -35,6 +35,22 @@ from ..types import SPAN_KIND_TO_SOURCE, SkippedReason
 # still fits int64.
 PRIO_SHIFT = 1 << 24
 
+# --disable-files gating (html_processor.rs:19-21, 93, 193): an a-href
+# target with ANY .ext{1,10} suffix (optional query) is a "file" unless
+# the extension is an HTML-page one; --disable-fonts gates refs with a
+# font extension anywhere (find_fonts is the reference's only font
+# source, html_processor.rs:34-40).  Python + RE2 spellings kept in
+# sync (the oracle uses the compiled ones).
+import re as _re
+
+FILE_EXT_RE = _re.compile(r"\.[a-z0-9]{1,10}(\?.*)?$", _re.I)
+HTML_PAGE_EXT_RE = _re.compile(
+    r"\.(htm|html|shtml|php|phtml|ashx|xhtml|asp|aspx|jsp|jspx|do|cfm|cgi|pl)", _re.I)
+FONT_EXT_RE = _re.compile(r"\.(eot|ttf|woff2|woff|otf)", _re.I)
+_FILE_EXT_RE2 = r"(?i)\.[a-z0-9]{1,10}(\?.*)?$"
+_HTML_PAGE_EXT_RE2 = r"(?i)\.(htm|html|shtml|php|phtml|ashx|xhtml|asp|aspx|jsp|jspx|do|cfm|cgi|pl)"
+_FONT_EXT_RE2 = r"(?i)\.(eot|ttf|woff2|woff|otf)"
+
 
 def _origin_of(b: str) -> str:
     """scheme://host[:port] prefix — cache key for base-independent hrefs."""
@@ -46,6 +62,8 @@ def explode_spans(
     batch: pa.Table,
     disabled_kinds: frozenset = frozenset(),
     foreign_sld: str | None = None,
+    disable_files: bool = False,
+    disable_fonts: bool = False,
 ) -> pa.Table:
     """documents(doc_id, spans, seq) → found hrefs, one row per link/asset
     span, deduplicated per page on the normalized href (first span wins —
@@ -90,6 +108,28 @@ def explode_spans(
     if disabled_kinds:
         kind_np = kind.to_numpy(zero_copy_only=False)
         has_ref = has_ref & ~np.isin(kind_np, list(disabled_kinds))
+    if disable_files:
+        # a-href targets with a non-HTML file extension are never found
+        # (html_processor.rs:193) — BEFORE per-page dedup, like every
+        # extractor gate; one Arrow regex pass per pattern
+        if kind_np is None:
+            kind_np = kind.to_numpy(zero_copy_only=False)
+        is_file = pc.fill_null(
+            pc.and_(
+                pc.match_substring_regex(ref, pattern=_FILE_EXT_RE2),
+                pc.invert(pc.match_substring_regex(ref, pattern=_HTML_PAGE_EXT_RE2)),
+            ),
+            False,
+        ).to_numpy(zero_copy_only=False)
+        has_ref = has_ref & ~((kind_np == "link") & is_file)
+    if disable_fonts:
+        # find_fonts is the only font source in the reference
+        # (html_processor.rs:34-40, 406) — with fonts disabled a font
+        # ref is never found regardless of the span kind carrying it
+        is_font = pc.fill_null(
+            pc.match_substring_regex(ref, pattern=_FONT_EXT_RE2), False
+        ).to_numpy(zero_copy_only=False)
+        has_ref = has_ref & ~is_font
     if foreign_sld is not None and batch.num_rows:
         page_hosts = U.hosts_of(batch["doc_id"])
         sld_memo: dict[str, bool] = {}
@@ -197,6 +237,8 @@ class CandidateGauntlet:
         regex_filtering_only_for_pages: bool = False,
         single_page: bool = False,
         single_foreign_page: bool = False,
+        disable_files: bool = False,
+        disable_fonts: bool = False,
     ):
         import re
 
@@ -224,6 +266,9 @@ class CandidateGauntlet:
         if single_page:
             self.disabled_span_kinds = self.disabled_span_kinds | {"link"}
         self.regex_only_pages = regex_filtering_only_for_pages
+        # consumed by explode_spans via the worker, like disabled_span_kinds
+        self.disable_files = disable_files
+        self.disable_fonts = disable_fonts
         # --single-foreign-page: spans from pages whose 2nd-level domain
         # differs from the initial URL's are dropped (except redirects)
         # — consumed by explode_spans BEFORE its per-page dedup, like

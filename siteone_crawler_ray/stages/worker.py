@@ -165,6 +165,8 @@ class CrawlWorker:
                     pages,
                     self.gauntlet.disabled_span_kinds,
                     foreign_sld=self.gauntlet.single_foreign_sld,
+                    disable_files=self.gauntlet.disable_files,
+                    disable_fonts=self.gauntlet.disable_fonts,
                 )
             )
             if pages.num_rows else None

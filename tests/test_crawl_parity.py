@@ -151,6 +151,60 @@ def test_single_page_and_single_foreign_page_parity(tmp_workdir):
     assert 0 < res2.metrics["visited"] < full.metrics["visited"]
 
 
+def test_disable_files_and_fonts_parity(tmp_workdir):
+    """--disable-files (a-href targets with non-HTML file extensions
+    never found, html_processor.rs:193) and --disable-fonts (font refs
+    never found, html_processor.rs:34-40) — engine/oracle parity on a
+    corpus that actually contains .pdf links and .woff refs."""
+    from siteone_crawler_ray.sources.corpus import DOCUMENTS_SCHEMA, SPAN_TYPE
+
+    def span(kind, text, ref):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": 0}
+
+    docs = pa.Table.from_arrays(
+        [
+            pa.array([
+                "https://a.test/p/00000", "https://a.test/page.html",
+                "https://a.test/doc.pdf", "https://a.test/f.woff2",
+            ]),
+            pa.array(
+                [
+                    [
+                        span("title", "seed", ""),
+                        span("link", "file", "/doc.pdf"),
+                        span("link", "page", "/page.html"),
+                        span("css", "font", "/f.woff2"),
+                        span("link", "query-file", "/x.zip?v=1"),
+                    ],
+                    [span("title", "p", "")],
+                    [span("text", "pdf body", "")],
+                    [span("text", "font body", "")],
+                ],
+                type=pa.list_(SPAN_TYPE),
+            ),
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    seeds = ["https://a.test/p/00000"]
+    cp = os.path.join(tmp_workdir, "corpus")
+    write_corpus(docs, cp, num_buckets=2)
+
+    base_cfg = CrawlConfig(use_ray=False, num_shards=2)
+    base = EpochCrawler(cp, seeds, {}, os.path.join(tmp_workdir, "base"), base_cfg).run()
+    _assert_parity(base, run_oracle(docs, seeds, {}, base_cfg))
+    base_urls = set(base.visited_table(columns=["url"])["url"].to_pylist())
+    assert {"https://a.test/doc.pdf", "https://a.test/f.woff2",
+            "https://a.test/page.html"} <= base_urls
+
+    cfg = CrawlConfig(use_ray=False, num_shards=2, disable_files=True, disable_fonts=True)
+    res = EpochCrawler(cp, seeds, {}, os.path.join(tmp_workdir, "gated"), cfg).run()
+    _assert_parity(res, run_oracle(docs, seeds, {}, cfg))
+    urls = set(res.visited_table(columns=["url"])["url"].to_pylist())
+    assert "https://a.test/doc.pdf" not in urls, "file link must be gated"
+    assert "https://a.test/f.woff2" not in urls, "font ref must be gated"
+    assert "https://a.test/page.html" in urls, "HTML-extension link still follows"
+
+
 def test_single_foreign_page_gates_before_dedup(tmp_workdir):
     """ADVICE r3: on a foreign page where a non-redirect span with the
     same normalized href PRECEDES a redirect span, the redirect must
