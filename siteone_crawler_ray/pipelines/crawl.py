@@ -427,6 +427,7 @@ class EpochCrawler:
                     for h, c in zip(uniq, cnt)
                     if c > 2 * fair
                 }
+            t_dispatch_wall = time.time()
             triplets = [
                 w.process_shared.options(num_returns=3).remote(
                     wave_ref, i, K, self.num_buckets, vdir, self.cfg.routing, salt_map,
@@ -437,6 +438,7 @@ class EpochCrawler:
             cand_refs = [t[0] for t in triplets]
             non200_lists = ray.get([t[1] for t in triplets])
             timings = ray.get([t[2] for t in triplets])
+            t_collect_wall = time.time()
             self._epoch_workers_used = list(workers)
         else:
             if wave is None:
@@ -503,6 +505,22 @@ class EpochCrawler:
                 "frontier_sec": round(t_cand, 4),
                 "drain_sec": round(t_drain, 4),
                 "total_sec": round(time.perf_counter() - t0, 4),
+                # dispatch-latency diagnostics (wall-clock deltas between
+                # the driver's dispatch/collect points and worker task
+                # entry/exit — isolates Ray scheduling + result transfer
+                # from worker busy time)
+                **(
+                    {
+                        "lat_first_enter": round(
+                            min(t["t_enter"] for t in timings) - t_dispatch_wall, 4),
+                        "lat_last_enter": round(
+                            max(t["t_enter"] for t in timings) - t_dispatch_wall, 4),
+                        "lat_collect": round(
+                            t_collect_wall - max(t["t_exit"] for t in timings), 4),
+                    }
+                    if timings and "t_enter" in timings[0] and cand_refs is not None
+                    else {}
+                ),
             }
         )
         t_ck = time.perf_counter()

@@ -116,6 +116,9 @@ class CrawlWorker:
         a host's URLs land on ONE worker (politeness exact per host),
         except hot hosts salted across S workers with rate/S buckets
         (salt_map from the driver)."""
+        import time
+
+        t_enter = time.time()  # wall clock: driver-comparable dispatch latency
         keys = wave["url_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
         if routing == "host":
             from ..functions.hashing import xxh64_strings
@@ -133,8 +136,11 @@ class CrawlWorker:
         idx = np.nonzero(wid == worker_id)[0]
         if not len(idx):
             self._last_full = None
-            return None, [], {"rows": 0, "cands_raw": 0, "fetch": 0.0, "write": 0.0, "extract": 0.0}
+            return None, [], {"rows": 0, "cands_raw": 0, "fetch": 0.0, "write": 0.0,
+                              "extract": 0.0, "t_enter": t_enter, "t_exit": time.time()}
         cands, non200, timing = self.process(wave.take(pa.array(idx)), vdir, worker_id)
+        timing["t_enter"] = t_enter
+        timing["t_exit"] = time.time()
         if num_shards and cands is not None and cands.num_rows:
             # pre-partition by frontier shard HERE (29-way parallel) so
             # each shard actor later touches only its own rows instead
