@@ -153,6 +153,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--offline-export-no-auto-redirect-html", action="store_true")
     p.add_argument("--offline-export-preserve-url-structure", action="store_true")
     p.add_argument("--offline-export-lowercase", action="store_true")
+    p.add_argument("--replace-query-string", action="append", default=[],
+                   help="'from -> to' or '/regex/ -> to': rewrite query strings in "
+                        "offline filenames instead of md5-hashing them")
     p.add_argument("--offline-export-no-url-rewriting", action="store_true")
     p.add_argument("--offline-export-preserve-urls", action="store_true",
                    help="keep original URLs in bodies (alias of no-url-rewriting "
@@ -167,6 +170,10 @@ def build_parser() -> argparse.ArgumentParser:
     # markdown export post-processing (markdown_exporter.rs:36-122)
     p.add_argument("--markdown-disable-images", action="store_true")
     p.add_argument("--markdown-disable-files", action="store_true")
+    p.add_argument("--markdown-replace-query-string", action="append", default=[],
+                   help="query-string rewrite rules for markdown export filenames")
+    p.add_argument("--markdown-remove-links-and-images-from-single-file",
+                   action="store_true")
     p.add_argument("--markdown-replace-content", action="append", default=[],
                    help='"from -> to" or "/regex/i -> to" (repeatable)')
     p.add_argument("--markdown-move-content-before-h1-to-end", action="store_true")
@@ -462,6 +469,7 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
             lowercase=args.offline_export_lowercase,
             no_url_rewriting=(args.offline_export_no_url_rewriting
                               or args.offline_export_preserve_urls),
+            replace_query_string=tuple(args.replace_query_string),
         )
 
     md_aggregate = args.markdown_aggregate_file or args.markdown_export_single_file
@@ -482,7 +490,11 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
                              args.markdown_export_store_only_url_regex),
                          ignore_store_file_error=(
                              args.markdown_ignore_store_file_error
-                             or args.ignore_store_file_error))
+                             or args.ignore_store_file_error),
+                         replace_query_string=tuple(
+                             args.markdown_replace_query_string),
+                         remove_links_images=(
+                             args.markdown_remove_links_and_images_from_single_file))
 
     report = None
     if args.output_json_file:
@@ -669,7 +681,8 @@ def _export_offline(res, initial_url: str, out_dir: str, *,
                     no_auto_redirect_html: bool = False,
                     preserve_url_structure: bool = False,
                     lowercase: bool = False,
-                    no_url_rewriting: bool = False) -> None:
+                    no_url_rewriting: bool = False,
+                    replace_query_string: tuple[str, ...] = ()) -> None:
     """Offline website export: rewrite every visited HTML body and write
     it (plus redirect stubs) at its offline path
     (offline_website_exporter.rs flow; option fields :39-96,159-160)."""
@@ -685,7 +698,8 @@ def _export_offline(res, initial_url: str, out_dir: str, *,
     )
     from .functions.urls import host_of
 
-    rw = OfflineRewriter(initial_url, allowed_crawl=("*",), lowercase=lowercase)
+    rw = OfflineRewriter(initial_url, allowed_crawl=("*",), lowercase=lowercase,
+                         replace_query_string=replace_query_string)
     store_only = [_re.compile(p) for p in store_only_url_regex]
     # export FILE paths anchor at the site root (depth 0), while link
     # rewriting inside each body uses the page itself as base
@@ -702,7 +716,8 @@ def _export_offline(res, initial_url: str, out_dir: str, *,
                                       allowed_static=rw.allowed_static,
                                       allowed_crawl=rw.allowed_crawl,
                                       preserve_url_structure=preserve_url_structure,
-                                      lowercase=lowercase)
+                                      lowercase=lowercase,
+                                      replace_query_string=replace_query_string)
         if rel.startswith(("http://", "https://", "#")) or ".." in rel:
             continue
         path = os.path.join(out_dir, rel.split("#")[0])
@@ -731,7 +746,9 @@ def _export_offline(res, initial_url: str, out_dir: str, *,
 def _export_markdown(res, out_dir: str | None, aggregate_file: str | None,
                      md_opts=None, exclude_selectors: tuple[str, ...] = (),
                      store_only_url_regex: tuple[str, ...] = (),
-                     ignore_store_file_error: bool = False) -> None:
+                     ignore_store_file_error: bool = False,
+                     replace_query_string: tuple[str, ...] = (),
+                     remove_links_images: bool = False) -> None:
     """Markdown export: per-page .md files and/or the aggregated
     single-file form (markdown_exporter.rs flow).  With
     ``--markdown-exclude-selector`` the conversion goes through the DOM
@@ -780,7 +797,8 @@ def _export_markdown(res, out_dir: str | None, aggregate_file: str | None,
         os.makedirs(out_dir, exist_ok=True)
         for url, body in zip(md["url"].to_pylist(), md["markdown"].to_pylist()):
             root_base = OfflineUrl.parse(url).origin() + "/"
-            rel = convert_url_to_relative(url, root_base, url)
+            rel = convert_url_to_relative(url, root_base, url,
+                                          replace_query_string=replace_query_string)
             if ".." in rel or rel.startswith(("http://", "https://", "#")):
                 continue
             path = os.path.join(out_dir, rel.rsplit(".", 1)[0] + ".md")
@@ -795,7 +813,7 @@ def _export_markdown(res, out_dir: str | None, aggregate_file: str | None,
                 print(f"WARNING: cannot store '{path}': {e}", file=sys.stderr)
     if aggregate_file:
         with open(aggregate_file, "w") as f:
-            f.write(aggregate_markdown(md))
+            f.write(aggregate_markdown(md, remove_links_images=remove_links_images))
 
 
 if __name__ == "__main__":

@@ -207,6 +207,31 @@ def query_hash(query: str) -> str:
     return hashlib.md5(decoded.encode("utf-8", "replace")).hexdigest()[:10]
 
 
+def query_component(query: str, rules: tuple[str, ...] = ()) -> str:
+    """Query-string → filename component.  With --replace-query-string
+    rules (``from -> to`` plain, or slash-delimited ``/regex/ -> to``)
+    the query is rule-rewritten then ``/`` → ``~``; without rules it is
+    the md5 hash (offline_url_converter.rs:475-516)."""
+    if not rules:
+        return query_hash(query)
+    from .markdown_post import extract_regex_pattern, is_regex_pattern
+
+    qs = query
+    for rule in rules:
+        frm, _, to = rule.partition("->")
+        frm, to = frm.strip(), to.strip()
+        if is_regex_pattern(frm):
+            pat = extract_regex_pattern(frm)
+            if pat is not None:
+                try:
+                    qs = re.sub(pat, to, qs)
+                except re.error:
+                    pass
+        else:
+            qs = qs.replace(frm, to)
+    return qs.replace("/", "~")
+
+
 def offline_base_url_depth(path: str) -> int:
     trimmed = path.lstrip("/").strip()
     return trimmed.count("/") if trimmed else 0
@@ -228,6 +253,7 @@ def convert_url_to_relative(
     keep_fragment: bool = True,
     preserve_url_structure: bool = False,
     lowercase: bool = False,
+    replace_query_string: tuple[str, ...] = (),
 ) -> str:
     """offline_url_converter.rs:104-330 ``convert_url_to_relative``.
 
@@ -257,7 +283,10 @@ def convert_url_to_relative(
     # ---- detect_and_set_file_name_with_extension ----
     path = target.path
     query = target.query
-    qhash = query_hash(query) if query and query_hash(query).strip() else None
+    qhash = None
+    if query:
+        qc = query_component(query, replace_query_string)
+        qhash = qc if qc.strip() else None
 
     trimmed = path.strip("/ ")
     if not trimmed:
@@ -311,10 +340,12 @@ def convert_url_to_relative(
         pre_final += f"?{query}"
     if keep_fragment and target.fragment:
         pre_final += f"#{target.fragment}"
-    return sanitize_file_path(pre_final, keep_fragment=keep_fragment, lowercase=lowercase)
+    return sanitize_file_path(pre_final, keep_fragment=keep_fragment, lowercase=lowercase,
+                              replace_query_string=replace_query_string)
 
 
-def sanitize_file_path(file_path: str, keep_fragment: bool = True, lowercase: bool = False) -> str:
+def sanitize_file_path(file_path: str, keep_fragment: bool = True, lowercase: bool = False,
+                       replace_query_string: tuple[str, ...] = ()) -> str:
     """offline_url_converter.rs:335-470 ``sanitize_file_path``."""
     file_path = unquote(file_path)
     # split components
@@ -335,7 +366,7 @@ def sanitize_file_path(file_path: str, keep_fragment: bool = True, lowercase: bo
     if m:
         extension = m.group(2)
         if qry and qry.strip():
-            qh = query_hash(qry.strip())
+            qh = query_component(qry.strip(), replace_query_string)
             result = f"{m.group(1)}.{qh}.{extension}" if qh.strip() else f"{m.group(1)}.{extension}"
             if keep_fragment and frag:
                 result = f"{result}#{frag}"
@@ -411,7 +442,7 @@ class OfflineRewriter:
 
     def __init__(self, initial_url: str, allowed_static: tuple[str, ...] = (),
                  allowed_crawl: tuple[str, ...] = (), ignore_regex: tuple[str, ...] = (),
-                 lowercase: bool = False):
+                 lowercase: bool = False, replace_query_string: tuple[str, ...] = ()):
         self.initial_url = initial_url
         init_host = OfflineUrl.parse(initial_url).host
         crawl_set = set(allowed_crawl) | ({init_host} if init_host else set())
@@ -424,12 +455,13 @@ class OfflineRewriter:
         self.allowed_crawl = _pred(crawl_set)
         self.ignore = [re.compile(p) for p in ignore_regex]
         self.lowercase = lowercase
+        self.replace_query_string = tuple(replace_query_string)
 
     def convert(self, base_url: str, href: str, attribute: str | None = None) -> str:
         return convert_url_to_relative(
             self.initial_url, base_url, href, attribute=attribute,
             allowed_static=self.allowed_static, allowed_crawl=self.allowed_crawl,
-            lowercase=self.lowercase,
+            lowercase=self.lowercase, replace_query_string=self.replace_query_string,
         )
 
     def rewrite_body(self, body: str, base_url: str) -> str:
@@ -481,7 +513,7 @@ class OfflineRewriter:
             out_path[i] = convert_url_to_relative(
                 self.initial_url, self.initial_url, urls[i],
                 allowed_static=self.allowed_static, allowed_crawl=self.allowed_crawl,
-                lowercase=self.lowercase,
+                lowercase=self.lowercase, replace_query_string=self.replace_query_string,
             )
         return pa.table({
             "url": batch["url"],

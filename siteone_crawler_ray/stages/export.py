@@ -91,8 +91,32 @@ def common_boilerplate(pages: list[str], threshold: float = 0.8) -> tuple[list[s
     return header, footer
 
 
+_RM_IMG_IN_ANCHOR_RE = re.compile(r"\[!\[[^\]]*\]\([^\)]*\)\]\([^\)]*\)")
+_RM_IMG_RE = re.compile(r"!\[.*?\]\([^)]*\)(\s*\"[^\"]*\")?")
+_RM_LIST_LINK_RE = re.compile(r"^\s*(\*|-|[0-9]+\.)\s*\[([^\]]+)\]\([^)]+\)", re.M)
+_RM_EMPTY_LINK_RE = re.compile(r"\[\]\([^)]+\)")
+_RM_EMPTY_TABLE_ROW_RE = re.compile(r"^\s*(\|\s*)+\|\s*$", re.M)
+_RM_EMPTY_LIST_ITEM_RE = re.compile(r"^\s*(\*|-|[0-9]+\.)\s*$", re.M)
+_RM_MULTI_BLANK_RE = re.compile(r"\n{3,}")
+
+
+def remove_links_and_images(markdown: str) -> str:
+    """--markdown-remove-links-and-images-from-single-file transform
+    (markdown_site_aggregator.rs:359-398): linked images, standalone
+    images, link-only list items and empty links/rows are removed from
+    the aggregated single file."""
+    out = _RM_IMG_IN_ANCHOR_RE.sub("", markdown)
+    out = _RM_IMG_RE.sub("", out)
+    out = _RM_LIST_LINK_RE.sub("", out)
+    out = _RM_EMPTY_LINK_RE.sub("", out)
+    out = _RM_EMPTY_TABLE_ROW_RE.sub("", out)
+    out = _RM_EMPTY_LIST_ITEM_RE.sub("", out)
+    return _RM_MULTI_BLANK_RE.sub("\n\n", out)
+
+
 def aggregate_markdown(
-    md_table: pa.Table, max_pages: int | None = None, dedup_boilerplate: bool = True
+    md_table: pa.Table, max_pages: int | None = None, dedup_boilerplate: bool = True,
+    remove_links_images: bool = False,
 ) -> str:
     """Single-file aggregation ordered by URL (markdown_site_aggregator.rs:
     14-40): common header/footer lines (≥80% of pages) hoist to the top
@@ -115,7 +139,10 @@ def aggregate_markdown(
             pages = stripped
             prefix = "\n".join(["<!-- common header/footer -->", *header, *footer, "", ""])
     parts = [f"<!-- {u} -->\n\n{m}" for u, m in zip(urls, pages)]
-    return prefix + "\n---\n\n".join(parts)
+    combined = prefix + "\n---\n\n".join(parts)
+    # the reference applies the removal to the COMBINED document
+    # (markdown_site_aggregator.rs:110-112)
+    return remove_links_and_images(combined) if remove_links_images else combined
 
 
 def offline_path_for(url: str, lowercase: bool = True) -> str:

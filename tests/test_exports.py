@@ -892,3 +892,50 @@ def test_config_file_merge_and_option_aliases(tmp_path, monkeypatch):
     with _pytest.raises(SystemExit) as e:
         build_parser().parse_args(["--version"])
     assert e.value.code == 0
+
+
+def test_replace_query_string_rules():
+    """--replace-query-string: plain and /regex/ rules rewrite the query
+    filename component (then '/'→'~') instead of md5-hashing it
+    (offline_url_converter.rs:475-516)."""
+    from siteone_crawler_ray.functions.offline import (
+        convert_url_to_relative,
+        query_component,
+        query_hash,
+    )
+
+    assert query_component("a=1&b=2") == query_hash("a=1&b=2")  # no rules → hash
+    assert query_component("a=1&b=2", ("a=1 -> x",)) == "x&b=2"
+    assert query_component("page=3/sub", ("/page=\\d+/ -> p",)) == "p~sub"
+    rel = convert_url_to_relative(
+        "https://w.test/", "https://w.test/", "https://w.test/p?page=3",
+        replace_query_string=("/page=(\\d+)/ -> pg\\1",))
+    assert rel == "p.pg3.html", rel
+    hashed = convert_url_to_relative("https://w.test/", "https://w.test/",
+                                     "https://w.test/p?page=3")
+    assert hashed != rel and ".html" in hashed
+
+
+def test_markdown_remove_links_and_images_from_single_file():
+    """Aggregated single file strips linked/standalone images,
+    link-only list items and empty links (markdown_site_aggregator.rs:
+    359-398)."""
+    import pyarrow as pa
+
+    from siteone_crawler_ray.stages.export import (
+        aggregate_markdown,
+        remove_links_and_images,
+    )
+
+    md = ("# T\n\n[![logo](/l.png)](/home)\n\n![pic](/p.jpg \"cap\")\n\n"
+          "* [nav](/a)\n* keep me\n\npara [text link](/b) stays text? no — "
+          "only empty links go: [](/c)\n")
+    out = remove_links_and_images(md)
+    assert "![" not in out and "](/l.png)" not in out
+    assert "* keep me" in out and "[nav](/a)" not in out
+    assert "[](/c)" not in out
+    assert "[text link](/b)" in out  # normal inline links survive
+    t = pa.table({"url": ["https://a.test/x"], "markdown": [md]})
+    agg = aggregate_markdown(t, remove_links_images=True)
+    assert "![" not in agg and "<!-- https://a.test/x -->" in agg
+    assert "![" in aggregate_markdown(t)  # default unchanged
