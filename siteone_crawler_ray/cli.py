@@ -153,6 +153,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--offline-export-no-auto-redirect-html", action="store_true")
     p.add_argument("--offline-export-preserve-url-structure", action="store_true")
     p.add_argument("--offline-export-lowercase", action="store_true")
+    p.add_argument("--replace-content", action="append", default=[],
+                   help="'from -> to' or '/regex/ -> to': rewrite stored offline "
+                        "bodies before writing (offline_website_exporter.rs:189-207)")
     p.add_argument("--replace-query-string", action="append", default=[],
                    help="'from -> to' or '/regex/ -> to': rewrite query strings in "
                         "offline filenames instead of md5-hashing them")
@@ -470,6 +473,7 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
             no_url_rewriting=(args.offline_export_no_url_rewriting
                               or args.offline_export_preserve_urls),
             replace_query_string=tuple(args.replace_query_string),
+            replace_content=tuple(args.replace_content),
         )
 
     md_aggregate = args.markdown_aggregate_file or args.markdown_export_single_file
@@ -682,7 +686,8 @@ def _export_offline(res, initial_url: str, out_dir: str, *,
                     preserve_url_structure: bool = False,
                     lowercase: bool = False,
                     no_url_rewriting: bool = False,
-                    replace_query_string: tuple[str, ...] = ()) -> None:
+                    replace_query_string: tuple[str, ...] = (),
+                    replace_content: tuple[str, ...] = ()) -> None:
     """Offline website export: rewrite every visited HTML body and write
     it (plus redirect stubs) at its offline path
     (offline_website_exporter.rs flow; option fields :39-96,159-160)."""
@@ -739,6 +744,10 @@ def _export_offline(res, initial_url: str, out_dir: str, *,
                                            remove_analytics=True,
                                            remove_socnets=True,
                                            remove_cookies_related=True)
+        if replace_content:
+            from .functions.markdown_post import apply_content_replacements
+
+            body = apply_content_replacements(body, replace_content)
         with open(path, "w") as f:
             f.write(body)
 

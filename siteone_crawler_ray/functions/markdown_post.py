@@ -55,6 +55,26 @@ def extract_regex_pattern(s: str) -> str | None:
     return ("(?i)" if "i" in flags else "") + pattern
 
 
+def apply_content_replacements(text: str, rules) -> str:
+    """Shared 'from -> to' / '/regex/ -> to' replacement battery
+    (--replace-content, --markdown-replace-content — the reference
+    applies the same rule format in both exporters)."""
+    for spec in rules:
+        parts = spec.split("->", 1)
+        src = parts[0].strip()
+        dst = parts[1].strip() if len(parts) > 1 else ""
+        if is_regex_pattern(src):
+            pat = extract_regex_pattern(src)
+            if pat is not None:
+                try:
+                    text = re.sub(pat, dst, text)
+                except re.error:
+                    pass
+        else:
+            text = text.replace(src, dst)
+    return text
+
+
 @dataclass
 class MarkdownPostOptions:
     disable_images: bool = False
@@ -98,19 +118,7 @@ def postprocess_markdown(md: str, opts: MarkdownPostOptions) -> str:
         md = _EMPTY_LI_RE.sub("", md)
         md = _BARE_FILENAME_LINK_RE.sub("", md)
         md = _EMPTY_TABLE_ROW_RE.sub("", md)
-    for spec in opts.replace_content:
-        parts = spec.split("->", 1)
-        src = parts[0].strip()
-        dst = parts[1].strip() if len(parts) > 1 else ""
-        if is_regex_pattern(src):
-            pat = extract_regex_pattern(src)
-            if pat is not None:
-                try:
-                    md = re.sub(pat, dst, md)
-                except re.error:
-                    pass
-        else:
-            md = md.replace(src, dst)
+    md = apply_content_replacements(md, opts.replace_content)
     if opts.move_content_before_h1_to_end:
         md = _move_content_before_main_heading(md)
     return md

@@ -939,3 +939,35 @@ def test_markdown_remove_links_and_images_from_single_file():
     agg = aggregate_markdown(t, remove_links_images=True)
     assert "![" not in agg and "<!-- https://a.test/x -->" in agg
     assert "![" in aggregate_markdown(t)  # default unchanged
+
+
+def test_offline_replace_content_cli(ray_session, tmp_path):
+    """--replace-content rewrites stored offline bodies (plain and
+    /regex/ rules) before write."""
+    import json
+    import os
+
+    from siteone_crawler_ray.cli import main
+    from siteone_crawler_ray.sources.corpus import make_graph_corpus, write_corpus
+
+    tabs = make_graph_corpus(seed=3, hosts=1, total_pages=40)
+    cp = str(tmp_path / "corpus")
+    write_corpus(tabs["documents"], cp, num_buckets=2)
+    with open(os.path.join(cp, "robots.json"), "w") as f:
+        json.dump({}, f)
+    out = tmp_path / "offline"
+    rc = main([
+        "--url", tabs["seeds"]["url"].to_pylist()[0],
+        "--corpus", cp, "--workdir", str(tmp_path / "work"),
+        "--workers", "2", "--num-shards", "2",
+        "--offline-export-dir", str(out),
+        "--replace-content", "data span -> DATA-SPAN",
+        "--replace-content", "/crawl\\w*/ -> CRWL",
+    ], init_ray=False)
+    assert rc == 0
+    bodies = "".join(
+        open(os.path.join(dp, f)).read()
+        for dp, _, fs in os.walk(out) for f in fs if f.endswith(".html")
+    )
+    assert "DATA-SPAN" in bodies and "data span" not in bodies
+    assert "CRWL" in bodies and "crawl" not in bodies
