@@ -306,9 +306,11 @@ def security_html_checks(html: str, is_https: bool = True) -> list[tuple[str, st
     return out
 
 
-def page_checks_batch(batch: pa.Table, body_col: str = "body", url_col: str = "url") -> pa.Table:
+def page_checks_batch(batch: pa.Table, body_col: str = "body", url_col: str = "url",
+                      max_heading_level: int = 3) -> pa.Table:
     """map_batches stage: HTML rows → finding rows (url, category, rule,
-    severity)."""
+    severity).  ``max_heading_level`` feeds the SEO heading-tree check
+    (--max-heading-level; initiator.rs:124-126, default 3)."""
     bodies = batch[body_col].to_numpy(zero_copy_only=False)
     urls = batch[url_col].to_numpy(zero_copy_only=False)
     u_out, cat, rule, sev = [], [], [], []
@@ -317,7 +319,7 @@ def page_checks_batch(batch: pa.Table, body_col: str = "body", url_col: str = "u
             continue
         if isinstance(b, bytes):
             b = b.decode("utf-8", "replace")
-        for r, s in seo_checks(b):
+        for r, s in seo_checks(b, max_heading_level=max_heading_level):
             u_out.append(u), cat.append("seo"), rule.append(r), sev.append(s)
         for r, s in accessibility_checks(b):
             u_out.append(u), cat.append("accessibility"), rule.append(r), sev.append(s)

@@ -187,3 +187,20 @@ def test_best_practice_checks():
     # void tags must not inflate DOM depth
     voids = "<div>" + "<br><img src='/a.png'>" * 50 + "</div>"
     assert not any(r == "dom-depth-exceeded" for r, _ in best_practice_checks(voids))
+
+
+def test_max_heading_level_threads_through_batch():
+    """--max-heading-level analogue: the batch stage forwards the limit
+    to the SEO heading-tree check (initiator.rs:124-126, default 3)."""
+    import pyarrow as pa
+
+    from siteone_crawler_ray.functions.page_checks import page_checks_batch
+
+    html = ("<html><head><title>t</title><meta name=\"description\" content=\"d\">"
+            "</head><body><h1>a</h1><h2>b</h2><h3>c</h3><h4>d</h4></body></html>")
+    b = pa.table({"url": ["https://a.test/x"], "body": [html]})
+    deep_default = page_checks_batch(b)
+    rules3 = set(deep_default["rule"].to_pylist())
+    assert "heading-depth-exceeded" in rules3 or any("heading" in r for r in rules3)
+    deep6 = page_checks_batch(b, max_heading_level=6)
+    assert not any("depth" in r for r in deep6["rule"].to_pylist())
