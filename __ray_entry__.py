@@ -1399,7 +1399,18 @@ def oracle_sql() -> dict[str, str]:
             rep AS (
               SELECT doc_id, count(*) AS n_tri,
                      round(1 - CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) AS dup_tri_ratio
-              FROM tri GROUP BY doc_id)
+              FROM tri GROUP BY doc_id),
+            -- windowed exact-substring duplicates (k=64, stride=16 —
+            -- locked to stages/dedup.duplicated_window_counts)
+            win AS (
+              SELECT doc_id, substr(text, CAST(i AS INT) + 1, 64) AS w64
+              FROM documents,
+                   LATERAL (SELECT unnest(range(0, greatest(length(text) - 63, 1), 16)) AS i) t
+              WHERE length(text) >= 64),
+            windup AS (SELECT w64 FROM win GROUP BY w64 HAVING count(DISTINCT doc_id) >= 2),
+            ww AS (
+              SELECT win.doc_id, count(*) AS n_win, count(windup.w64) AS n_dup_win
+              FROM win LEFT JOIN windup USING (w64) GROUP BY win.doc_id)
             SELECT d.doc_id, len(string_split(text, ' ')) AS n_tokens,
                    round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_tok_len,
                    round(CAST(length(text)
@@ -1415,8 +1426,11 @@ def oracle_sql() -> dict[str, str]:
                        regexp_replace(text,
                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
                        '\+?[0-9][0-9()\- ]{7,}[0-9]', '[PHONE]', 'g'),
-                     '\b(customer|supplier)\b', '[TERM]', 'g') AS scrubbed
+                     '\b(customer|supplier)\b', '[TERM]', 'g') AS scrubbed,
+                   coalesce(ww.n_win, 0) AS n_win,
+                   coalesce(ww.n_dup_win, 0) AS n_dup_win
             FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
+                 LEFT JOIN ww ON d.doc_id = ww.doc_id
         """,
         # corpus curation: deterministic multiplicative-hash sample →
         # per-source quota; exact bigram top-k; context-window chunking

@@ -699,8 +699,25 @@ def text_metrics(sf_dir: str) -> pa.Table:
             }
         )
 
-    return _collect(
+    base = _collect(
         _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(both, batch_format="pyarrow")
+    )
+    # windowed exact-substring duplicate counts (stages/dedup.
+    # duplicated_window_counts — Lee et al. 2022 shape) join per doc;
+    # docs shorter than one window carry zeros
+    from ..stages.dedup import duplicated_window_counts
+
+    dw = duplicated_window_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
+    m = {
+        i: (w, d)
+        for i, w, d in zip(dw["doc_id"].to_pylist(), dw["n_win"].to_pylist(),
+                           dw["n_dup_win"].to_pylist())
+    }
+    ids = base["doc_id"].to_pylist()
+    return base.append_column(
+        "n_win", pa.array([m.get(i, (0, 0))[0] for i in ids], pa.int64())
+    ).append_column(
+        "n_dup_win", pa.array([m.get(i, (0, 0))[1] for i in ids], pa.int64())
     )
 
 

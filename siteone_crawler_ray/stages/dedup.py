@@ -812,3 +812,77 @@ def near_dup_clusters(ds, *, id_col="doc_id", text_col="text", threshold=0.5,
     keep = pc.equal(comp["doc_id"], comp["component"])
     out = comp.append_column("keep", keep)
     return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
+
+
+def duplicated_window_counts(ds, *, id_col="doc_id", text_col="text",
+                             k: int = 64, stride: int = 16,
+                             verify_exact: bool = True) -> pa.Table:
+    """Exact-substring duplicate detection, windowed (the scalable
+    approximation of Lee et al. 2022 "Deduplicating Training Data…"
+    suffix-array substring dedup): every document emits its stride-``s``
+    ``k``-char windows; a window whose exact content appears in ≥ 2
+    distinct documents is a cross-document duplicate.  → per-doc table
+    (doc_id, n_win, n_dup_win) over documents with ≥ 1 window
+    (len(text) ≥ k).
+
+    Scale shape: window rows hash-partition on xxh64(window) — identical
+    content lands in one partition, so duplicate detection and the
+    per-doc partial counts are partition-local; each partition returns
+    one (doc, n_win, n_dup) row per doc it saw and the driver sums the
+    small partials (at 100-TB volumes chain a second key exchange on
+    doc_id instead).  ``verify_exact=True`` groups by the window STRING
+    inside each partition (hash only routes); False trusts the 64-bit
+    hash and never ships window bytes — the documented trade-off for
+    the 100-TB path.  Alignment caveat: substrings shared at offsets
+    that differ mod ``stride`` produce different windows; stride 1
+    recovers full sensitivity at k× the rows, exactly as in the paper's
+    suffix-array formulation."""
+    import pyarrow.compute as pc
+
+    def emit_windows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        wins: list[str] = []
+        who: list = []
+        for i, t in enumerate(texts):
+            if t is None or len(t) < k:
+                continue
+            for p in range(0, len(t) - k + 1, stride):
+                wins.append(t[p : p + k])
+                who.append(ids[i])
+        if not wins:
+            return pa.table({"win_key": pa.array([], pa.int64()),
+                             "win": pa.array([], pa.string()),
+                             id_col: pa.array([], batch[id_col].type)})
+        keys = xxh64_strings(wins).view(np.int64)
+        cols = {"win_key": pa.array(keys, pa.int64()),
+                id_col: pa.array(who, batch[id_col].type)}
+        if verify_exact:
+            cols["win"] = pa.array(wins, pa.string())
+        return pa.table(cols)
+
+    group_col = "win" if verify_exact else "win_key"
+
+    def dup_partial(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by(group_col, use_threads=False).aggregate(
+            [(id_col, "count_distinct")]
+        )
+        dup_keys = g.filter(
+            pc.greater_equal(g[f"{id_col}_count_distinct"], 2))[group_col]
+        marked = pc.is_in(tbl[group_col], value_set=dup_keys.combine_chunks())
+        t2 = tbl.append_column("dup", pc.cast(marked, pa.int64()))
+        out = t2.group_by(id_col, use_threads=False).aggregate(
+            [([], "count_all"), ("dup", "sum")]
+        )
+        return out.rename_columns([id_col, "n_win", "n_dup_win"])
+
+    rows = ds.map_batches(emit_windows, batch_format="pyarrow")
+    parts = _partitioned_exchange(rows, "win_key", dup_partial)
+    if not parts:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "n_win": pa.array([], pa.int64()),
+                         "n_dup_win": pa.array([], pa.int64())})
+    merged = pa.concat_tables(parts).group_by(id_col, use_threads=False).aggregate(
+        [("n_win", "sum"), ("n_dup_win", "sum")]
+    ).rename_columns([id_col, "n_win", "n_dup_win"])
+    return merged.take(pc.sort_indices(merged, sort_keys=[(id_col, "ascending")]))

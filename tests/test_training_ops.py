@@ -537,3 +537,40 @@ def test_reference_kernels_match_vectorized_signatures():
         assert full[i] == RK.fingerprint_ref(t), t
         assert win[i] == RK.winnow_min_ref(t), t
         assert lang[i] == RK.langid_ref(t), t
+
+
+def test_duplicated_window_counts_semantics():
+    """Windowed exact-substring dup detection (Lee et al. 2022 shape):
+    identical docs share every window; unique docs share none; short
+    docs (< k) are excluded; hash-only mode matches exact mode here."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.dedup import duplicated_window_counts
+
+    shared = "the quick brown fox jumps over the lazy dog " * 4  # 180 chars
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([shared, shared, "x" * 200, "tiny"]),
+    })
+    ds = rd.from_arrow(docs).repartition(2)
+    t = duplicated_window_counts(ds, k=64, stride=16)
+    rows = {r["doc_id"]: r for r in t.to_pylist()}
+    assert set(rows) == {0, 1, 2}  # doc 3 has no window
+    assert rows[0]["n_win"] == rows[1]["n_win"] > 0
+    assert rows[0]["n_dup_win"] == rows[0]["n_win"]  # every window shared
+    assert rows[1]["n_dup_win"] == rows[1]["n_win"]
+    assert rows[2]["n_dup_win"] == 0  # unique content
+
+    t2 = duplicated_window_counts(rd.from_arrow(docs).repartition(2),
+                                  k=64, stride=16, verify_exact=False)
+    assert t.to_pylist() == t2.to_pylist()
+
+    # alignment caveat: same substring at offsets differing mod stride
+    # is NOT detected (documented trade-off of stride sampling)
+    off = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([shared, "abc" + shared]),
+    })
+    t3 = duplicated_window_counts(rd.from_arrow(off), k=64, stride=16)
+    assert all(r["n_dup_win"] == 0 for r in t3.to_pylist())
