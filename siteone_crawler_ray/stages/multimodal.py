@@ -7,7 +7,9 @@ Codec support is honest about the environment: ``decoder="real"``
 decodes the UNCOMPRESSED containers this module implements in pure
 numpy — RIFF/WAVE 16-bit PCM (``decode_wav``) and Windows BMP 24-bit
 (``decode_bmp``), both public formats — and raises
-``NotImplementedError`` for compressed formats (PNG/JPEG/MP3/MP4),
+``NotImplementedError`` for codec formats (JPEG/WebP/MP3/MP4); PNG
+(8-bit gray/RGB/RGBA, all five row filters) and BMP/WAV have real
+pure-Python codecs here,
 whose codec libraries (PIL/ffmpeg) are NOT in this container.
 ``decoder="fake"`` (the default for arbitrary payloads) derives
 deterministic metadata from the payload hash so the Ray-side plumbing
@@ -124,6 +126,110 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return px[::-1] if flip else px
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → channels (8-bit depth, non-interlaced support)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(H, W) uint8 gray / (H, W, 3) RGB / (H, W, 4) RGBA → PNG bytes
+    (8-bit, filter 0 per row, one zlib IDAT) — pure stdlib zlib, no PIL."""
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = np.concatenate([np.zeros((h, 1), np.uint8), px.reshape(h, w * c)], axis=1)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw.tobytes(), 9))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (H, W, C) uint8.  Supports the common web shape — 8-bit
+    depth, gray/RGB/RGBA, non-interlaced, all five row filters
+    (None/Sub/Up/Average/Paeth per the PNG spec §6) — and raises
+    ``NotImplementedError`` for palettes/16-bit/interlaced variants, in
+    line with the honest-codec policy of this module."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise NotImplementedError("malformed PNG: missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG variant not supported (depth={depth} color={color} interlace={interlace})")
+    c = _PNG_CHANNELS[color]
+    stride = w * c
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise NotImplementedError("malformed PNG: bad decompressed length")
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = c  # bytes per pixel at 8-bit depth
+    for y in range(h):
+        f = rows[y, 0]
+        cur = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:  # None
+            line = cur
+        elif f == 2:  # Up
+            line = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            line = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 1:
+                    v = cur[x] + a
+                elif f == 3:
+                    v = cur[x] + ((a + b) >> 1)
+                else:
+                    cc = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - cc
+                    pa_, pb, pcd = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa_ <= pb and pa_ <= pcd) else (b if pb <= pcd else cc)
+                    v = cur[x] + pred
+                line[x] = v & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter {f} is invalid")
+        out[y] = line.astype(np.uint8)
+    return out.reshape(h, w, c)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch: BMP or PNG → (H, W, C) uint8;
+    NotImplementedError for everything else (JPEG/WebP/… need codecs
+    absent from this container)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    raise NotImplementedError("unsupported image container (BMP/PNG only)")
+
+
 def synthesize_real_media_table(n: int = 240) -> pa.Table:
     """Deterministic media corpus with REAL container payloads where an
     uncompressed format exists: BMP images (``i % 3 == 0``), WAV PCM
@@ -168,9 +274,9 @@ def synthesize_real_media_table(n: int = 240) -> pa.Table:
 
 class ImageDecodeStage:
     """Actor stage: binary payload → (width, height, n_bytes) + feature
-    vector.  ``decoder='real'`` decodes uncompressed BMP via
-    :func:`decode_bmp` (features: overall + per-channel pixel means,
-    /255) and raises NotImplementedError for compressed formats (PIL
+    vector.  ``decoder='real'`` decodes BMP and 8-bit PNG via
+    :func:`decode_image` (features: overall + per-channel pixel means,
+    /255) and raises NotImplementedError for other formats (PIL
     absent); ``'fake'`` derives dimensions deterministically from the
     payload hash so downstream layout code is exercisable on any
     input."""
@@ -189,10 +295,10 @@ class ImageDecodeStage:
             sizes = np.empty(len(payloads), np.int64)
             feats = np.zeros((len(payloads), self.feature_dim))
             for i, p in enumerate(payloads):
-                px = decode_bmp(p)  # raises NotImplementedError for non-BMP
+                px = decode_image(p)  # BMP/PNG; NotImplementedError otherwise
                 ht[i], w[i] = px.shape[0], px.shape[1]
                 sizes[i] = len(p)
-                means = px.reshape(-1, 3).mean(axis=0)
+                means = px.reshape(-1, px.shape[2]).mean(axis=0)
                 vals = [px.mean(), *means][: self.feature_dim]
                 feats[i, : len(vals)] = np.round(np.array(vals) / 255.0, 6)
             return pa.table({

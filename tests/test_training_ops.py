@@ -574,3 +574,88 @@ def test_duplicated_window_counts_semantics():
     })
     t3 = duplicated_window_counts(rd.from_arrow(off), k=64, stride=16)
     assert all(r["n_dup_win"] == 0 for r in t3.to_pylist())
+
+
+def test_png_codec_roundtrip_and_filters():
+    """Pure-Python PNG codec: round-trip for gray/RGB/RGBA, correct
+    unfiltering of all five PNG row filters, magic-byte dispatch, and
+    honest NotImplementedError for unsupported variants."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from siteone_crawler_ray.stages.multimodal import (
+        _PNG_SIG,
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(3)
+    for shape in ((5, 7), (6, 4, 3), (3, 5, 4)):
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = decode_png(encode_png(px))
+        want = px[:, :, None] if px.ndim == 2 else px
+        assert (got == want).all(), shape
+
+    # hand-filtered PNG exercising Sub/Up/Average/Paeth (our encoder
+    # only emits None, so build the stream manually)
+    img = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    h, w, c = img.shape
+    flat = img.reshape(h, w * c).astype(np.int32)
+    rows = []
+    for y, f in enumerate([1, 2, 3, 4]):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * c, np.int32)
+        filt = np.zeros(w * c, np.int32)
+        for x in range(w * c):
+            a = cur[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa_, pb, pcd = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb and pa_ <= pcd) else (b if pb <= pcd else cc)
+            filt[x] = (cur[x] - pred) & 0xFF
+        rows.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    payload = (_PNG_SIG
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+               + chunk(b"IEND", b""))
+    assert (decode_png(payload) == img).all()
+    assert (decode_image(payload) == img).all()  # magic dispatch
+
+    with _pytest.raises(NotImplementedError):
+        decode_png(b"JFIF not a png")
+    bad = (_PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 26)) + chunk(b"IEND", b""))
+    with _pytest.raises(NotImplementedError):
+        decode_png(bad)  # 16-bit depth unsupported
+
+
+def test_image_decode_stage_handles_png(ray_session):
+    """The real decoder stage accepts PNG payloads alongside BMP."""
+    import numpy as np
+    import pyarrow as pa
+
+    from siteone_crawler_ray.stages.multimodal import ImageDecodeStage, encode_png
+
+    px = np.full((10, 8, 3), 60, dtype=np.uint8)
+    b = pa.table({"media_id": ["p1"], "payload": [encode_png(px)]})
+    out = ImageDecodeStage(decoder="real")(b)
+    r = out.to_pylist()[0]
+    assert (r["width"], r["height"]) == (8, 10)
+    assert abs(r["features"][0] - round(60 / 255.0, 6)) < 1e-9
