@@ -35,13 +35,15 @@ def prep_url_batch(batch: pa.Table) -> pa.Table:
     shape of a 10^10-row URL list."""
     canon_all = U.canonicalize_urls(batch["url"])
     canon = canon_all[canon_all != None]  # noqa: E711 — object-array None mask
-    keys = xxh64_strings(list(canon)) if len(canon) else np.empty(0, np.uint64)
     n = len(canon)
+    # one Arrow encode; hashing and host extraction read the same buffers
+    url_arr = pa.array(canon, pa.string())
+    keys = xxh64_strings(url_arr) if n else np.empty(0, np.uint64)
     return pa.table(
         {
-            "url": pa.array(canon, pa.string()),
+            "url": url_arr,
             "url_key": pa.array(keys, pa.uint64()),
-            "host": pa.array(U.hosts_of(np.array(canon, dtype=object)) if n else [], pa.string()),
+            "host": U.hosts_of(url_arr, return_arrow=True),
             "depth": pa.array(np.zeros(n, np.int32)),
             "priority": pa.array(keys.view(np.int64) if n else [], pa.int64()),
             "source_uq_id": pa.array([""] * n, pa.string()),
