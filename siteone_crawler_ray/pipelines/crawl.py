@@ -824,6 +824,10 @@ class EpochCrawler:
             # export + first-schedule of the num_cpus=0 assemble task
             # costs ~1.3s cold on this box; pay it here, not in epoch 0
             ray.get(self._get_assemble_remote().remote(0, 0, False)[0])
+            if self._shards:
+                # first remote call per shard actor is cold too — a
+                # harmless read moves that off epoch 0's critical path
+                ray.get([s.seen_count.remote() for s in self._shards])
         # First process() call per worker pays cold costs (parquet
         # writer import, Arrow kernel modules, first plasma map) —
         # measured ~0.2 s.  Adaptive fanout touches NEW workers on every
