@@ -107,6 +107,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--routing", choices=["bucket", "host"], default="bucket")
     p.add_argument("--resume", action="store_true", help="resume from checkpoints in workdir")
     p.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (local mode)")
+    # debugger surface (debugger.rs:16-40; core_options.rs:1891-1905)
+    p.add_argument("--debug", action="store_true",
+                   help="print timestamped per-URL debug lines to stderr")
+    p.add_argument("--debug-log-file",
+                   help="append the debug lines to this file (implies logging)")
+    p.add_argument("--debug-url-regex", action="append", default=[],
+                   help="log only URLs matching any of these regexes")
     # outputs (manager.rs:468-656 exporter chain)
     p.add_argument("--output-json-file")
     p.add_argument("--output-text-file")
@@ -414,6 +421,9 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
     n = res.metrics["visited"]
     print(f"crawled {n} URLs in {res.metrics['total_sec']}s "
           f"({res.metrics['pages_per_sec']} pages/s)", file=sys.stderr)
+    if args.debug or args.debug_log_file:
+        _write_debug_log(res, args.debug, args.debug_log_file,
+                         tuple(args.debug_url_regex))
     if n == 0:
         return 3  # manager.rs:458-464
 
@@ -677,6 +687,39 @@ def _extra_columns_table(res, specs: list[str]):
         return pa.table({"url": pa.array([], pa.string()),
                          **{n: pa.array([], pa.string()) for n in names}})
     return pa.concat_tables(batches, promote_options="permissive")
+
+
+def _write_debug_log(res, to_stderr: bool, log_file: str | None,
+                     url_regex: tuple[str, ...]) -> None:
+    """--debug / --debug-log-file / --debug-url-regex: timestamped
+    ``ts | severity | category | time | size | message`` lines per
+    visited URL (debugger.rs:20-40 line format; corpus mode logs after
+    the crawl from the visited lineage).  With --debug-url-regex only
+    matching URLs are logged (core_options.rs:1891-1905)."""
+    import re as _re
+    import time as _time
+
+    from .functions.format import formatted_duration, formatted_size
+
+    pats = [_re.compile(p) for p in url_regex]
+    t = res.visited_table(columns=["url", "status_code", "request_time", "size"])
+    now = _time.strftime("%Y-%m-%d %H:%M:%S")
+    lines = []
+    for u, st, rt, sz in zip(t["url"].to_pylist(), t["status_code"].to_pylist(),
+                             t["request_time"].to_pylist(), t["size"].to_pylist()):
+        if pats and not any(p.search(u) for p in pats):
+            continue
+        sev = "debug" if st == 200 else "warning"
+        lines.append(
+            f"{now} | {sev:8} | {'visited-url':14} | "
+            f"{formatted_duration(rt or 0.0):7} | "
+            f"{formatted_size(int(sz or 0)):7} | {st} {u}")
+    text = "\n".join(lines) + ("\n" if lines else "")
+    if to_stderr:
+        sys.stderr.write(text)
+    if log_file:
+        with open(log_file, "a") as f:
+            f.write(text)
 
 
 def _export_offline(res, initial_url: str, out_dir: str, *,

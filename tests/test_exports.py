@@ -971,3 +971,32 @@ def test_offline_replace_content_cli(ray_session, tmp_path):
     )
     assert "DATA-SPAN" in bodies and "data span" not in bodies
     assert "CRWL" in bodies and "crawl" not in bodies
+
+
+def test_debug_log_file_and_url_regex(ray_session, tmp_path):
+    """--debug-log-file writes timestamped per-URL lines;
+    --debug-url-regex restricts to matching URLs."""
+    import json
+    import os
+
+    from siteone_crawler_ray.cli import main
+    from siteone_crawler_ray.sources.corpus import make_graph_corpus, write_corpus
+
+    tabs = make_graph_corpus(seed=3, hosts=1, total_pages=40)
+    cp = str(tmp_path / "corpus")
+    write_corpus(tabs["documents"], cp, num_buckets=2)
+    with open(os.path.join(cp, "robots.json"), "w") as f:
+        json.dump({}, f)
+    log = tmp_path / "debug.log"
+    rc = main([
+        "--url", tabs["seeds"]["url"].to_pylist()[0],
+        "--corpus", cp, "--workdir", str(tmp_path / "work"),
+        "--workers", "2", "--num-shards", "2",
+        "--debug-log-file", str(log),
+        "--debug-url-regex", r"/p/0000[12]",
+    ], init_ray=False)
+    assert rc == 0
+    lines = log.read_text().splitlines()
+    assert lines and all("| visited-url" in ln for ln in lines)
+    assert all("/p/0000" in ln for ln in lines)
+    assert not any("/p/00005" in ln for ln in lines)
