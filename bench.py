@@ -73,11 +73,29 @@ def _init_ray(num_cpus: int) -> None:
     DataContext.get_current().enable_progress_bars = False
 
 
+def _ambient_calibration() -> float:
+    """Seconds for a FIXED single-core workload (hash 200k short
+    strings twice) — a machine-speed probe.  This shared sandbox swings
+    ±75% run-to-run (identical code measured 11.9 s and 21 s headline
+    within an hour); reporting the probe alongside the totals lets a
+    reader normalize across runs.  Quiet-window reference: ~0.16 s."""
+    from siteone_crawler_ray.functions.hashing import xxh64_strings
+
+    strs = [f"https://site-{i % 12:03d}.test/p/{i:05d}" for i in range(200_000)]
+    xxh64_strings(strs)  # untimed warm pass (first-call kernel setup)
+    t0 = time.perf_counter()
+    xxh64_strings(strs)
+    xxh64_strings(strs)
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     _init_ray(num_cpus)
     import ray.data as rd
 
     import __ray_entry__ as entrymod
+
+    cal = _ambient_calibration()
 
     # Session warm-up: the first map_batches tasks pay worker-process
     # spawn + module imports (~2 s spread over the first query on this
@@ -120,6 +138,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "num_cpus": num_cpus,
+        # fixed-workload machine-speed probe (see _ambient_calibration):
+        # divide `value` by (ambient_cal_sec / 0.16) to normalize across
+        # this sandbox's ±75% ambient swings
+        "ambient_cal_sec": cal,
     }
 
 
