@@ -115,6 +115,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug-url-regex", action="append", default=[],
                    help="log only URLs matching any of these regexes")
     # outputs (manager.rs:468-656 exporter chain)
+    p.add_argument("--output", "-o", choices=["text", "json"], default="text",
+                   help="console output type: json prints the full report "
+                        "to stdout (output/json_output.rs)")
     p.add_argument("--output-json-file")
     p.add_argument("--output-text-file")
     p.add_argument("--output-html-file")
@@ -586,6 +589,15 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
                          if args.upload_outbox_dir else DL.http_upload_transport)
             entry = DL.upload_report(ucfg, html_content, transport=transport)
             print(f"{entry['severity']}: {entry['message']}", file=sys.stderr)
+
+    # ---- console output type (--output json → report JSON on stdout) ----
+    if args.output == "json":
+        from .pipelines.report_json import build_report
+
+        print(json.dumps(
+            build_report(res, visited_ds, cfg, table_cache=table_cache,
+                         extras_table=extras_table, rows_limit=args.rows_limit),
+            default=str))
 
     # ---- full CI gate (--ci; ci_gate.rs:34-315; exit 10 on failure) ----
     if args.ci:

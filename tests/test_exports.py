@@ -1000,3 +1000,26 @@ def test_debug_log_file_and_url_regex(ray_session, tmp_path):
     assert lines and all("| visited-url" in ln for ln in lines)
     assert all("/p/0000" in ln for ln in lines)
     assert not any("/p/00005" in ln for ln in lines)
+
+
+def test_output_json_prints_report_to_stdout(ray_session, tmp_path, capsys):
+    """--output json: the full report JSON lands on stdout
+    (output/json_output.rs behavior); default text mode stays quiet."""
+    import json
+    import os
+
+    from siteone_crawler_ray.cli import main
+    from siteone_crawler_ray.sources.corpus import make_graph_corpus, write_corpus
+
+    tabs = make_graph_corpus(seed=3, hosts=1, total_pages=30)
+    cp = str(tmp_path / "corpus")
+    write_corpus(tabs["documents"], cp, num_buckets=2)
+    with open(os.path.join(cp, "robots.json"), "w") as f:
+        json.dump({}, f)
+    rc = main(["--url", tabs["seeds"]["url"].to_pylist()[0],
+               "--corpus", cp, "--workdir", str(tmp_path / "work"),
+               "--workers", "2", "--num-shards", "2", "--output", "json"],
+              init_ray=False)
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["stats"]["total_urls"] > 0 and "results" in rep
