@@ -214,3 +214,21 @@ def test_canonicalize_fast_anycase_absolute_matches_full(url, suffix, base):
     fast = U.canonicalize_fast(href, base)
     if fast is not None:
         assert fast == U.canonicalize(href, base), href
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.sampled_from(["HTTP", "HtTpS", "https", "HTTPS"]),
+    st.sampled_from(["A.TEST", "a.test", "USER@a.test", "a.test:8080",
+                     "a.test:443", "a.test:80", "É.test", "WWW.B.Test"]),
+    st.sampled_from(["/p", "/p/Q?x=1", "", "/p#F", "/p?"]),
+    absolute_urls(),
+)
+def test_canonicalize_fast_anycase_edge_shapes(scheme, authority, rest, base):
+    """Ports, userinfo, IDN and bare-origin shapes through the any-case
+    branch must agree with the full canonicalizer whenever the fast
+    path claims applicability."""
+    href = f"{scheme}://{authority}{rest}"
+    fast = U.canonicalize_fast(href, base)
+    if fast is not None:
+        assert fast == U.canonicalize(href, base), href
