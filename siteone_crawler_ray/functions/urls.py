@@ -471,6 +471,17 @@ def is_static_file(url: str) -> bool:
     return extension_of(path_of(url)) in STATIC_EXTENSIONS
 
 
+def is_sitemap_url(url: str) -> bool:
+    """crawler.rs:1637-1640 — path contains 'sitemap' and ends .xml(.gz)."""
+    p = path_of(url).lower()
+    return "sitemap" in p and (p.endswith(".xml") or p.endswith(".xml.gz"))
+
+
+def is_xml_url(url: str) -> bool:
+    p = path_of(url).lower()
+    return p.endswith(".xml") or p.endswith(".xml.gz")
+
+
 def depth_of(path: str) -> int:
     """parsed_url.rs get_depth — '/' → 0, '/a/' → 1, '/a/b' → 2."""
     return len([s for s in path.split("/") if s])

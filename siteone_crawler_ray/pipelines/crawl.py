@@ -550,6 +550,9 @@ class EpochCrawler:
             single_foreign_page=self.cfg.single_foreign_page,
             disable_files=self.cfg.disable_files,
             disable_fonts=self.cfg.disable_fonts,
+            # automatic in the reference: seed URL IS a sitemap → only
+            # sitemap-listed URLs crawl (crawler.rs:873-876)
+            sitemap_only=bool(self.seed_urls and U.is_sitemap_url(self.seed_urls[0])),
             basename_blocklist=frozenset(
                 b for b, c in self.basename_counts.items() if c >= self.cfg.max_non200_per_basename
             ),

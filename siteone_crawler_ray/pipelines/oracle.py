@@ -68,6 +68,7 @@ def run_oracle(
         docs[d] = spans
 
     seed_host = U.host_of(seeds[0]) if seeds else ""
+    sitemap_only = bool(seeds and U.is_sitemap_url(seeds[0]))
     res = OracleResult()
     queue: deque[dict] = deque()
     skipped_keys: set[int] = set()
@@ -159,6 +160,9 @@ def run_oracle(
             if not ref:
                 continue
             if foreign_page and span["kind"] != "redirect":
+                continue
+            # sitemap-only: non-XML pages never parse (crawler.rs:873-876)
+            if sitemap_only and span["kind"] != "redirect" and not U.is_xml_url(url):
                 continue
             # --disable-* span gating happens BEFORE the per-page dedup
             # (a disabled extractor never adds the URL to found_urls, so

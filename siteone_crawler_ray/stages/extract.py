@@ -64,6 +64,7 @@ def explode_spans(
     foreign_sld: str | None = None,
     disable_files: bool = False,
     disable_fonts: bool = False,
+    sitemap_only: bool = False,
 ) -> pa.Table:
     """documents(doc_id, spans, seq) → found hrefs, one row per link/asset
     span, deduplicated per page on the normalized href (first span wins —
@@ -130,6 +131,17 @@ def explode_spans(
             pc.match_substring_regex(ref, pattern=_FONT_EXT_RE2), False
         ).to_numpy(zero_copy_only=False)
         has_ref = has_ref & ~is_font
+    if sitemap_only and batch.num_rows:
+        # sitemap-only (crawler.rs:873-876): spans of pages that are not
+        # XML never parse — only redirect spans survive, like the
+        # foreign-page gate below
+        is_xml = np.fromiter(
+            (U.is_xml_url(d) for d in batch["doc_id"].to_numpy(zero_copy_only=False)),
+            dtype=bool, count=batch.num_rows)
+        if not is_xml.all():
+            if kind_np is None:
+                kind_np = kind.to_numpy(zero_copy_only=False)
+            has_ref = has_ref & ~(~is_xml[parent] & (kind_np != "redirect"))
     if foreign_sld is not None and batch.num_rows:
         page_hosts = U.hosts_of(batch["doc_id"])
         sld_memo: dict[str, bool] = {}
@@ -239,6 +251,7 @@ class CandidateGauntlet:
         single_foreign_page: bool = False,
         disable_files: bool = False,
         disable_fonts: bool = False,
+        sitemap_only: bool = False,
     ):
         import re
 
@@ -269,6 +282,10 @@ class CandidateGauntlet:
         # consumed by explode_spans via the worker, like disabled_span_kinds
         self.disable_files = disable_files
         self.disable_fonts = disable_fonts
+        # sitemap-only mode (crawler.rs:873-876: initial URL is a
+        # sitemap.xml → non-XML pages never parse, so only sitemap-
+        # listed URLs crawl; Location redirects still follow)
+        self.sitemap_only = sitemap_only
         # --single-foreign-page: spans from pages whose 2nd-level domain
         # differs from the initial URL's are dropped (except redirects)
         # — consumed by explode_spans BEFORE its per-page dedup, like

@@ -173,6 +173,7 @@ class CrawlWorker:
                     foreign_sld=self.gauntlet.single_foreign_sld,
                     disable_files=self.gauntlet.disable_files,
                     disable_fonts=self.gauntlet.disable_fonts,
+                    sitemap_only=self.gauntlet.sitemap_only,
                 )
             )
             if pages.num_rows else None

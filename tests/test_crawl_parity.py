@@ -151,6 +151,56 @@ def test_single_page_and_single_foreign_page_parity(tmp_workdir):
     assert 0 < res2.metrics["visited"] < full.metrics["visited"]
 
 
+def test_sitemap_only_mode_parity(tmp_workdir):
+    """Seed URL is a sitemap.xml → only sitemap-listed URLs crawl:
+    non-XML pages never parse, so their links/assets are not followed
+    (crawler.rs:873-876 automatic sitemap-only mode)."""
+    from siteone_crawler_ray.sources.corpus import DOCUMENTS_SCHEMA, SPAN_TYPE
+
+    def span(kind, text, ref):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": 0}
+
+    docs = pa.Table.from_arrays(
+        [
+            pa.array([
+                "https://a.test/sitemap.xml",
+                "https://a.test/p/00001",
+                "https://a.test/p/00002",
+                "https://a.test/p/00003",  # reachable only via p/00001's link
+            ]),
+            pa.array(
+                [
+                    [span("link", "s1", "/p/00001"), span("link", "s2", "/p/00002")],
+                    [span("title", "p1", ""), span("link", "onward", "/p/00003"),
+                     span("img", "", "/static/x.png")],
+                    [span("title", "p2", "")],
+                    [span("title", "p3", "")],
+                ],
+                type=pa.list_(SPAN_TYPE),
+            ),
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    seeds = ["https://a.test/sitemap.xml"]
+    cp = os.path.join(tmp_workdir, "corpus")
+    write_corpus(docs, cp, num_buckets=2)
+    cfg = CrawlConfig(use_ray=False, num_shards=2)
+    res = EpochCrawler(cp, seeds, {}, os.path.join(tmp_workdir, "work"), cfg).run()
+    _assert_parity(res, run_oracle(docs, seeds, {}, cfg))
+    urls = set(res.visited_table(columns=["url"])["url"].to_pylist())
+    assert {"https://a.test/sitemap.xml", "https://a.test/p/00001",
+            "https://a.test/p/00002"} <= urls
+    assert "https://a.test/p/00003" not in urls, "HTML pages must not expand"
+    assert not any(u.endswith(".png") for u in urls), "assets not followed either"
+
+    # a NON-sitemap seed over the same corpus expands normally
+    seeds2 = ["https://a.test/p/00001"]
+    res2 = EpochCrawler(cp, seeds2, {}, os.path.join(tmp_workdir, "w2"), cfg).run()
+    _assert_parity(res2, run_oracle(docs, seeds2, {}, cfg))
+    urls2 = set(res2.visited_table(columns=["url"])["url"].to_pylist())
+    assert "https://a.test/p/00003" in urls2
+
+
 def test_disable_files_and_fonts_parity(tmp_workdir):
     """--disable-files (a-href targets with non-HTML file extensions
     never found, html_processor.rs:193) and --disable-fonts (font refs
