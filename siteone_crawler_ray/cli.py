@@ -368,11 +368,16 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
     from .pipelines.crawl import CrawlConfig, EpochCrawler
 
     seeds = list(args.url)
+    seed_attrs = None
     if args.url_list:
         from .sources.seeds import parse_url_list_text
+        from .types import UrlSource
 
         with open(args.url_list) as f:
-            seeds += parse_url_list_text(f.read())
+            listed, _bad = parse_url_list_text(f.read())
+        seed_attrs = ([UrlSource.INIT_URL] * len(seeds)
+                      + [UrlSource.URL_LIST] * len(listed))
+        seeds += listed
     if not seeds:
         print("no seed URLs (--url / --url-list)", file=sys.stderr)
         return 2
@@ -416,7 +421,8 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
         routing=args.routing,
         storage_compression=args.result_storage_compression,
     )
-    crawler = EpochCrawler(args.corpus, seeds, robots, args.workdir, cfg)
+    crawler = EpochCrawler(args.corpus, seeds, robots, args.workdir, cfg,
+                           seed_attrs=seed_attrs)
     if args.resume:
         crawler.resume()
     res = crawler.run()

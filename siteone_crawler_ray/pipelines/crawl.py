@@ -215,6 +215,7 @@ class EpochCrawler:
         robots_bodies: dict[str, str],
         workdir: str,
         config: CrawlConfig | None = None,
+        seed_attrs: list[int] | None = None,
     ):
         self.corpus_path = corpus_path
         with open(os.path.join(corpus_path, "_meta.json")) as f:
@@ -224,6 +225,10 @@ class EpochCrawler:
         os.makedirs(workdir, exist_ok=True)
         self.robots = RobotsIndex.from_bodies(robots_bodies)
         self.seed_urls = seeds
+        # per-seed UrlSource attribution: --url seeds = INIT_URL, --url-list
+        # entries = URL_LIST (crawler.rs:223-229 seeds both into the same
+        # queue with distinct sources)
+        self.seed_attrs = list(seed_attrs) if seed_attrs else None
         self.seed_host = U.host_of(seeds[0]) if seeds else ""
         self.epoch = 0
         self.visited_count = 0
@@ -320,22 +325,25 @@ class EpochCrawler:
     def seed(self) -> None:
         self._make_shards()
         canon = []
-        for u in self.seed_urls:
+        attrs = []
+        for i, u in enumerate(self.seed_urls):
             c = U.canonicalize(u, u, remove_query_params=self.cfg.remove_query_params,
                                keep_query_params=self.cfg.keep_query_params)
             if c is not None and len(c) <= self.cfg.max_url_length:
                 canon.append(c)
+                attrs.append(self.seed_attrs[i] if self.seed_attrs
+                             else UrlSource.INIT_URL)
         keys = xxh64_strings(canon) if canon else np.empty(0, np.uint64)
         # dedup in order; enqueue caps apply to seeds too (add_url_to_queue)
         seen: set[int] = set()
         rows = []
-        for order, (u, k) in enumerate(zip(canon, keys)):
+        for order, (u, k, a) in enumerate(zip(canon, keys, attrs)):
             if int(k) in seen:
                 continue
             if len(rows) >= self.cfg.max_visited_urls or len(rows) >= self.cfg.max_queue_length:
                 break
             seen.add(int(k))
-            rows.append((u, int(k), U.host_of(u), 0, order, "", UrlSource.INIT_URL))
+            rows.append((u, int(k), U.host_of(u), 0, order, "", a))
         entries = _dispatch_table(rows)
         self._offer(entries)
 

@@ -60,6 +60,7 @@ def run_oracle(
     robots_bodies: dict[str, str],
     config: CrawlConfig | None = None,
     basename_guard: str = "epoch",
+    seed_attrs: list[int] | None = None,
 ) -> OracleResult:
     cfg = config or CrawlConfig()
     robots = RobotsIndex.from_bodies(robots_bodies)
@@ -109,7 +110,8 @@ def run_oracle(
             break
         res.seen_keys.add(k)
         queue.append(
-            dict(url=c, key=k, depth=0, epoch=0, source_uq_id="", source_attr=UrlSource.INIT_URL)
+            dict(url=c, key=k, depth=0, epoch=0, source_uq_id="",
+                 source_attr=(seed_attrs[order] if seed_attrs else UrlSource.INIT_URL))
         )
 
     # -- FIFO loop -----------------------------------------------------------

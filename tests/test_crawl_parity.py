@@ -616,3 +616,26 @@ def test_resume_rejects_changed_config(tmp_workdir):
     c2 = EpochCrawler(cp, seeds, robots, wd, other)
     with pytest.raises(ValueError, match="fingerprint"):
         c2.resume()
+
+
+def test_url_list_seeds_carry_url_list_source(tmp_workdir):
+    """--url-list entries seed the SAME queue as --url but with
+    UrlSource::UrlList attribution (crawler.rs:223-229)."""
+    from siteone_crawler_ray.types import UrlSource
+
+    tabs = make_graph_corpus(seed=9, hosts=2, total_pages=100)
+    cp, seeds, robots = _setup(tmp_workdir, tabs)
+    docs = tabs["documents"]["doc_id"].to_pylist()
+    extra = [u for u in docs if u not in seeds][:3]
+    all_seeds = seeds + extra
+    attrs = [UrlSource.INIT_URL] * len(seeds) + [UrlSource.URL_LIST] * len(extra)
+    cfg = CrawlConfig(use_ray=False, num_shards=2)
+    res = EpochCrawler(cp, all_seeds, robots, os.path.join(tmp_workdir, "w"),
+                       cfg, seed_attrs=attrs).run()
+    oracle = run_oracle(tabs["documents"], all_seeds, robots, cfg, seed_attrs=attrs)
+    _assert_parity(res, oracle)
+    vt = res.visited_table(columns=["url", "source_attr"])
+    by_url = dict(zip(vt["url"].to_pylist(), vt["source_attr"].to_pylist()))
+    for u in extra:
+        assert by_url[u] == UrlSource.URL_LIST, u
+    assert by_url[seeds[0]] == UrlSource.INIT_URL
