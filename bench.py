@@ -89,6 +89,22 @@ def _ambient_calibration() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _ambient_membw() -> float:
+    """Seconds to stream a 240 MB array twice — a MEMORY-BANDWIDTH
+    probe.  The hash probe above is L3-resident, so a neighbor
+    saturating the shared bus slows the 32-way pipelines 4-5× while the
+    hash probe reads normal (observed: 83 s headline with cal 0.176 s).
+    Quiet-window reference: ~0.055 s."""
+    import numpy as np
+
+    arr = np.arange(30_000_000, dtype=np.int64)
+    arr.sum()  # warm/fault pages
+    t0 = time.perf_counter()
+    arr.sum()
+    arr.sum()
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     _init_ray(num_cpus)
     import ray.data as rd
@@ -96,6 +112,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import __ray_entry__ as entrymod
 
     cal = _ambient_calibration()
+    membw = _ambient_membw()
 
     # Session warm-up: the first map_batches tasks pay worker-process
     # spawn + module imports (~2 s spread over the first query on this
@@ -130,6 +147,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         t0 = time.perf_counter()
         _consume(qs[name](sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+    cal_after = _ambient_calibration()
+    membw_after = _ambient_membw()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     return {
         "metric": "headline_pipelines_total",
@@ -142,6 +161,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # divide `value` by (ambient_cal_sec / 0.16) to normalize across
         # this sandbox's ±75% ambient swings
         "ambient_cal_sec": cal,
+        "ambient_membw_sec": membw,
+        "ambient_cal_after_sec": cal_after,
+        "ambient_membw_after_sec": membw_after,
     }
 
 
