@@ -216,6 +216,8 @@ def run_crawl_child(sf_dir: str, num_cpus: int, scale: bool = False) -> dict:
     m = res.metrics
     return {
         "wall_sec": round(wall, 3),
+        "ambient_cal_sec": _ambient_calibration(),
+        "ambient_membw_sec": _ambient_membw(),
         "crawl_sec": m["total_sec"],
         "startup_sec": m.get("startup_sec", 0.0),
         "visited": m["visited"],
