@@ -105,6 +105,20 @@ def _ambient_membw() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(total_ticks, steal_ticks) from /proc/stat — hypervisor steal is
+    the missing attribution on this box: cumulative steal here is ~2.7x
+    user time, and a noisy-neighbor episode caps 32-way parallel work
+    4-5x while SINGLE-core probes run near full speed (they get
+    scheduled; the fleet does not)."""
+    try:
+        with open("/proc/stat") as f:
+            vals = list(map(int, f.readline().split()[1:]))
+        return sum(vals), (vals[7] if len(vals) > 7 else 0)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     _init_ray(num_cpus)
     import ray.data as rd
@@ -113,6 +127,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     cal = _ambient_calibration()
     membw = _ambient_membw()
+    tot0, steal0 = _cpu_stat()
 
     # Session warm-up: the first map_batches tasks pay worker-process
     # spawn + module imports (~2 s spread over the first query on this
@@ -149,6 +164,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
     cal_after = _ambient_calibration()
     membw_after = _ambient_membw()
+    tot1, steal1 = _cpu_stat()
+    steal_pct = round(100.0 * (steal1 - steal0) / max(tot1 - tot0, 1), 2)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     return {
         "metric": "headline_pipelines_total",
@@ -164,6 +181,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "ambient_membw_sec": membw,
         "ambient_cal_after_sec": cal_after,
         "ambient_membw_after_sec": membw_after,
+        # % of ALL cpu ticks stolen by the hypervisor during the run —
+        # the dominant noise source (single-core probes under-report it)
+        "steal_pct": steal_pct,
     }
 
 
@@ -198,6 +218,7 @@ def run_crawl_child(sf_dir: str, num_cpus: int, scale: bool = False) -> dict:
 
     import __ray_entry__ as entrymod
 
+    tot0, steal0 = _cpu_stat()
     t0 = time.perf_counter()
     if scale:
         from siteone_crawler_ray.pipelines.crawl import CrawlConfig, EpochCrawler
@@ -214,10 +235,12 @@ def run_crawl_child(sf_dir: str, num_cpus: int, scale: bool = False) -> dict:
         res = entrymod._run_crawl(sf_dir)
     wall = time.perf_counter() - t0
     m = res.metrics
+    tot1, steal1 = _cpu_stat()
     return {
         "wall_sec": round(wall, 3),
         "ambient_cal_sec": _ambient_calibration(),
         "ambient_membw_sec": _ambient_membw(),
+        "steal_pct": round(100.0 * (steal1 - steal0) / max(tot1 - tot0, 1), 2),
         "crawl_sec": m["total_sec"],
         "startup_sec": m.get("startup_sec", 0.0),
         "visited": m["visited"],
