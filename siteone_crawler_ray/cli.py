@@ -246,7 +246,7 @@ def _parse_line_list(content: str) -> list[str]:
     whitespace — a Windows-saved file would corrupt the first entry),
     lines trimmed, blanks and ``#`` comments dropped
     (core_options.rs parse_line_list)."""
-    if content.startswith("﻿"):
+    if content.startswith("\ufeff"):
         content = content[1:]
     out = []
     for line in content.splitlines():
