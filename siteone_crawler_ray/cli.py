@@ -259,8 +259,10 @@ def _parse_line_list(content: str) -> list[str]:
 def _merge_config_args(argv: list[str]) -> list[str]:
     """--config-file=PATH (or ``--config-file PATH``), else
     ``~/.siteone-crawler.conf`` / ``/etc/siteone-crawler.conf``
-    auto-discovery; config args are PREPENDED so explicit CLI args
-    override them (core_options.rs:3403-3460 merge semantics)."""
+    auto-discovery.  Config args are PREPENDED, exactly the reference's
+    argv concatenation (core_options.rs:3403-3460): scalar options get
+    last-wins CLI override; list (append) options ACCUMULATE config +
+    CLI values, as they do in the reference."""
     path = None
     real: list[str] = []
     i = 0

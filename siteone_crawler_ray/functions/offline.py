@@ -214,22 +214,9 @@ def query_component(query: str, rules: tuple[str, ...] = ()) -> str:
     the md5 hash (offline_url_converter.rs:475-516)."""
     if not rules:
         return query_hash(query)
-    from .markdown_post import extract_regex_pattern, is_regex_pattern
+    from .markdown_post import apply_content_replacements
 
-    qs = query
-    for rule in rules:
-        frm, _, to = rule.partition("->")
-        frm, to = frm.strip(), to.strip()
-        if is_regex_pattern(frm):
-            pat = extract_regex_pattern(frm)
-            if pat is not None:
-                try:
-                    qs = re.sub(pat, to, qs)
-                except re.error:
-                    pass
-        else:
-            qs = qs.replace(frm, to)
-    return qs.replace("/", "~")
+    return apply_content_replacements(query, rules).replace("/", "~")
 
 
 def offline_base_url_depth(path: str) -> int:

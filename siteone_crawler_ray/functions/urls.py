@@ -97,12 +97,14 @@ def render_canonical(url: str) -> str | None:
     no fragment (parsed_url.rs:133-187 + crawler.rs:1139-1143)."""
     try:
         sp = urlsplit(url)
+        # NB: .port (not urlsplit) raises on malformed ports like ":9x"
+        # — a crawled href must drop, not crash the extract task
+        if sp.scheme not in ("http", "https") or not sp.hostname:
+            return None
+        host = sp.hostname
+        port = sp.port
     except ValueError:
         return None
-    if sp.scheme not in ("http", "https") or not sp.hostname:
-        return None
-    host = sp.hostname
-    port = sp.port
     if port == 80 and sp.scheme == "http" or port == 443 and sp.scheme == "https":
         port = None
     netloc = host if port is None else f"{host}:{port}"
@@ -155,6 +157,17 @@ _ABS_ANYCASE_RE = re.compile(r"^(https?)://([^/?#]*)", re.I)
 _CANON_ORIGIN_RE = re.compile(r"^(https?)://[a-z0-9.\-]+(?::(\d+))?$")
 
 
+def _port_ok(scheme: str, port: str) -> bool:
+    """Fast paths admit an explicit port only when the renderer would
+    keep it verbatim: no zero padding (':0080' renders ':80'), in the
+    valid range (urlsplit raises above 65535 → full path DROPS the
+    URL), and not the scheme default (elided by the renderer)."""
+    if port[0] == "0" or len(port) > 5 or int(port) > 65535:
+        return False
+    return not ((scheme == "http" and port == "80")
+                or (scheme == "https" and port == "443"))
+
+
 def _fast_absolute(url: str) -> str | None:
     """Accept an absolute URL only if it is ALREADY in canonical form
     (lowercase scheme+host, no default port spelled out, explicit path,
@@ -166,8 +179,7 @@ def _fast_absolute(url: str) -> str | None:
     if url.endswith("?") or url.endswith(_FAST_TRAILING_STRIP):
         return None
     port = m.group(3)
-    if port and ((m.group(1) == "http" and port == "80")
-                 or (m.group(1) == "https" and port == "443")):
+    if port and not _port_ok(m.group(1), port):
         return None
     if m.group(5) == "?":  # bare query
         return None
@@ -205,7 +217,7 @@ def canonicalize_fast(href: str, base_url: str) -> str | None:
         if not m:
             return None
         port = m.group(2)
-        if port and ((m.group(1) == "http" and port == "80") or (m.group(1) == "https" and port == "443")):
+        if port and not _port_ok(m.group(1), port):
             return None
         return origin + href
     if href[:7] == "http://" or href[:8] == "https://":
@@ -242,8 +254,7 @@ def canonicalize_fast(href: str, base_url: str) -> str | None:
     if m is None or m.group(5) or _FAST_ABS_BAD_RE.search(base_url):
         return None
     port = m.group(3)
-    if port and ((m.group(1) == "http" and port == "80")
-                 or (m.group(1) == "https" and port == "443")):
+    if port and not _port_ok(m.group(1), port):
         return None
     path = m.group(4)
     if "//" in path or ";" in path:
@@ -259,9 +270,9 @@ def canonicalize_fast(href: str, base_url: str) -> str | None:
 # _fast_absolute, expressed as column kernels.  RE2 has no lookahead,
 # so the disqualifiers are separate match passes combined with boolean
 # kernels.
-_VEC_CANON_RE = r"^(https?)://([a-z0-9.\-]+)(:[0-9]+)?(/[^?#]*)(\?[^#]+)?$"
+_VEC_CANON_RE = r"^(https?)://([a-z0-9.\-]+)(:[1-9][0-9]{0,3})?(/[^?#]*)(\?[^#]+)?$"
 _VEC_TRAIL_RE = r"""[&"'\t ?]$"""
-_VEC_DEFAULT_PORT_RE = r"^(http://[a-z0-9.\-]+:80/|https://[a-z0-9.\-]+:443/)"
+_VEC_DEFAULT_PORT_RE = r"^(https?://[a-z0-9.\-]+:0|http://[a-z0-9.\-]+:80/|https://[a-z0-9.\-]+:443/)"
 
 
 def canonicalize_urls(arr, max_len: int = DEFAULT_MAX_URL_LENGTH) -> np.ndarray:

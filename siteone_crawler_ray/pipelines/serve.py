@@ -249,17 +249,16 @@ def _recv_request(conn: socket.socket) -> bytes:
     size cap — a request line split across TCP segments (long
     percent-encoded URLs, proxies) must not be truncated and mis-parsed
     as a bad request.  GET-only server: the body, if any, is ignored."""
-    chunks: list[bytes] = []
-    total = 0
-    while total < _MAX_REQUEST_BYTES:
+    buf = bytearray()
+    while len(buf) < _MAX_REQUEST_BYTES:
         part = conn.recv(8192)
         if not part:
             break
-        chunks.append(part)
-        total += len(part)
-        if b"\r\n\r\n" in (chunks[-2] + part if len(chunks) > 1 else part):
+        start = max(0, len(buf) - 3)  # terminator may straddle chunks
+        buf += part
+        if b"\r\n\r\n" in buf[start:]:
             break
-    return b"".join(chunks)
+    return bytes(buf)
 
 
 def run_server(root: str, *, markdown: bool = False, port: int = 8321,

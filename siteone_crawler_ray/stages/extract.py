@@ -145,14 +145,13 @@ def explode_spans(
     if foreign_sld is not None and batch.num_rows:
         page_hosts = U.hosts_of(batch["doc_id"])
         sld_memo: dict[str, bool] = {}
-        is_foreign = np.fromiter(
-            (
-                sld_memo.setdefault(h, U.domain_2nd_level(h) != foreign_sld)
-                for h in page_hosts
-            ),
-            dtype=bool,
-            count=len(page_hosts),
-        )
+        is_foreign = np.empty(len(page_hosts), dtype=bool)
+        for i, h in enumerate(page_hosts):
+            v = sld_memo.get(h)
+            if v is None:  # setdefault would evaluate the SLD eagerly per row
+                v = U.domain_2nd_level(h) != foreign_sld
+                sld_memo[h] = v
+            is_foreign[i] = v
         if is_foreign.any():
             if kind_np is None:
                 kind_np = kind.to_numpy(zero_copy_only=False)

@@ -232,3 +232,40 @@ def test_canonicalize_fast_anycase_edge_shapes(scheme, authority, rest, base):
     fast = U.canonicalize_fast(href, base)
     if fast is not None:
         assert fast == U.canonicalize(href, base), href
+
+
+def test_malformed_and_zero_padded_ports():
+    """Review findings r4: malformed ports must DROP (not crash) through
+    every path, and zero-padded default ports must not diverge between
+    the fast/vector paths and the full canonicalizer."""
+    assert U.canonicalize("https://a.test:9x/p", "https://a.test/") is None
+    assert U.canonicalize_urls(["https://a.test:9x/p"])[0] is None
+    assert U.render_canonical("https://a.test:9x/p") is None
+    for u in ("http://a.test:0080/p", "https://a.test:0443/p",
+              "http://a.test:08080/p", "https://a.test:000/p"):
+        full = U.canonicalize(u, u)
+        fast = U.canonicalize_fast(u, u)
+        assert fast is None or fast == full, (u, fast, full)
+        assert U.canonicalize_urls([u])[0] == full, u
+    # path-absolute against a zero-padded-port base must fall back
+    assert U.canonicalize_fast("/x", "https://a.test:0443/p") is None
+    # normal explicit ports still take the fast path
+    assert U.canonicalize_fast("http://a.test:8080/p", "x") == "http://a.test:8080/p"
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.sampled_from(["http", "https", "HTTP"]),
+    st.sampled_from(["a.test", "b.c.test"]),
+    st.text(alphabet="0123456789x", min_size=1, max_size=5),
+    st.sampled_from(["/p", "/p?q=1", ""]),
+)
+def test_arbitrary_port_strings_never_crash_and_agree(scheme, host, port, rest):
+    href = f"{scheme}://{host}:{port}{rest}"
+    full = U.canonicalize(href, href)  # must not raise
+    fast = U.canonicalize_fast(href, "https://x.test/b")
+    if fast is not None:
+        assert fast == U.canonicalize(href, "https://x.test/b"), href
+    vec = U.canonicalize_urls([href])[0]
+    want = full if full is not None and len(full) <= U.DEFAULT_MAX_URL_LENGTH else None
+    assert vec == want, (href, vec, want)

@@ -165,3 +165,37 @@ def test_request_split_across_tcp_segments(tmp_path):
     finally:
         stop.set()
         t.join(3)
+
+
+def test_request_terminator_straddles_three_segments(tmp_path):
+    """Review finding r4: CRLFCRLF split one byte per segment must still
+    terminate the read (rolling-buffer check, not a 2-chunk window)."""
+    import socket
+    import time
+
+    root = _site(tmp_path)
+    ready, stop = threading.Event(), threading.Event()
+    t = threading.Thread(target=run_server, args=(root,),
+                         kwargs=dict(port=0, ready=ready, stop=stop), daemon=True)
+    t.start()
+    assert ready.wait(5)
+    try:
+        s = socket.create_connection(("127.0.0.1", ready.port), timeout=5)
+        s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        s.sendall(b"GET /sub/ HTTP/1.1\r\nHost: x")
+        time.sleep(0.02)
+        for b in (b"\r", b"\n", b"\r", b"\n"):
+            s.sendall(b)
+            time.sleep(0.02)
+        resp = b""
+        s.settimeout(5)
+        while True:
+            part = s.recv(65536)
+            if not part:
+                break
+            resp += part
+        assert resp.startswith(b"HTTP/1.1 200"), resp[:60]
+        s.close()
+    finally:
+        stop.set()
+        t.join(3)
