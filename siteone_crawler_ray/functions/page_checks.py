@@ -310,7 +310,10 @@ def page_checks_batch(batch: pa.Table, body_col: str = "body", url_col: str = "u
                       max_heading_level: int = 3) -> pa.Table:
     """map_batches stage: HTML rows → finding rows (url, category, rule,
     severity).  ``max_heading_level`` feeds the SEO heading-tree check
-    (--max-heading-level; initiator.rs:124-126, default 3)."""
+    (the reference wires its --max-heading-level option into the SEO
+    analyzer the same way, initiator.rs:124-126, default 3; here it is
+    a library-level knob of this stage — the CLI's span-corpus scoring
+    path has no heading trees to bound)."""
     bodies = batch[body_col].to_numpy(zero_copy_only=False)
     urls = batch[url_col].to_numpy(zero_copy_only=False)
     u_out, cat, rule, sev = [], [], [], []
