@@ -183,6 +183,11 @@ def _fast_absolute(url: str) -> str | None:
         return None
     if m.group(5) == "?":  # bare query
         return None
+    if m.group(4).endswith(";"):
+        # urlparse splits empty params off the LAST segment and the
+        # renderer drops the bare ";" ("/x;" → "/x"); non-empty params
+        # (";x") and mid-path ";" survive, so only this shape falls back
+        return None
     return url
 
 
@@ -210,6 +215,10 @@ def canonicalize_fast(href: str, base_url: str) -> str | None:
         if href.endswith("?"):  # empty query: the renderer drops the bare "?"
             return None
         if href.endswith(_FAST_TRAILING_STRIP):  # normalize_href would rstrip
+            return None
+        if href.split("?", 1)[0].endswith(";"):
+            # trailing empty params: urlparse drops the bare ";" from
+            # the last path segment ("/x;" → "/x") — fall back
             return None
         p = base_url.find("/", 8)
         origin = base_url if p < 0 else base_url[:p]
@@ -243,8 +252,11 @@ def canonicalize_fast(href: str, base_url: str) -> str | None:
     if href[:2] == "./":
         href = href[2:]
     # ";" rejected: urljoin treats it as a params separator in relative
-    # references (urlparse RFC 1808 legacy), altering the join result
-    if not href or href[0] in "/.?#" or ":" in href or ";" in href:
+    # references (urlparse RFC 1808 legacy), altering the join result.
+    # "//" rejected: urljoin collapses empty segments when merging a
+    # RELATIVE reference ("0//" + base "/" → "/0/"), unlike in absolute
+    # paths where they survive.
+    if not href or href[0] in "/.?#" or ":" in href or ";" in href or "//" in href:
         return None
     if _FAST_ABS_BAD_RE.search(href):
         return None

@@ -97,6 +97,26 @@ def test_canonicalize_fast_matches_full(href, base):
         assert fast == U.canonicalize(href, base)
 
 
+def test_canonicalize_fast_fuzz_regressions():
+    """Shapes hypothesis once caught diverging: relative "//" collapse
+    and trailing empty-params ";" stripping (both must fall back or
+    match the full path)."""
+    for href, base in [
+        ("0//", "http://a.test/"),
+        ("a//b", "http://a.test/"),
+        ("/;", "http://a.test/"),
+        ("/x;", "http://a.test/"),
+        ("/x;?q=1", "http://a.test/"),
+        ("//a.test/;", "http://x.test/"),
+        ("http://a.test/x;", "http://x.test/"),
+        ("/;x", "http://a.test/"),           # non-empty params survive
+        ("http://a.test/a;b", "http://x.test/"),
+    ]:
+        fast = U.canonicalize_fast(href, base)
+        if fast is not None:
+            assert fast == U.canonicalize(href, base), (href, base)
+
+
 @settings(max_examples=300, deadline=None)
 @given(_paths, _queries, absolute_urls())
 def test_canonicalize_fast_applies_to_clean_paths(path, query, base):
