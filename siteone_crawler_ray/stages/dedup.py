@@ -89,6 +89,11 @@ _SCATTER_THRESHOLD_ROWS = 4_000_000
 # runs as a key-partitioned exchange instead of one driver-side agg.
 _EXACT_DRIVER_COMBINE_ROWS = 4_000_000
 
+# duplicated_window_counts: per-doc partial row count above which the
+# final combine chains a second key exchange on doc_id instead of a
+# driver-side group_by (same rationale as _EXACT_DRIVER_COMBINE_ROWS).
+_WINDOW_DRIVER_COMBINE_ROWS = 4_000_000
+
 
 def _auto_partitions(num_rows: int | None = None, *, rows_per_partition: int = 250_000,
                      floor: int = 8) -> int:
@@ -116,17 +121,23 @@ def _key_mod(block: pa.Table, key_col: str, P: int) -> np.ndarray:
     return (keys.view(np.uint64) if keys.dtype == np.int64 else keys.astype(np.uint64)) % np.uint64(P)
 
 
-def _scatter_exchange(refs, key_col: str, fn, num_partitions: int) -> list[pa.Table]:
+def _scatter_exchange(refs, key_col: str, fn, num_partitions: int,
+                      return_refs: bool = False) -> list:
     """Row-moves-once hash shuffle on raw Ray tasks: stage 1 splits each
     block into ``P`` key partitions (scatter — each sub-table becomes
     its own object), stage 2 task ``p`` concatenates partition ``p``
     across all blocks and applies ``fn``.  Same exactness guarantee as
     the broadcast path (identical key ⇒ identical partition) with each
-    row crossing the wire once."""
+    row crossing the wire once.  ``return_refs=True`` keeps the
+    per-partition outputs in the object store (refs, possibly to
+    ``None``) so a caller can chain a second exchange without the
+    tables ever landing on the driver."""
     import ray
 
     @ray.remote
     def scatter(block: pa.Table, P: int):
+        if block is None or block.num_rows == 0:  # ref from an upstream exchange
+            return (None,) * P if P > 1 else None
         part = _key_mod(block, key_col, P)
         return tuple(block.filter(pa.array(part == p)) for p in range(P))
 
@@ -142,13 +153,16 @@ def _scatter_exchange(refs, key_col: str, fn, num_partitions: int) -> list[pa.Ta
     ]
     if num_partitions == 1:  # num_returns=1 yields a bare ref, not a list
         cols = [[c] for c in cols]
-    out = ray.get(
-        [gather.remote(*[cols[i][p] for i in range(len(refs))]) for p in range(num_partitions)]
-    )
+    out_refs = [gather.remote(*[cols[i][p] for i in range(len(refs))])
+                for p in range(num_partitions)]
+    if return_refs:
+        return out_refs
+    out = ray.get(out_refs)
     return [t for t in out if t is not None and t.num_rows]
 
 
-def _partitioned_exchange(ds, key_col: str, fn, num_partitions: int | None = None) -> list[pa.Table]:
+def _partitioned_exchange(ds, key_col: str, fn, num_partitions: int | None = None,
+                          return_refs: bool = False) -> list:
     """Hash-partitioned all-to-all without driver materialization.
 
     Small exchanged tables (≤ ``_SCATTER_THRESHOLD_ROWS``): the
@@ -159,7 +173,8 @@ def _partitioned_exchange(ds, key_col: str, fn, num_partitions: int | None = Non
     once.  Rows with an identical key always land in the same
     partition, so a per-bucket ``fn`` (pairing, grouping) is exact.
     Equivalent to ``ds.groupby(key % P).map_groups(fn)`` without the
-    sort-based shuffle."""
+    sort-based shuffle.  ``return_refs=True`` leaves the per-partition
+    outputs as object refs for chaining a second exchange."""
     import ray
 
     bundles = list(ds.iter_internal_ref_bundles())
@@ -169,7 +184,7 @@ def _partitioned_exchange(ds, key_col: str, fn, num_partitions: int | None = Non
     if num_partitions is None:
         num_partitions = _auto_partitions(total)
     if total is None or total > _SCATTER_THRESHOLD_ROWS:
-        return _scatter_exchange(refs, key_col, fn, num_partitions)
+        return _scatter_exchange(refs, key_col, fn, num_partitions, return_refs=return_refs)
 
     @ray.remote
     def one_partition(p: int, P: int, *blocks) -> pa.Table:
@@ -179,7 +194,10 @@ def _partitioned_exchange(ds, key_col: str, fn, num_partitions: int | None = Non
             return None
         return fn(pa.concat_tables(parts))
 
-    out = ray.get([one_partition.remote(p, num_partitions, *refs) for p in range(num_partitions)])
+    out_refs = [one_partition.remote(p, num_partitions, *refs) for p in range(num_partitions)]
+    if return_refs:
+        return out_refs
+    out = ray.get(out_refs)
     return [t for t in out if t is not None and t.num_rows]
 
 
@@ -827,10 +845,13 @@ def duplicated_window_counts(ds, *, id_col="doc_id", text_col="text",
 
     Scale shape: window rows hash-partition on xxh64(window) — identical
     content lands in one partition, so duplicate detection and the
-    per-doc partial counts are partition-local; each partition returns
-    one (doc, n_win, n_dup) row per doc it saw and the driver sums the
-    small partials (at 100-TB volumes chain a second key exchange on
-    doc_id instead).  ``verify_exact=True`` groups by the window STRING
+    per-doc partial counts are partition-local; each partition emits
+    one (doc, n_win, n_dup) row per doc it saw.  Small partial sets
+    (≤ ``_WINDOW_DRIVER_COMBINE_ROWS``) sum on the driver; above that
+    the partials chain through a SECOND key exchange on doc_id
+    (``_scatter_exchange`` over the partition refs — the per-doc rows
+    never land on the driver), mirroring ``exact_dedup``'s coded
+    fallback.  ``verify_exact=True`` groups by the window STRING
     inside each partition (hash only routes); False trusts the 64-bit
     hash and never ships window bytes — the documented trade-off for
     the 100-TB path.  Alignment caveat: substrings shared at offsets
@@ -876,13 +897,35 @@ def duplicated_window_counts(ds, *, id_col="doc_id", text_col="text",
         )
         return out.rename_columns([id_col, "n_win", "n_dup_win"])
 
+    def doc_combine(tbl: pa.Table) -> pa.Table:
+        out = tbl.group_by(id_col, use_threads=False).aggregate(
+            [("n_win", "sum"), ("n_dup_win", "sum")]
+        )
+        return out.rename_columns([id_col, "n_win", "n_dup_win"])
+
+    import ray
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "n_win": pa.array([], pa.int64()),
+                      "n_dup_win": pa.array([], pa.int64())})
     rows = ds.map_batches(emit_windows, batch_format="pyarrow")
-    parts = _partitioned_exchange(rows, "win_key", dup_partial)
-    if not parts:
-        return pa.table({id_col: pa.array([], pa.int64()),
-                         "n_win": pa.array([], pa.int64()),
-                         "n_dup_win": pa.array([], pa.int64())})
-    merged = pa.concat_tables(parts).group_by(id_col, use_threads=False).aggregate(
-        [("n_win", "sum"), ("n_dup_win", "sum")]
-    ).rename_columns([id_col, "n_win", "n_dup_win"])
+    part_refs = _partitioned_exchange(rows, "win_key", dup_partial, return_refs=True)
+    if not part_refs:
+        return empty
+
+    nrows = ray.remote(num_cpus=0)(lambda t: 0 if t is None else t.num_rows)
+    total = sum(ray.get([nrows.remote(r) for r in part_refs]))
+    if total <= _WINDOW_DRIVER_COMBINE_ROWS:
+        parts = [t for t in ray.get(part_refs) if t is not None and t.num_rows]
+        if not parts:
+            return empty
+        merged = doc_combine(pa.concat_tables(parts))
+    else:
+        # 100-TB path: per-doc partials move once, keyed on doc_id —
+        # every doc's rows land in one partition, so the per-partition
+        # group_by IS the exact global sum
+        out = _scatter_exchange(part_refs, id_col, doc_combine, _auto_partitions(total))
+        if not out:
+            return empty
+        merged = pa.concat_tables(out)
     return merged.take(pc.sort_indices(merged, sort_keys=[(id_col, "ascending")]))

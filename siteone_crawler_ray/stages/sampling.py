@@ -323,6 +323,13 @@ def benchmark_shingles(ds, n: int = 3, text_col: str = "text") -> np.ndarray:
     return np.unique(np.concatenate(parts))
 
 
+# decontaminate: benchmark-hash count above which the single broadcast
+# array gives way to hash-sharded shingles + a per-partition semi-join
+# (a benchmark suite is MBs in practice; this guards the pathological
+# huge-benchmark case so no single object must fit one worker's heap).
+_BENCH_BROADCAST_MAX_HASHES = 16_000_000
+
+
 def decontaminate(train_ds, bench_hashes: np.ndarray, n: int = 3,
                   text_col: str = "text") -> "object":
     """Mark training documents sharing any word-``n``-gram with the
@@ -333,17 +340,16 @@ def decontaminate(train_ds, bench_hashes: np.ndarray, n: int = 3,
     Scale shape: benchmark hashes ride the object store once
     (``ray.put``); each train block computes its own distinct
     (doc, hash) pairs and a vectorized ``searchsorted`` membership —
-    no shuffle, no driver funnel."""
+    no shuffle, no driver funnel.  Above
+    ``_BENCH_BROADCAST_MAX_HASHES`` the benchmark set is hash-sharded
+    (``h % S``) and the train pairs take one key exchange on the same
+    hash, so every partition semi-joins against ONE shard — no task
+    ever holds the whole benchmark index."""
     import ray
 
-    ref = ray.put(np.sort(bench_hashes).astype(np.uint64))
+    bh_sorted = np.sort(np.asarray(bench_hashes, dtype=np.uint64))
 
-    def mark(batch: pa.Table) -> pa.Table:
-        bh = ray.get(ref)
-        ids, h = _doc_shingle_pairs(batch, text_col, n)
-        if len(h) == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "n_hits": pa.array([], pa.int64())})
+    def _hits(bh: np.ndarray, ids: np.ndarray, h: np.ndarray) -> pa.Table:
         pos = np.searchsorted(bh, h)
         pos[pos == len(bh)] = 0
         hit = bh[pos] == h if len(bh) else np.zeros(len(h), dtype=bool)
@@ -351,7 +357,53 @@ def decontaminate(train_ds, bench_hashes: np.ndarray, n: int = 3,
         return pa.table({"doc_id": pa.array(docs.astype(np.int64)),
                          "n_hits": pa.array(counts.astype(np.int64))})
 
-    return train_ds.map_batches(mark, batch_format="pyarrow")
+    _empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                       "n_hits": pa.array([], pa.int64())})
+
+    if len(bh_sorted) <= _BENCH_BROADCAST_MAX_HASHES:
+        ref = ray.put(bh_sorted)
+
+        def mark(batch: pa.Table) -> pa.Table:
+            bh = ray.get(ref)
+            ids, h = _doc_shingle_pairs(batch, text_col, n)
+            if len(h) == 0:
+                return _empty
+            return _hits(bh, ids, h)
+
+        return train_ds.map_batches(mark, batch_format="pyarrow")
+
+    # sharded semi-join path: shard the benchmark set by h % S, route
+    # train (doc, hash) pairs by the SAME key, check each partition
+    # against only its shard (per-shard arrays stay sorted — a sorted
+    # array filtered by a mask keeps its order)
+    import ray.data as rd
+
+    from .dedup import _auto_partitions, _partitioned_exchange
+
+    S = _auto_partitions(len(bh_sorted),
+                         rows_per_partition=max(1, _BENCH_BROADCAST_MAX_HASHES // 8))
+    shard_refs = [ray.put(bh_sorted[bh_sorted % np.uint64(S) == np.uint64(s)])
+                  for s in range(S)]
+
+    def pairs_fn(batch: pa.Table) -> pa.Table:
+        ids, h = _doc_shingle_pairs(batch, text_col, n)
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64)),
+                         "h": pa.array(h, pa.uint64())})
+
+    def shard_check(tbl: pa.Table) -> pa.Table:
+        h = tbl["h"].to_numpy(zero_copy_only=False)
+        s = int(h[0] % np.uint64(S))  # partition ⇒ single shard by construction
+        bh = ray.get(shard_refs[s])
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        return _hits(bh, ids, h)
+
+    pairs_ds = train_ds.map_batches(pairs_fn, batch_format="pyarrow")
+    parts = _partitioned_exchange(pairs_ds, "h", shard_check, num_partitions=S)
+    if not parts:
+        return rd.from_arrow(_empty)
+    merged = pa.concat_tables(parts).group_by("doc_id", use_threads=False).aggregate(
+        [("n_hits", "sum")]).rename_columns(["doc_id", "n_hits"])
+    return rd.from_arrow(merged)
 
 
 # ------------------------------------------------------------ seq packing

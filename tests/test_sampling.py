@@ -232,6 +232,31 @@ def test_decontaminate_marks_shared_ngrams():
     assert list(t["n_hits"]) == [1, 1, 2]
 
 
+def test_decontaminate_sharded_semijoin_fallback(monkeypatch):
+    """Above the broadcast threshold the benchmark shingle set shards
+    (h % S) and the train pairs semi-join per partition — identical
+    output to the broadcast path."""
+    import siteone_crawler_ray.stages.sampling as sp
+
+    bench = _docs_ds([(100, "s", "alpha beta gamma delta"),
+                      (101, "s", "one two three four five")])
+    rows = [
+        (1, "s", "x alpha beta gamma y"),
+        (2, "s", "beta gamma delta twice beta gamma delta"),
+        (3, "s", "nothing shared here at all"),
+        (4, "s", "alpha beta gamma delta"),
+        (5, "s", "zero one two three four six"),
+    ]
+    h = sp.benchmark_shingles(bench, n=3)
+    want = sp.decontaminate(_docs_ds(rows).repartition(3), h, n=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(sp, "_BENCH_BROADCAST_MAX_HASHES", 0)
+    got = sp.decontaminate(_docs_ds(rows).repartition(3), h, n=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert want.equals(got)
+    assert list(want["doc_id"]) == [1, 2, 4, 5]
+
+
 def test_benchmark_shingles_distinct_and_partition_independent():
     from siteone_crawler_ray.stages.sampling import benchmark_shingles
 

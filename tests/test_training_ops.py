@@ -576,6 +576,27 @@ def test_duplicated_window_counts_semantics():
     assert all(r["n_dup_win"] == 0 for r in t3.to_pylist())
 
 
+def test_duplicated_window_counts_exchange_fallback(ray_session, monkeypatch):
+    """Above the partial-row threshold the per-doc combine must chain a
+    second key exchange on doc_id (the 100-TB path) — byte-identical
+    to the driver combine."""
+    import ray.data as rd
+
+    import siteone_crawler_ray.stages.dedup as dd
+
+    shared = "the quick brown fox jumps over the lazy dog " * 4
+    texts = [shared if i % 3 == 0 else ("doc%04d " % i) * 30 for i in range(24)]
+    docs = pa.table({"doc_id": pa.array(np.arange(24), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow([docs.slice(i, 6) for i in range(0, 24, 6)])
+    want = dd.duplicated_window_counts(ds, k=64, stride=16)
+    monkeypatch.setattr(dd, "_WINDOW_DRIVER_COMBINE_ROWS", 0)
+    got = dd.duplicated_window_counts(
+        rd.from_arrow([docs.slice(i, 6) for i in range(0, 24, 6)]), k=64, stride=16)
+    assert want.equals(got)
+    assert want.num_rows == 24 and sum(want["n_dup_win"].to_pylist()) > 0
+
+
 def test_png_codec_roundtrip_and_filters():
     """Pure-Python PNG codec: round-trip for gray/RGB/RGBA, correct
     unfiltering of all five PNG row filters, magic-byte dispatch, and
