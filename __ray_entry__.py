@@ -273,13 +273,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def json_report(sf_dir: str):
         """full 8-key JSON report + quality-score CI gate → one
-        (key, value) summary table (sizes per report section; score per
-        quality category; gate exit code).
-
-        SELF-CHECKING (rows-only to the driver — composite JSON is not
-        SQL-hashable): section sizes are re-derived via DuckDB SQL over
-        the visited parquet and any mismatch raises, so a broken report
-        assembly fails the slot instead of passing unverified."""
+        (key, value) summary table, CANONICALIZED to be fully DuckDB-
+        recomputable (oracle_sql has a matching entry): top-level
+        section sizes, per-SuperTable row counts (after the 200/20/10
+        row caps), the five category scores + weighted total + gate
+        exit code, and the modern-format support counts.  The HTML and
+        text writers still render from the same cached tables (byte
+        lengths are asserted > 0 but excluded from the compared table —
+        template length is not SQL-derivable); the DuckDB self-check
+        asserts below also still run at any sf_dir."""
         import os as _os
 
         import pyarrow as pa
@@ -293,6 +295,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         rep = write_report_json(res, _visited_ds(res), path, table_cache=cache)
         keys = sorted(rep)
         vals = [float(len(rep[k]) if hasattr(rep[k], "__len__") else 1) for k in keys]
+        # per-SuperTable row counts (post rows-limit) — the oracle SQL
+        # recomputes each from the visited/skipped parquet
+        for blk in rep["tables"]:
+            keys.append(f"tables:{blk['aplCode']}")
+            vals.append(float(len(blk["rows"])))
 
         findings = SC.findings_from_reports(
             cache["page_findings"], cache["count_by_status"]
@@ -302,8 +309,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         for cat in sorted(srep.scores):
             keys.append(f"score:{cat}")
             vals.append(float(srep.scores[cat]))
+        # weighted total from the (exactly-representable) category
+        # scores — identical float64 arithmetic to the oracle SQL;
+        # srep.total is the same value rounded to 2dp (asserted)
+        total = sum(srep.scores[c] * w for c, w in SC.CATEGORY_WEIGHTS.items()) / sum(
+            SC.CATEGORY_WEIGHTS.values())
+        assert round(total, 2) == srep.total, (total, srep.total)
         keys += ["score:total", "gate:exit_code"]
-        vals += [float(srep.total), float(code)]
+        vals += [float(total), float(code)]
         # brotli/webp/avif adoption checks (best_practice_analyzer.rs:864-960)
         support = RP.modern_support_table(_visited_ds(res))
         for chk, ok in zip(support["check"].to_pylist(), support["n_ok"].to_pylist()):
@@ -317,8 +330,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  path.replace(".json", ".html"), table_cache=cache)
         txt = write_text_report(res, _visited_ds(res),
                                 path.replace(".json", ".txt"), table_cache=cache)
-        keys += ["export:html_bytes", "export:text_bytes"]
-        vals += [float(len(html)), float(len(txt))]
+        # rendered byte lengths are template-dependent (not
+        # SQL-derivable) — assert the writers produced output instead
+        # of putting the lengths in the compared table
+        assert len(html) > 0 and len(txt) > 0
 
         # SELF-CHECK (the driver records rows-only for this composite
         # slot): re-derive section sizes through DuckDB SQL over the
@@ -977,6 +992,101 @@ def oracle_sql() -> dict[str, str]:
         "report_skipped": f"""
             SELECT reason, count(*) AS n
             FROM read_parquet('{skipped_glob}') GROUP BY reason
+        """,
+        # full JSON-report canonicalization: every section size, capped
+        # SuperTable row count, category/total quality score, gate exit
+        # code and modern-support count re-derived in pure SQL over the
+        # engine's visited/skipped parquet (scoring model:
+        # pipelines/scoring.py — WARNING 2.0/NOTICE 0.5/CRITICAL 5.0
+        # per count, per-rule caps 2.5 minor / 5.0 critical, categories
+        # start at 10, total = weighted sum with weights .25/.25/.2/.15/.15)
+        "json_report": f"""
+            WITH v AS ({V}),
+            hx AS (
+              SELECT 'content_type_header' AS header FROM v
+              WHERE coalesce(content_type_header, '') <> ''
+              UNION ALL SELECT 'cache_control' FROM v WHERE coalesce(cache_control, '') <> ''
+              UNION ALL SELECT 'etag' FROM v WHERE coalesce(etag, '') <> ''
+              UNION ALL SELECT 'content_encoding' FROM v
+              WHERE coalesce(content_encoding, '') <> ''
+            ),
+            pf AS (
+              SELECT CASE WHEN spans IS NULL THEN 'non-page'
+                          WHEN coalesce(description, '\x01') = '' THEN 'missing-description'
+                          WHEN length(coalesce(title, '')) > 60 THEN 'long-title'
+                          WHEN coalesce(title, '\x01') = '' THEN 'missing-title'
+                          ELSE 'ok' END AS finding
+              FROM v
+            ),
+            c AS (
+              SELECT
+                (SELECT count(*) FROM v) AS n_visited,
+                (SELECT count(*) FROM pf WHERE finding = 'missing-title') AS nmt,
+                (SELECT count(*) FROM pf WHERE finding = 'long-title') AS nlt,
+                (SELECT count(*) FROM pf WHERE finding = 'missing-description') AS nmd,
+                (SELECT count(*) FROM v WHERE status_code = 404) AS n404,
+                (SELECT count(*) FROM v WHERE status_code >= 500 OR status_code < 0) AS n5xx,
+                (SELECT count(DISTINCT status_code) FROM v
+                 WHERE status_code >= 500 OR status_code < 0) AS n5xx_codes,
+                (SELECT count(DISTINCT content_type) FROM v) AS n_ct,
+                (SELECT count(DISTINCT host) FROM v) AS n_host,
+                (SELECT count(*) FROM v WHERE content_type = 1 AND status_code = 200) AS n_html,
+                (SELECT count(*) FROM (SELECT title FROM v
+                   WHERE content_type = 1 AND status_code = 200
+                   GROUP BY title HAVING count(*) > 1)) AS n_dupt,
+                (SELECT count(*) FROM v
+                 WHERE status_code >= 300 AND status_code < 400) AS n_redir,
+                (SELECT count(DISTINCT header) FROM hx) AS n_hdr,
+                (SELECT count(DISTINCT reason)
+                 FROM read_parquet('{skipped_glob}')) AS n_skip,
+                (SELECT count(*) FROM v WHERE content_type = 1 AND status_code = 200
+                   AND content_encoding = 'br') AS n_br,
+                (SELECT count(*) FROM v WHERE content_type = 4
+                   AND content_type_header = 'image/webp') AS n_webp,
+                (SELECT count(*) FROM v WHERE content_type = 4
+                   AND content_type_header = 'image/avif') AS n_avif,
+                (SELECT count(*) FROM v WHERE content_type = 4) AS n_img
+            ),
+            s AS (
+              SELECT greatest(0.0, 10.0 - (least(2.5, 2.0 * nmt) + least(2.5, 0.5 * nlt)
+                                           + least(2.5, 0.5 * nmd))) AS seo,
+                     greatest(0.0, 10.0 - (least(2.5, 2.0 * n404)
+                                           + least(5.0, 5.0 * n5xx))) AS bp
+              FROM c
+            )
+            SELECT key, value FROM (
+              SELECT 'crawler' AS key, 3.0::DOUBLE AS value
+              UNION ALL SELECT 'options', 0.0
+              UNION ALL SELECT 'results', n_visited::DOUBLE FROM c
+              UNION ALL SELECT 'stats', 7.0
+              UNION ALL SELECT 'summary',
+                ((nmt > 0)::INT + (nlt > 0)::INT + (nmd > 0)::INT
+                 + (n404 > 0)::INT + n5xx_codes)::DOUBLE FROM c
+              UNION ALL SELECT 'tables', 10.0
+              UNION ALL SELECT 'qualityScores', 2.0
+              UNION ALL SELECT 'extraColumnsFromAnalysis', 2.0
+              UNION ALL SELECT 'tables:content-types', least(n_ct, 200)::DOUBLE FROM c
+              UNION ALL SELECT 'tables:source-domains', least(n_host, 200)::DOUBLE FROM c
+              UNION ALL SELECT 'tables:fastest-urls', least(n_html, 20)::DOUBLE FROM c
+              UNION ALL SELECT 'tables:slowest-urls', least(n_html, 20)::DOUBLE FROM c
+              UNION ALL SELECT 'tables:non-unique-titles', least(n_dupt, 10)::DOUBLE FROM c
+              UNION ALL SELECT 'tables:404-pages', least(n404, 200)::DOUBLE FROM c
+              UNION ALL SELECT 'tables:redirects', least(n_redir, 200)::DOUBLE FROM c
+              UNION ALL SELECT 'tables:http-headers', least(n_hdr, 200)::DOUBLE FROM c
+              UNION ALL SELECT 'tables:caching', least(n_ct, 200)::DOUBLE FROM c
+              UNION ALL SELECT 'tables:skipped-urls', least(n_skip, 200)::DOUBLE FROM c
+              UNION ALL SELECT 'score:accessibility', 10.0
+              UNION ALL SELECT 'score:best_practice', bp FROM s
+              UNION ALL SELECT 'score:performance', 10.0
+              UNION ALL SELECT 'score:security', 10.0
+              UNION ALL SELECT 'score:seo', seo FROM s
+              UNION ALL SELECT 'score:total',
+                (0.25 * seo + 0.25 * bp + 0.2 * 10.0 + 0.15 * 10.0 + 0.15 * 10.0) / 1.0 FROM s
+              UNION ALL SELECT 'gate:exit_code', 0.0
+              UNION ALL SELECT 'support:brotli-support', n_br::DOUBLE FROM c WHERE n_html > 0
+              UNION ALL SELECT 'support:webp-support', n_webp::DOUBLE FROM c WHERE n_img > 0
+              UNION ALL SELECT 'support:avif-support', n_avif::DOUBLE FROM c WHERE n_img > 0
+            )
         """,
         # external-links analyzer: target counts + 5 lexicographically
         # smallest example sources, re-derived from the arithmetic link
