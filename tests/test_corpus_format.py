@@ -78,8 +78,33 @@ def test_legacy_meta_defaults_to_parquet(tmp_path):
     assert found.all()
 
 
+_HAS_LANCE = __import__("importlib.util", fromlist=["util"]).find_spec("lance") is not None
+
+
 def test_unknown_and_unavailable_formats_error_clearly():
     with pytest.raises(ValueError, match="unknown corpus bucket format"):
         C.get_bucket_format("orc")
-    with pytest.raises(ImportError, match="lance"):
-        C.get_bucket_format("lance")  # wheel absent in this sandbox
+    if not _HAS_LANCE:
+        with pytest.raises(ImportError, match="lance"):
+            C.get_bucket_format("lance")  # wheel absent in this sandbox
+
+
+@pytest.mark.skipif(not _HAS_LANCE, reason="lance wheel not installed in this sandbox")
+def test_lance_roundtrip_end_to_end(tmp_path):
+    """Real LanceBucketFormat round-trip — proves the seam the day the
+    dependency appears: write buckets as Lance datasets, read them back
+    through CorpusReader.lookup with identical rows, no parquet files on
+    disk."""
+    docs = _docs()
+    path = str(tmp_path / "corpus")
+    C.write_corpus(docs, path, num_buckets=3, bucket_format="lance")
+    assert json.load(open(os.path.join(path, "_meta.json")))["format"] == "lance"
+    assert not any(
+        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
+    ), "lance format must own the physical files"
+    r = C.CorpusReader(path)
+    assert r.format.name == "lance"
+    urls = docs["doc_id"].to_pylist()
+    found, rows = r.lookup(np.array(urls, dtype=object), keys=xxh64_strings(urls))
+    assert found.all()
+    assert rows["doc_id"].to_pylist() == urls
