@@ -28,6 +28,83 @@ import json
 import os
 import sys
 
+# Reference option strings (options/core_options.rs) that parse here but
+# are inert in corpus mode: {option: (kind, reason)}.  kind "flag" =
+# reference OptionType::Bool (bare flag or --x=false), anything else
+# takes a value.  Supplying one prints a warning naming the reason —
+# accept-and-record, never a parse error, so every reference command
+# line runs unchanged.
+_WHY_AI = "AI phase (reference src/ai/) needs an external LLM endpoint"
+_WHY_BROWSER = "needs a headless Chromium (reference src/browser/)"
+_WHY_HTTP = "live-HTTP knob; corpus-mode fetches are keyed lookups"
+_WHY_CACHE = ("live-HTTP response cache (sources/http_cache.py CachedFetcher); "
+              "corpus mode does not fetch over HTTP")
+_WHY_TTY = "terminal-presentation knob; no interactive TTY UI here"
+_WHY_STORE = "result storage is the workdir parquet lineage (see --workdir)"
+
+INERT_OPTIONS: dict[str, tuple[str, str]] = {
+    # --- AI phase ---------------------------------------------------------
+    **{o: ("value", _WHY_AI) for o in (
+        "--ai-actions", "--ai-api-key", "--ai-api-key-env", "--ai-api-key-file",
+        "--ai-cache-dir", "--ai-endpoint", "--ai-exclude", "--ai-extra-body",
+        "--ai-include", "--ai-language", "--ai-max-concurrency", "--ai-max-pages",
+        "--ai-max-reqs-per-sec", "--ai-max-tokens", "--ai-model", "--ai-prompt",
+        "--ai-prompt-file", "--ai-provider", "--ai-synthesis-extra-body",
+        "--ai-temperature", "--ai-timeout",
+    )},
+    **{o: ("flag", _WHY_AI) for o in (
+        "--ai-dry-run", "--ai-seo-affects-score", "--ai-use-max-completion-tokens",
+    )},
+    # --- headless browser / screenshots / console capture -----------------
+    **{o: ("value", _WHY_BROWSER) for o in (
+        "--browser-path", "--browser-timeout", "--browser-wait",
+        "--browser-wait-extra", "--browser-workers", "--console-max-messages",
+        "--console-msg-max-chars", "--console-total-max-kb", "--console-width",
+        "--device", "--ffmpeg-path", "--screenshot-format",
+        "--screenshot-hide-selector", "--screenshot-mode", "--screenshot-quality",
+        "--screenshot-viewport", "--screenshots-animation",
+        "--screenshots-animation-frame-duration", "--screenshots-animation-width",
+        "--screenshots-dir", "--websocket-server",
+    )},
+    **{o: ("flag", _WHY_BROWSER) for o in (
+        "--browser", "--browser-auto-download", "--browser-headful",
+        "--browser-no-sandbox", "--browser-render-all",
+        "--remove-all-anchor-listeners", "--screenshot-hide-cookie-banners",
+        "--screenshots",
+    )},
+    # --- live-HTTP transport ----------------------------------------------
+    **{o: ("value", _WHY_HTTP) for o in (
+        "--accept-encoding", "--http-auth", "--proxy", "--resolve", "--timeout",
+    )},
+    **{o: ("flag", _WHY_HTTP) for o in (
+        "--accept-invalid-certs", "--add-random-query-params",
+    )},
+    # --- live-HTTP response cache -----------------------------------------
+    "--http-cache-dir": ("value", _WHY_CACHE),
+    "--http-cache-ttl": ("value", _WHY_CACHE),
+    "--http-cache-compression": ("flag", _WHY_CACHE),
+    "--no-cache": ("flag", _WHY_CACHE),
+    # --- terminal presentation --------------------------------------------
+    **{o: ("flag", _WHY_TTY) for o in (
+        "--force-color", "--no-color", "--hide-progress-bar",
+        "--show-inline-criticals", "--show-inline-warnings",
+    )},
+    # --- storage / runtime -------------------------------------------------
+    "--result-storage": ("value", _WHY_STORE),
+    "--result-storage-dir": ("value", _WHY_STORE),
+    "--memory-limit": ("value", "worker memory is sized by Ray resources"),
+    # --- processing knobs with engine-side equivalents ----------------------
+    "--ignore-html-comments": (
+        "flag", "live-HTML extraction flag (functions/html_extract.ExtractFlags"
+                ".ignore_comments); corpus spans are pre-extracted"),
+    "--disable-astro-inline-modules": (
+        "flag", "Astro processor offline-transform detail "
+                "(functions/processors.py) not exposed per-run"),
+    "--max-heading-level": (
+        "value", "page-checks knob (functions/page_checks.seo_checks "
+                 "max_heading_level) outside the CLI report flow"),
+}
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -65,7 +142,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-url-length", type=int, default=2083)
     p.add_argument("--max-depth", type=int, default=None)
     p.add_argument("--max-reqs-per-sec", type=float, default=None)
-    p.add_argument("--max-non200-per-basename", type=int, default=5)
+    p.add_argument("--max-non200-per-basename", "--max-non200-responses-per-basename",
+                   type=int, default=5)
     # URL filtering (crawler.rs:1018-1187 gauntlet options)
     p.add_argument("--allowed-domain", "--allowed-domain-for-crawling", "-adc",
                    action="append", default=[], dest="allowed_domain")
@@ -120,7 +198,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "to stdout (output/json_output.rs)")
     p.add_argument("--output-json-file")
     p.add_argument("--output-text-file")
-    p.add_argument("--output-html-file")
+    p.add_argument("--output-html-file", "--output-html-report")
+    p.add_argument("--analyzer-filter-regex", "--analyzer-filter-regexp",
+                   dest="analyzer_filter_regex", default=None,
+                   help="only report tables whose aplCode matches this regex "
+                        "(core_options.rs analyzer filter)")
     # output display options (super_table.rs:22 hard rows limit default;
     # text_output.rs:349-354 origin stripping, :429-431 URL truncation)
     p.add_argument("--rows-limit", type=int, default=200,
@@ -149,7 +231,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--add-timestamp-to-output-file", action="store_true")
     # result storage (README.md:562-565 --result-storage-compression analogue:
     # parquet codec for the visited parts)
-    p.add_argument("--result-storage-compression",
+    # reference form is a bare Bool (gzip on/off); bare flag → gzip,
+    # an explicit value picks the parquet codec for the visited parts
+    p.add_argument("--result-storage-compression", nargs="?", const="gzip",
                    choices=["snappy", "gzip", "zstd", "none"], default="snappy")
     # sitemap settings (core_options.rs:147-151)
     p.add_argument("--sitemap-xml-file")
@@ -238,6 +322,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ci-max-score-drop", type=float, default=None)
     p.add_argument("--ci-junit-file")
     p.add_argument("--ci-github-annotations", action="store_true")
+    # reference option tail: every remaining core_options.rs option
+    # string parses but is inert in corpus mode (a warning names the
+    # reason when one is actually supplied), so any reference command
+    # line runs here unchanged
+    for opt, (kind, _why) in INERT_OPTIONS.items():
+        if kind == "flag":
+            # reference Bool options accept bare "--x" and "--x=false"
+            p.add_argument(opt, nargs="?", const="true", default=None,
+                           help=argparse.SUPPRESS)
+        else:
+            p.add_argument(opt, default=None, help=argparse.SUPPRESS)
     return p
 
 
@@ -294,6 +389,11 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
     if argv is None:
         argv = sys.argv[1:]
     args = build_parser().parse_args(_merge_config_args(list(argv)))
+
+    for opt, (_kind, why) in INERT_OPTIONS.items():
+        if getattr(args, opt.lstrip("-").replace("-", "_"), None) is not None:
+            print(f"WARNING: {opt} accepted but inert in corpus mode: {why}",
+                  file=sys.stderr)
 
     if args.timezone:
         # main.rs:15-33: set TZ before anything renders a local time so
@@ -528,7 +628,8 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
         report = write_report_json(res, visited_ds, _outfile(args.output_json_file, "json"),
                                    config=cfg, table_cache=table_cache,
                                    extras_table=extras_table,
-                                   rows_limit=args.rows_limit)
+                                   rows_limit=args.rows_limit,
+                                   analyzer_filter=args.analyzer_filter_regex)
     if args.output_text_file:
         from .pipelines.report_text import write_text_report
 
@@ -541,7 +642,8 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
                           show_scheme_and_host=args.show_scheme_and_host,
                           do_not_truncate_url=args.do_not_truncate_url,
                           url_column_size=args.url_column_size,
-                          hide_columns=hide)
+                          hide_columns=hide,
+                          analyzer_filter=args.analyzer_filter_regex)
     # HTML report content is generated once if ANY consumer needs it:
     # file, mailer, or upload (manager.rs:487-500)
     html_report_needed = bool(args.output_html_file or args.mail_to or args.upload)
@@ -552,7 +654,8 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
         sections = args.html_report_options.split(",") if args.html_report_options else None
         html_content = render_html_report(
             build_report(res, visited_ds, cfg, table_cache=table_cache,
-                         extras_table=extras_table, rows_limit=None),
+                         extras_table=extras_table, rows_limit=None,
+                         analyzer_filter=args.analyzer_filter_regex),
             sections,
         )
         if args.output_html_file:
@@ -604,7 +707,8 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
 
         print(json.dumps(
             build_report(res, visited_ds, cfg, table_cache=table_cache,
-                         extras_table=extras_table, rows_limit=args.rows_limit),
+                         extras_table=extras_table, rows_limit=args.rows_limit,
+                         analyzer_filter=args.analyzer_filter_regex),
             default=str))
 
     # ---- full CI gate (--ci; ci_gate.rs:34-315; exit 10 on failure) ----

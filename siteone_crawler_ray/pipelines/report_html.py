@@ -320,13 +320,15 @@ def render_html_report(report: dict, allowed_sections: list[str] | None = None) 
 
 def write_html_report(res, visited_ds, path: str, config=None,
                       allowed_sections: list[str] | None = None,
-                      table_cache: dict | None = None) -> str:
+                      table_cache: dict | None = None,
+                      analyzer_filter: str | None = None) -> str:
     from .report_json import build_report
 
     # rows_limit=None: the reference HTML report ignores the global hard
     # rows limit (report.rs:1206 set_ignore_hard_rows_limit)
     html = render_html_report(
-        build_report(res, visited_ds, config, table_cache=table_cache, rows_limit=None),
+        build_report(res, visited_ds, config, table_cache=table_cache, rows_limit=None,
+                     analyzer_filter=analyzer_filter),
         allowed_sections,
     )
     with open(path, "w") as f:

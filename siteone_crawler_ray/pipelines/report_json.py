@@ -43,7 +43,8 @@ def _table_block(apl_code: str, t: pa.Table) -> dict:
 
 def build_report(res, visited_ds, config=None, table_cache: dict | None = None,
                  extras_table: pa.Table | None = None,
-                 rows_limit: int | None = 200) -> dict:
+                 rows_limit: int | None = 200,
+                 analyzer_filter: str | None = None) -> dict:
     """``table_cache`` (optional dict keyed by the report function name)
     lets a caller that already computed some report tables over the SAME
     visited dataset reuse them instead of re-running the aggregation —
@@ -75,18 +76,27 @@ def build_report(res, visited_ds, config=None, table_cache: dict | None = None,
     status_t = get(RP.count_by_status, visited_ds)
     findings = SC.findings_from_reports(findings_t, status_t)
     quality = SC.score(findings)
-    tables = {
-        "content-types": get(RP.content_type_table, visited_ds),
-        "source-domains": get(RP.source_domains_table, visited_ds),
-        "fastest-urls": get(RP.fastest_table, visited_ds),
-        "slowest-urls": get(RP.slowest_table, visited_ds),
-        "non-unique-titles": get(RP.title_uniqueness_table, visited_ds),
-        "404-pages": get(RP.page404_table, visited_ds),
-        "redirects": get(RP.redirects_table, visited_ds),
-        "http-headers": get(RP.headers_inventory_table, visited_ds),
-        "caching": get(RP.caching_table, visited_ds),
-        "skipped-urls": get(RP.skipped_by_reason_table, res.skipped),
-    }
+    # --analyzer-filter-regex (core_options.rs analyzer filter): a
+    # non-matching SuperTable is skipped ENTIRELY — its aggregation
+    # never runs, like the reference not instantiating the analyzer
+    table_specs: list[tuple[str, object, tuple]] = [
+        ("content-types", RP.content_type_table, (visited_ds,)),
+        ("source-domains", RP.source_domains_table, (visited_ds,)),
+        ("fastest-urls", RP.fastest_table, (visited_ds,)),
+        ("slowest-urls", RP.slowest_table, (visited_ds,)),
+        ("non-unique-titles", RP.title_uniqueness_table, (visited_ds,)),
+        ("404-pages", RP.page404_table, (visited_ds,)),
+        ("redirects", RP.redirects_table, (visited_ds,)),
+        ("http-headers", RP.headers_inventory_table, (visited_ds,)),
+        ("caching", RP.caching_table, (visited_ds,)),
+        ("skipped-urls", RP.skipped_by_reason_table, (res.skipped,)),
+    ]
+    if analyzer_filter:
+        import re
+
+        rx = re.compile(analyzer_filter)
+        table_specs = [s for s in table_specs if rx.search(s[0])]
+    tables = {name: get(fn, *fargs) for name, fn, fargs in table_specs}
     stats = get(RP.basic_stats, visited_ds).to_pylist()[0]
     results = res.visited_table(columns=RESULT_COLUMNS).to_pylist()
     extra_names: list[str] = []
@@ -123,9 +133,11 @@ def build_report(res, visited_ds, config=None, table_cache: dict | None = None,
 def write_report_json(res, visited_ds, path: str, config=None,
                       table_cache: dict | None = None,
                       extras_table: pa.Table | None = None,
-                      rows_limit: int | None = 200) -> dict:
+                      rows_limit: int | None = 200,
+                      analyzer_filter: str | None = None) -> dict:
     report = build_report(res, visited_ds, config, table_cache=table_cache,
-                          extras_table=extras_table, rows_limit=rows_limit)
+                          extras_table=extras_table, rows_limit=rows_limit,
+                          analyzer_filter=analyzer_filter)
     with open(path, "w") as f:
         json.dump(report, f, default=str)
     return report

@@ -164,12 +164,14 @@ def write_text_report(res, visited_ds, path: str, config=None,
                       show_scheme_and_host: bool = False,
                       do_not_truncate_url: bool = False,
                       url_column_size: int | None = None,
-                      hide_columns: tuple[str, ...] = ()) -> str:
+                      hide_columns: tuple[str, ...] = (),
+                      analyzer_filter: str | None = None) -> str:
     from ..functions.urls import host_of
     from .report_json import build_report
 
     report = build_report(res, visited_ds, config, table_cache=table_cache,
-                          extras_table=extras_table, rows_limit=rows_limit)
+                          extras_table=extras_table, rows_limit=rows_limit,
+                          analyzer_filter=analyzer_filter)
     visited = res.visited_table(
         columns=["url", "status_code", "content_type", "request_time", "size"]
     )

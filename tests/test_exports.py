@@ -1023,3 +1023,32 @@ def test_output_json_prints_report_to_stdout(ray_session, tmp_path, capsys):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["stats"]["total_urls"] > 0 and "results" in rep
+
+
+def test_analyzer_filter_regex_limits_report_tables(ray_session, tmp_path, capsys):
+    """--analyzer-filter-regex (core_options.rs analyzer filter): only
+    SuperTables whose aplCode matches appear — the skipped aggregations
+    never run (reference parity: a filtered analyzer is not
+    instantiated)."""
+    import json
+    import os
+
+    from siteone_crawler_ray.cli import main
+    from siteone_crawler_ray.sources.corpus import make_graph_corpus, write_corpus
+
+    tabs = make_graph_corpus(seed=8, hosts=1, total_pages=40)
+    cp = str(tmp_path / "corpus")
+    write_corpus(tabs["documents"], cp, num_buckets=2)
+    with open(os.path.join(cp, "robots.json"), "w") as f:
+        json.dump({}, f)
+    out = tmp_path / "report.json"
+    rc = main(["--url", tabs["seeds"]["url"].to_pylist()[0],
+               "--corpus", cp, "--workdir", str(tmp_path / "work"),
+               "--workers", "2", "--num-shards", "2",
+               "--analyzer-filter-regexp", "content-types|caching",
+               "--output-json-file", str(out)],
+              init_ray=False)
+    assert rc == 0
+    rep = json.loads(out.read_text())
+    codes = sorted(t["aplCode"] for t in rep["tables"])
+    assert codes == ["caching", "content-types"]
