@@ -4,13 +4,14 @@ Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata, processed by actor-pool ``map_batches`` stages.
 
 Codec support is honest about the environment: ``decoder="real"``
-decodes the UNCOMPRESSED containers this module implements in pure
-numpy — RIFF/WAVE 16-bit PCM (``decode_wav``) and Windows BMP 24-bit
-(``decode_bmp``), both public formats — and raises
-``NotImplementedError`` for codec formats (JPEG/WebP/MP3/MP4); PNG
-(8-bit gray/RGB/RGBA, all five row filters) and BMP/WAV have real
-pure-Python codecs here,
-whose codec libraries (PIL/ffmpeg) are NOT in this container.
+decodes the formats this module implements in pure Python/numpy —
+RIFF/WAVE 16-bit PCM (``decode_wav``), Windows BMP 24-bit
+(``decode_bmp``), PNG 8-bit gray/RGB/RGBA with all five row filters
+(``decode_png``), and baseline sequential JPEG (``decode_jpeg``:
+Annex-K Huffman, 4:4:4/4:2:2/4:2:0, grayscale, restart intervals) —
+and raises ``NotImplementedError`` for the rest (progressive JPEG,
+WebP/AVIF, MP3/MP4), whose codec libraries (PIL/ffmpeg) are NOT in
+this container.
 ``decoder="fake"`` (the default for arbitrary payloads) derives
 deterministic metadata from the payload hash so the Ray-side plumbing
 — schema, batch sizing for wide binary rows, actor signature,
@@ -219,15 +220,527 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(h, w, c)
 
 
+# ---- baseline JPEG codec (ITU-T T.81 baseline sequential DCT) -------------
+#
+# Pure Python/numpy: Annex K quantization + Huffman tables, IJG quality
+# scaling, 8×8 DCT via matrix multiplication, 4:4:4 and 4:2:0 chroma,
+# grayscale, restart intervals on decode.  Honest gates: progressive
+# (SOF2), arithmetic coding, 12-bit precision and sampling factors > 2
+# raise NotImplementedError.  The dominant web image format
+# (src/engine/crawler.rs:1557-1596 content-type map) thus decodes here
+# without PIL.
+
+_JPEG_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_JPEG_QL = np.array([  # Annex K.1 luminance
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_JPEG_QC = np.array([  # Annex K.2 chrominance
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 typical Huffman tables: (BITS counts per code length 1..16,
+# HUFFVAL symbol list)
+_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+_AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+
+def _dct_basis() -> np.ndarray:
+    u, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    c = np.where(u == 0, 1.0 / np.sqrt(2.0), 1.0) * 0.5
+    return c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+
+
+_DCT_C = _dct_basis()  # F = C @ f @ C.T ; f = C.T @ F @ C
+
+
+def _jpeg_qtables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling (libjpeg jcparam.c convention, public)."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    def s(base):
+        return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+    return s(_JPEG_QL), s(_JPEG_QC)
+
+
+def _huff_encode_table(bits, vals) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length), canonical assignment."""
+    out, code = {}, 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits, vals) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol."""
+    out, code = {}, 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing (B.1.1.5)
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """v → (category, category-bit pattern) per F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = int(a).bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def _encode_block(zz: np.ndarray, pred: int, dc_tab, ac_tab, bw: _BitWriter) -> int:
+    s, b = _magnitude(int(zz[0]) - pred)
+    code, ln = dc_tab[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(b, s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s, b = _magnitude(v)
+        code, ln = ac_tab[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(b, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_tab[0x00]  # EOB
+        bw.write(code, ln)
+    return int(zz[0])
+
+
+def _plane_blocks(plane: np.ndarray, qtab_rm: np.ndarray) -> np.ndarray:
+    """(H8, W8) uint8 plane → (n_blocks_y, n_blocks_x, 64) quantized
+    coefficients in zigzag (stream) order.  ``qtab_rm`` is row-major;
+    stream position k is row-major index ``_JPEG_ZZ[k]``, so the final
+    gather by ``_JPEG_ZZ`` converts to stream order."""
+    h, w = plane.shape
+    f = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).astype(np.float64) - 128.0
+    F = np.einsum("ux,nmxy,vy->nmuv", _DCT_C, f, _DCT_C)
+    q = np.rint(F / qtab_rm.reshape(8, 8)).astype(np.int64)
+    return q.reshape(q.shape[0], q.shape[1], 64)[:, :, _JPEG_ZZ]
+
+
+def _pad_edge(plane: np.ndarray, bh: int, bw_: int) -> np.ndarray:
+    h, w = plane.shape
+    H = -(-h // bh) * bh
+    W = -(-w // bw_) * bw_
+    return np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90,
+                subsampling: str = "444", restart_interval: int = 0) -> bytes:
+    """(H, W) / (H, W, 1) gray or (H, W, 3) RGB uint8 → baseline
+    sequential JPEG bytes (Annex K tables, IJG quality scaling,
+    ``subsampling`` ∈ {"444", "420"} for color;
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs with DC-predictor resets)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 3 and px.shape[2] == 1:
+        px = px[:, :, 0]
+    gray = px.ndim == 2
+    if subsampling not in ("444", "420"):
+        raise ValueError(subsampling)
+    h, w = px.shape[:2]
+    ql, qc = _jpeg_qtables(quality)
+    if gray:
+        planes = [px.astype(np.float64)]
+    else:
+        r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+    planes = [np.clip(np.rint(p), 0, 255).astype(np.uint8) for p in planes]
+
+    sub = 2 if (not gray and subsampling == "420") else 1
+    if sub == 2:
+        yp = _pad_edge(planes[0], 16, 16)
+        # 2×2 box average, round half up — the classic chroma downsample
+        def down(p):
+            p = _pad_edge(p, 2, 2).astype(np.int64)
+            q = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2] + 2) // 4
+            return _pad_edge(q.astype(np.uint8), 8, 8)
+        cps = [down(planes[1]), down(planes[2])] if not gray else []
+    else:
+        yp = _pad_edge(planes[0], 8, 8)
+        cps = [_pad_edge(p, 8, 8) for p in planes[1:]]
+
+    yblocks = _plane_blocks(yp, ql)
+    cblocks = [_plane_blocks(p, qc) for p in cps]
+
+    dc_l, ac_l = _huff_encode_table(*_DC_L), _huff_encode_table(*_AC_L)
+    dc_c, ac_c = _huff_encode_table(*_DC_C), _huff_encode_table(*_AC_C)
+    # per-MCU block schedule: [(zigzag coeffs, comp idx, dc tab, ac tab)]
+    mcus: list[list] = []
+    if gray:
+        for by in range(yblocks.shape[0]):
+            for bx in range(yblocks.shape[1]):
+                mcus.append([(yblocks[by, bx], 0, dc_l, ac_l)])
+    else:
+        for my in range(yblocks.shape[0] // sub):
+            for mx in range(yblocks.shape[1] // sub):
+                blocks = [(yblocks[my * sub + dy, mx * sub + dx], 0, dc_l, ac_l)
+                          for dy in range(sub) for dx in range(sub)]
+                blocks.append((cblocks[0][my, mx], 1, dc_c, ac_c))
+                blocks.append((cblocks[1][my, mx], 2, dc_c, ac_c))
+                mcus.append(blocks)
+    bwr = _BitWriter()
+    preds = [0, 0, 0]
+    scan_parts: list[bytes] = []
+    for n, mcu in enumerate(mcus):
+        if restart_interval and n and n % restart_interval == 0:
+            scan_parts.append(bwr.flush())
+            scan_parts.append(
+                bytes([0xFF, 0xD0 + ((n // restart_interval - 1) % 8)]))
+            bwr = _BitWriter()
+            preds = [0, 0, 0]
+        for zz, ci, dct, act in mcu:
+            preds[ci] = _encode_block(zz, preds[ci], dct, act, bwr)
+    scan_parts.append(bwr.flush())
+    scan = b"".join(scan_parts)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(tc_th: int, bits, vals) -> bytes:
+        return bytes([tc_th]) + bytes(bits) + bytes(vals)
+
+    out = [b"\xff\xd8"]  # SOI
+    out.append(seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"))
+    out.append(seg(0xFFDB, b"\x00" + bytes(ql[_JPEG_ZZ].astype(np.uint8))))
+    if not gray:
+        out.append(seg(0xFFDB, b"\x01" + bytes(qc[_JPEG_ZZ].astype(np.uint8))))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    if gray:
+        sof += bytes([1, 0x11, 0])
+    else:
+        sof += bytes([1, (sub << 4) | sub, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out.append(seg(0xFFC0, sof))
+    out.append(seg(0xFFC4, dht(0x00, *_DC_L)))
+    out.append(seg(0xFFC4, dht(0x10, *_AC_L)))
+    if not gray:
+        out.append(seg(0xFFC4, dht(0x01, *_DC_C)))
+        out.append(seg(0xFFC4, dht(0x11, *_AC_C)))
+    if restart_interval:
+        out.append(seg(0xFFDD, struct.pack(">H", restart_interval)))
+    sos = bytes([ncomp])
+    sos += bytes([1, 0x00]) if gray else bytes([1, 0x00, 2, 0x11, 3, 0x11])
+    sos += bytes([0, 63, 0])
+    out.append(seg(0xFFDA, sos))
+    out.append(scan)
+    out.append(b"\xff\xd9")  # EOI
+    return b"".join(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.bits):
+            raise NotImplementedError("truncated JPEG entropy segment")
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.read_bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise NotImplementedError("invalid JPEG Huffman code")
+
+
+def _receive_extend(br: _BitReader, s: int) -> int:
+    if s == 0:
+        return 0
+    v = br.read(s)
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_block(br: _BitReader, dc_tab, ac_tab, pred: int,
+                  qtab_zz: np.ndarray) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, dtype=np.int64)
+    s = _huff_decode(br, dc_tab)
+    dc = pred + _receive_extend(br, s)
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = _huff_decode(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise NotImplementedError("corrupt JPEG AC run")
+        zz[k] = _receive_extend(br, s)
+        k += 1
+    rm = np.zeros(64, dtype=np.float64)
+    rm[_JPEG_ZZ] = zz * qtab_zz  # dezigzag + dequantize
+    f = _DCT_C.T @ rm.reshape(8, 8) @ _DCT_C
+    return np.clip(np.rint(f + 128.0), 0, 255).astype(np.uint8), dc
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential JPEG → (H, W, C) uint8 (C = 1 gray / 3 RGB).
+
+    Supports Huffman baseline (SOF0) and extended sequential (SOF1),
+    8-bit precision, sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0),
+    restart intervals; chroma upsampling is nearest-neighbour
+    (deterministic; decoders may legally differ here, T.81 leaves the
+    filter open).  Progressive (SOF2), arithmetic coding (SOF9+),
+    hierarchical and 12-bit variants raise NotImplementedError."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None
+    restart = 0
+    scan_comps = None
+    scan_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise NotImplementedError("desynchronized JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT (tables arrive zigzagged)
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                zzt = np.frombuffer(body, dtype=np.uint8, count=64, offset=o + 1)
+                qtabs[tq] = zzt.astype(np.int64)
+                o += 65
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0x0F
+                bits = list(body[o + 1 : o + 17])
+                nv = sum(bits)
+                vals = list(body[o + 17 : o + 17 + nv])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decode_table(bits, vals)
+                o += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both Huffman sequential)
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG precision")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
+                hi, vi = hv >> 4, hv & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise NotImplementedError(f"JPEG sampling factor {hi}x{vi}")
+                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline/extended sequential Huffman JPEG is supported "
+                f"(SOF marker 0xFF{marker:02X})")
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = [(body[1 + i * 2], body[2 + i * 2] >> 4, body[2 + i * 2] & 0x0F)
+                          for i in range(ns)]
+            scan_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if frame is None or scan_comps is None:
+        raise NotImplementedError("malformed JPEG: missing SOF/SOS")
+
+    # split the entropy-coded data at RST markers, destuff 0xFF00
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = scan_start
+    while p < len(payload):
+        b = payload[p]
+        if b == 0xFF and p + 1 < len(payload):
+            nb = payload[p + 1]
+            if nb == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nb <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        p += 1
+    segments.append(bytes(cur))
+
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    fh, fw = frame["h"], frame["w"]
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    planes = {}
+    for c in frame["comps"]:
+        planes[c["id"]] = np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.uint8)
+    order = []  # per-MCU block schedule: (comp dict, dc, ac, qtab)
+    by_id = {c["id"]: c for c in frame["comps"]}
+    for cid, td, ta in scan_comps:
+        c = by_id[cid]
+        order.append((c, dc_tabs.get(td), ac_tabs.get(ta), qtabs.get(c["tq"])))
+        if order[-1][1] is None or order[-1][2] is None or order[-1][3] is None:
+            raise NotImplementedError("JPEG scan references an undefined table")
+
+    seg_i = 0
+    br = _BitReader(segments[0])
+    preds = {c["id"]: 0 for c in frame["comps"]}
+    mcu_n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_n and mcu_n % restart == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise NotImplementedError("truncated JPEG: missing restart segment")
+                br = _BitReader(segments[seg_i])
+                preds = {c["id"]: 0 for c in frame["comps"]}
+            for c, dct, act, qt in order:
+                for dy in range(c["v"]):
+                    for dx in range(c["h"]):
+                        blk, preds[c["id"]] = _decode_block(br, dct, act,
+                                                            preds[c["id"]], qt)
+                        y0 = (my * c["v"] + dy) * 8
+                        x0 = (mx * c["h"] + dx) * 8
+                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = blk
+            mcu_n += 1
+
+    if len(frame["comps"]) == 1:
+        return planes[frame["comps"][0]["id"]][:fh, :fw][:, :, None]
+    full = []
+    for c in frame["comps"]:
+        p_ = planes[c["id"]]
+        if c["h"] < hmax or c["v"] < vmax:
+            p_ = np.repeat(np.repeat(p_, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p_[:fh, :fw].astype(np.float64))
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch: BMP or PNG → (H, W, C) uint8;
-    NotImplementedError for everything else (JPEG/WebP/… need codecs
-    absent from this container)."""
+    """Magic-byte dispatch: BMP, PNG or baseline JPEG → (H, W, C)
+    uint8; NotImplementedError for everything else (WebP/AVIF/… need
+    codecs absent from this container)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
-    raise NotImplementedError("unsupported image container (BMP/PNG only)")
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
+    raise NotImplementedError("unsupported image container (BMP/PNG/JPEG only)")
 
 
 def synthesize_real_media_table(n: int = 240) -> pa.Table:
@@ -239,6 +752,11 @@ def synthesize_real_media_table(n: int = 240) -> pa.Table:
 
     - image ``i``: width ``16+(i%8)*4``, height ``12+(i%5)*4``, every
       pixel channel ``(i*7)%256`` → mean pixel is exactly that value.
+      The container cycles BMP → PNG → JPEG across image rows
+      (``(i//3)%3``); JPEG rows encode at quality 100 (all-ones quant
+      tables), where a constant-color image is DC-only and round-trips
+      EXACTLY, so all three codecs share the same arithmetic oracle.
+      JPEG rows alternate 4:2:0 / 4:4:4 chroma.
     - audio ``i``: 8 kHz, ``400+(i%7)*100`` samples, alternating
       ±(1000+10·i) square wave → RMS energy is exactly ``1000+10·i``,
       duration ``n_samples/8000``.
@@ -251,8 +769,18 @@ def synthesize_real_media_table(n: int = 240) -> pa.Table:
             w, h = 16 + (i % 8) * 4, 12 + (i % 5) * 4
             px = np.full((h, w, 3), (i * 7) % 256, dtype=np.uint8)
             kinds.append("image")
-            payloads.append(encode_bmp(px))
-            mimes.append("image/bmp")
+            fmt = (i // 3) % 3
+            if fmt == 0:
+                payloads.append(encode_bmp(px))
+                mimes.append("image/bmp")
+            elif fmt == 1:
+                payloads.append(encode_png(px))
+                mimes.append("image/png")
+            else:
+                payloads.append(encode_jpeg(
+                    px, quality=100,
+                    subsampling="420" if (i // 3) % 2 == 0 else "444"))
+                mimes.append("image/jpeg")
         elif m == 1:
             ns, amp = 400 + (i % 7) * 100, 1000 + 10 * i
             samples = np.full(ns, amp, dtype=np.int16)
@@ -274,7 +802,7 @@ def synthesize_real_media_table(n: int = 240) -> pa.Table:
 
 class ImageDecodeStage:
     """Actor stage: binary payload → (width, height, n_bytes) + feature
-    vector.  ``decoder='real'`` decodes BMP and 8-bit PNG via
+    vector.  ``decoder='real'`` decodes BMP, 8-bit PNG and baseline JPEG via
     :func:`decode_image` (features: overall + per-channel pixel means,
     /255) and raises NotImplementedError for other formats (PIL
     absent); ``'fake'`` derives dimensions deterministically from the
@@ -362,10 +890,11 @@ class AudioFrameSampleStage:
 
 class ImageResizeStage:
     """Actor stage: (payload, target size) → resized payload + output
-    dims.  ``decoder='real'`` area-average-resizes a decoded BMP to the
-    target and emits raw RGB bytes (compressed formats raise); fake
-    truncates/pads the payload to the target pixel budget so the
-    wide-binary output layout is exercised."""
+    dims.  ``decoder='real'`` area-average-resizes any decodable image
+    (BMP / PNG / baseline JPEG via :func:`decode_image`) to the target
+    and emits raw channel-interleaved bytes (undecodable formats
+    raise); fake truncates/pads the payload to the target pixel budget
+    so the wide-binary output layout is exercised."""
 
     def __init__(self, decoder: str = "fake", target: tuple[int, int] = (224, 224)):
         self.decoder = decoder
@@ -377,7 +906,7 @@ class ImageResizeStage:
             payloads = batch["payload"].to_numpy(zero_copy_only=False)
             out = []
             for p in payloads:
-                px = decode_bmp(p).astype(np.float64)
+                px = decode_image(p).astype(np.float64)
                 h, w = px.shape[0], px.shape[1]
                 # area-average pooling over floor-boundary cells
                 ys = (np.arange(th + 1) * h) // th

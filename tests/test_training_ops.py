@@ -680,3 +680,68 @@ def test_image_decode_stage_handles_png(ray_session):
     r = out.to_pylist()[0]
     assert (r["width"], r["height"]) == (8, 10)
     assert abs(r["features"][0] - round(60 / 255.0, 6)) < 1e-9
+
+
+def test_jpeg_codec_roundtrips_and_gates():
+    """Pure-Python baseline JPEG codec (ITU-T T.81, Annex K tables):
+    exact round-trip for constant-color at quality 100 (DC-only),
+    bounded error on gradients, 4:2:0 + grayscale + restart intervals,
+    honest NotImplementedError for progressive/arithmetic variants."""
+    from siteone_crawler_ray.stages.multimodal import (
+        decode_image, decode_jpeg, encode_jpeg)
+
+    # constant color at q=100: all-ones quant tables, DC-only → EXACT
+    for v in (0, 77, 128, 255):
+        px = np.full((20, 28, 3), v, dtype=np.uint8)
+        for sub in ("444", "420"):
+            out = decode_jpeg(encode_jpeg(px, quality=100, subsampling=sub))
+            assert out.shape == (20, 28, 3) and (out == px).all(), (v, sub)
+    g = np.full((13, 17), 201, dtype=np.uint8)
+    og = decode_jpeg(encode_jpeg(g, quality=100))
+    assert og.shape == (13, 17, 1) and (og[:, :, 0] == g).all()
+
+    # gradient content: lossy but tight at high quality
+    grad = (np.add.outer(np.arange(40) * 3, np.arange(48) * 2) % 256).astype(np.uint8)
+    img = np.stack([grad, grad[::-1], 255 - grad], axis=2)
+    dec = decode_jpeg(encode_jpeg(img, quality=95, subsampling="444"))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8
+    dec420 = decode_jpeg(encode_jpeg(img, quality=90, subsampling="420"))
+    assert np.abs(dec420.astype(int) - img.astype(int)).max() <= 24  # chroma subsampled
+
+    # restart intervals: DRI/RSTn stream decodes IDENTICALLY to plain
+    a = decode_jpeg(encode_jpeg(img, quality=90))
+    b = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=3))
+    assert (a == b).all()
+
+    # magic-byte dispatch reaches the JPEG path
+    assert (decode_image(encode_jpeg(img, quality=90)) == a).all()
+
+    # honest gates: progressive (SOF2) and arithmetic (SOF9) rejected
+    enc = bytearray(encode_jpeg(img))
+    i = enc.find(b"\xff\xc0")
+    for bad in (0xC2, 0xC9):
+        enc[i + 1] = bad
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(enc))
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")  # not a JPEG
+
+
+def test_jpeg_dc_quantization_matches_closed_form():
+    """At quality 25 the Annex-K luminance DC step is 32; a constant
+    gray image must reconstruct to clamp(round(round(8c/32)*32/8)+128)
+    — the closed-form DC path, proving quantization plumbing end to
+    end (not just the q=100 identity).  Values are chosen with
+    (v-128) % 4 ∈ {1, 3} so 8c/32 never lands on a .5 tie (tie
+    direction would depend on float DCT noise)."""
+    from siteone_crawler_ray.stages.multimodal import decode_jpeg, encode_jpeg
+
+    for v in (5, 77, 131, 199, 251):
+        assert (v - 128) % 4 in (1, 3)
+        px = np.full((8, 8), v, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(px, quality=25))
+        c = v - 128
+        expect = int(np.clip(np.rint(np.rint(8 * c / 32) * 32 / 8.0) + 128, 0, 255))
+        assert int(out[0, 0, 0]) == expect, (v, int(out[0, 0, 0]), expect)
+        assert (out == out[0, 0, 0]).all()
+        assert expect != v  # quantization actually quantized
