@@ -119,7 +119,46 @@ def _cpu_stat() -> tuple[int, int]:
         return 0, 0
 
 
+def wait_for_quiet_window(threshold_pct: float | None = None,
+                          probe_sec: float | None = None,
+                          timeout_sec: float | None = None) -> dict:
+    """Block until a /proc/stat steal probe reads below the threshold
+    (default 3% over 15 s), so the BENCH artifact is comparable
+    round-over-round (VERDICT r4 #4: identical code measured 11.9 s
+    and 83 s in one day purely from hypervisor steal).  Gives up after
+    ``timeout_sec`` (default 20 min) and proceeds with the noisy
+    window RECORDED rather than hiding it.  Env overrides:
+    ``GRAFT_STEAL_GATE=0`` disables, ``GRAFT_STEAL_GATE_PCT``,
+    ``GRAFT_STEAL_GATE_PROBE_SEC``, ``GRAFT_STEAL_GATE_TIMEOUT``."""
+    if os.environ.get("GRAFT_STEAL_GATE", "1") == "0":
+        return {"enabled": False}
+    thr = threshold_pct if threshold_pct is not None else float(
+        os.environ.get("GRAFT_STEAL_GATE_PCT", "3.0"))
+    probe = probe_sec if probe_sec is not None else float(
+        os.environ.get("GRAFT_STEAL_GATE_PROBE_SEC", "15"))
+    deadline = time.monotonic() + (timeout_sec if timeout_sec is not None else float(
+        os.environ.get("GRAFT_STEAL_GATE_TIMEOUT", "1200")))
+    waited = 0.0
+    last = None
+    while True:
+        t0, s0 = _cpu_stat()
+        time.sleep(probe)
+        t1, s1 = _cpu_stat()
+        last = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+        waited += probe
+        if last < thr:
+            return {"enabled": True, "probe_pct": last, "waited_sec": round(waited, 1),
+                    "passed": True}
+        if time.monotonic() >= deadline:
+            print(f"steal gate TIMED OUT at {last}% (threshold {thr}%) — "
+                  f"proceeding with a noisy window", file=sys.stderr)
+            return {"enabled": True, "probe_pct": last, "waited_sec": round(waited, 1),
+                    "passed": False}
+        print(f"steal gate: {last}% >= {thr}%, waiting…", file=sys.stderr)
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    gate = wait_for_quiet_window()
     _init_ray(num_cpus)
     import ray.data as rd
 
@@ -184,6 +223,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # % of ALL cpu ticks stolen by the hypervisor during the run —
         # the dominant noise source (single-core probes under-report it)
         "steal_pct": steal_pct,
+        # pre-run quiet-window gate (wait_for_quiet_window): the run
+        # starts only once a 15 s probe reads < 3% steal (or the gate
+        # timed out, recorded as passed=false)
+        "steal_gate": gate,
     }
 
 
@@ -306,19 +349,23 @@ def run_frontier_bench(num_shards: int = 8, total_keys: int = 4_000_000,
     }
 
 
-def run_scaling(sf_dir: str, levels=(2, 8, 32)) -> dict:
-    """Fresh-process runs at three parallelism levels: two N→4N pairs.
+def run_scaling(sf_dir: str, levels=(2, 8, 16, 32)) -> dict:
+    """Fresh-process runs at four parallelism levels: 2→8, 8→16, 16→32.
 
-    Why two pairs: the north rule's criterion is efficiency between
-    cluster sizes N and 4N NODES, where a scale-out multiplies memory
-    bandwidth along with CPUs.  On this single box the memory bus is
-    shared: the crawl saturates it near ~25k pages/s, so the 8→32 pair
-    under-reports what a true node scale-out would give (CPUs ×4,
-    bandwidth ×1), while the 2→8 pair runs entirely in the unsaturated
-    region and isolates the engine's own scaling behaviour.  Both are
-    reported; BASELINE.md carries the saturation analysis."""
+    Why multiple pairs: the north rule's criterion is efficiency
+    between cluster sizes N and 4N NODES, where a scale-out multiplies
+    memory bandwidth along with CPUs.  On this single box the memory
+    bus is shared: the crawl saturates it near ~25-39k pages/s, so the
+    16→32 pair under-reports what a true node scale-out would give
+    (CPUs ×4, bandwidth ×1), while the 2→8 pair runs entirely in the
+    unsaturated region and isolates the engine's own scaling
+    behaviour.  8→16 (VERDICT r4 #3) is the first-class mid pair: it
+    brackets where the box's bus saturates, so it is the hardest pair
+    the engine can still win on one node.  All pairs are reported;
+    BASELINE.md carries the saturation analysis."""
+    gate = wait_for_quiet_window()  # start in a quiet window (r4 #4)
     _scaling_corpus()  # build once outside the timed children
-    # interleave the levels (2,8,32,2,8,32,…) so ambient-load drift on
+    # interleave the levels (2,8,16,32,2,…) so ambient-load drift on
     # the shared sandbox hits every level alike; 3 reps per level
     runs: dict[int, list] = {n: [] for n in levels}
     for _rep in range(3):
@@ -356,18 +403,23 @@ def run_scaling(sf_dir: str, levels=(2, 8, 32)) -> dict:
         eff_min = (results[lo]["crawl_sec"] / results[hi]["crawl_sec"]) / (hi / lo)
         return {"median_pairs": round(eff_median, 3), "min_of_reps": round(eff_min, 3)}
 
-    pairs = {f"{lo}->{hi}": pair_eff(lo, hi) for lo, hi in zip(levels, levels[1:])}
-    lo, hi = levels[-2], levels[-1]
+    pair_list = list(zip(levels, levels[1:]))
+    if 8 in levels and 32 in levels:
+        pair_list.append((8, 32))  # historical headline pair (N→4N)
+    pairs = {f"{lo}->{hi}": pair_eff(lo, hi) for lo, hi in pair_list}
+    lo, hi = (8, 32) if (8, 32) in pair_list else (levels[-2], levels[-1])
     report = {
         "metric": "crawl_scaling_efficiency",
-        # headline stays the top pair (historical comparability); the
-        # unsaturated low pair is reported alongside, not instead
+        # headline stays the 8→32 N→4N pair (historical comparability);
+        # the unsaturated 2→8 and the first-class 8→16 mid pair are
+        # reported alongside, not instead
         "value": pairs[f"{lo}->{hi}"]["median_pairs"],
         "value_min_of_reps": pairs[f"{lo}->{hi}"]["min_of_reps"],
         "pairs": pairs,
         "unit": f"(T{lo}/T{hi})/{hi // lo}, median of interleaved-pair ratios",
         "levels": {str(n): results[n] for n in levels},
         "sf": sf_dir,
+        "steal_gate": gate,
     }
     return report
 
