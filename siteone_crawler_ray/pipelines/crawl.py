@@ -184,25 +184,12 @@ _DISPATCH_FIELDS = [
 
 
 def _assemble_wave(visited_count: int, epoch: int, want_hosts: bool, *parts):
-    """Remote wave assembly: concat the shard drains, priority-sort,
-    annotate seq/wavepos/epoch.  Runs as a Ray task so the full wave
-    table never lands on the driver — the driver gets only (W, host
-    histogram); workers self-select rows straight from the task's
-    output object (plasma, zero-copy)."""
-    parts = [p for p in parts if p is not None and p.num_rows]
-    if not parts:
-        return {"W": 0}, None
-    wave = pa.concat_tables(parts)
-    wave = wave.take(pc.sort_indices(wave, sort_keys=[("priority", "ascending")]))
-    W = wave.num_rows
-    wave = wave.append_column("seq", pa.array(visited_count + np.arange(W), type=pa.int64()))
-    wave = wave.append_column("wavepos", pa.array(np.arange(W), type=pa.int64()))
-    wave = wave.append_column("epoch", pa.array(np.full(W, epoch), type=pa.int32()))
-    meta = {"W": W}
-    if want_hosts:
-        uniq, cnt = np.unique(wave["host"].to_numpy(zero_copy_only=False), return_counts=True)
-        meta["hosts"] = (uniq, cnt)
-    return meta, wave
+    """Wave assembly — shared with the Ray path, which runs it on
+    shard-0's (warm) actor process via
+    :meth:`..stages.frontier.FrontierShardState.assemble_wave`."""
+    from ..stages.frontier import assemble_wave
+
+    return assemble_wave(visited_count, epoch, want_hosts, *parts)
 
 
 class EpochCrawler:
@@ -348,20 +335,6 @@ class EpochCrawler:
         self._offer(entries)
 
     # -- one epoch ----------------------------------------------------------
-    _assemble_remote = None
-
-    @classmethod
-    def _get_assemble_remote(cls):
-        if cls._assemble_remote is None:
-            import ray
-
-            # num_cpus=0: the worker/shard actors may hold every CPU
-            # slot (they're sized to the node); a 1-CPU assembly task
-            # would deadlock behind them.  The task is one concat+sort
-            # between waves, when those actors are idle anyway.
-            cls._assemble_remote = ray.remote(num_cpus=0, num_returns=2)(_assemble_wave)
-        return cls._assemble_remote
-
     def run_epoch(self) -> int:
         """Process one wave; returns number of pages visited (0 → done).
 
@@ -379,7 +352,11 @@ class EpochCrawler:
             import ray
 
             part_refs = [s.drain.remote() for s in self._shards]
-            meta_ref, wave_ref = self._get_assemble_remote().remote(
+            # assemble on shard 0's warm actor, not a task: a num_cpus=0
+            # task may land on a cold worker process whose first Arrow
+            # concat/sort measured ~0.6 s at 16 CPUs (epoch-0 critical
+            # path); shard 0 runs this between waves when it is idle.
+            meta_ref, wave_ref = self._shards[0].assemble_wave.options(num_returns=2).remote(
                 self.visited_count, self.epoch, self.cfg.routing == "host", *part_refs
             )
             meta = ray.get(meta_ref)
@@ -829,16 +806,21 @@ class EpochCrawler:
                     for i, w in enumerate(self._workers)
                 ]
             )
-        if self._use_ray:
+        if self._use_ray and self._shards:
             import ray
 
-            # export + first-schedule of the num_cpus=0 assemble task
-            # costs ~1.3s cold on this box; pay it here, not in epoch 0
-            ray.get(self._get_assemble_remote().remote(0, 0, False)[0])
-            if self._shards:
-                # first remote call per shard actor is cold too — a
-                # harmless read moves that off epoch 0's critical path
-                ray.get([s.seen_count.remote() for s in self._shards])
+            # first remote call per shard actor is cold — a harmless
+            # read moves that off epoch 0's critical path
+            ray.get([s.seen_count.remote() for s in self._shards])
+            # warm the assemble path THROUGH the real kernels on shard
+            # 0's actor: a zero-part call short-circuits before Arrow
+            # concat/sort/np.unique, leaving ~0.6 s of cold first-touch
+            # on epoch 0 at 16 CPUs — one throwaway row exercises them
+            warm = _dispatch_table([("https://w/", 0, "w", 0, 0, "", 0)])
+            meta_ref, _ = self._shards[0].assemble_wave.options(num_returns=2).remote(
+                0, 0, True, warm
+            )
+            ray.get(meta_ref)
         # First process() call per worker pays cold costs (parquet
         # writer import, Arrow kernel modules, first plasma map) —
         # measured ~0.2 s.  Adaptive fanout touches NEW workers on every
