@@ -7,8 +7,9 @@ Codec support is honest about the environment: ``decoder="real"``
 decodes the formats this module implements in pure Python/numpy —
 RIFF/WAVE 16-bit PCM (``decode_wav``), Windows BMP 24-bit
 (``decode_bmp``), PNG 8-bit gray/RGB/RGBA with all five row filters
-(``decode_png``), and baseline sequential JPEG (``decode_jpeg``:
-Annex-K Huffman, 4:4:4/4:2:2/4:2:0, grayscale, restart intervals) —
+(``decode_png``), baseline sequential JPEG (``decode_jpeg``:
+Annex-K Huffman, 4:4:4/4:2:2/4:2:0, grayscale, restart intervals),
+and GIF87a/89a (``decode_gif``: LZW, interlace, local color tables) —
 and raises ``NotImplementedError`` for the rest (progressive JPEG,
 WebP/AVIF, MP3/MP4), whose codec libraries (PIL/ffmpeg) are NOT in
 this container.
@@ -730,8 +731,224 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
 
 
+# ---- GIF (GIF89a, LZW) ----------------------------------------------------
+# Pure-Python GIF codec, from the public GIF89a specification.  The
+# reference crawler classifies and fetches image/gif assets like any
+# other image (content-type mapping around
+# /root/reference/src/engine/crawler.rs:1557-1596); this gives the
+# decode stages a fourth real web image container.  Single-frame,
+# global/local color tables, interlace, deferred-clear LZW streams.
+
+
+def _lzw_encode_gif(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW over palette indices, LSB-first bit packing.
+
+    Code-width bump point derives from the decoder being exactly one
+    dictionary entry behind the encoder at each read: the encoder
+    bumps after its add leaves ``next == (1 << size) + 1``, which is
+    the moment the decoder's own ``next`` hits ``1 << size``."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    size = min_code_size + 1
+    table: dict[tuple[int, int], int] = {}
+    nxt = eoi + 1
+    emit(clear, size)
+    it = iter(indices.tolist())
+    cur = next(it, None)
+    if cur is not None:
+        for k in it:
+            key = (cur, k)
+            hit = table.get(key)
+            if hit is not None:
+                cur = hit
+                continue
+            emit(cur, size)
+            if nxt < 4096:
+                table[key] = nxt
+                nxt += 1
+                if nxt == (1 << size) + 1 and size < 12:
+                    size += 1
+            else:
+                # dictionary full: clear and restart (decoder resets too)
+                emit(clear, size)
+                table.clear()
+                size = min_code_size + 1
+                nxt = eoi + 1
+            cur = k
+        emit(cur, size)
+    emit(eoi, size)
+    if nbits:
+        out.append(acc & 0xFF)
+    # wrap in ≤255-byte sub-blocks + terminator
+    blocks = bytearray()
+    for off in range(0, len(out), 255):
+        chunk = out[off : off + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    return bytes(blocks)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """Inverse of :func:`_lzw_encode_gif`: concatenated sub-block bytes →
+    palette indices.  Handles mid-stream clears and full-dictionary
+    (deferred-clear) streams."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    size = min_code_size + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    chunks: list[bytes] = []
+    total = 0
+    while total < n_pixels:
+        while nbits < size:
+            if pos >= len(data):
+                raise NotImplementedError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << size) - 1)
+        acc >>= size
+        nbits -= size
+        if code == clear:
+            table = list(base)
+            size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise NotImplementedError("corrupt GIF LZW code")
+        chunks.append(entry)
+        total += len(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << size) and size < 12:
+                size += 1
+        prev = entry
+    flat = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+    if len(flat) < n_pixels:
+        raise NotImplementedError("GIF LZW stream ended before the image did")
+    return flat[:n_pixels]
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # interlace (start, step)
+
+
+def encode_gif(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """(H, W, 3) / (H, W) uint8 → single-frame GIF89a with a global
+    color table built from the image's unique colors (lossless;
+    NotImplementedError above 256 distinct colors — GIF is a palette
+    format and this codec does no quantization)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.stack([px] * 3, axis=2)
+    if px.ndim == 3 and px.shape[2] == 1:
+        px = np.repeat(px, 3, axis=2)
+    h, w = px.shape[:2]
+    flat = px.reshape(-1, 3)
+    palette, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise NotImplementedError(f"GIF needs a ≤256-color palette (got {len(palette)})")
+    pal_bits = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    pal = np.zeros((1 << pal_bits, 3), np.uint8)
+    pal[: len(palette)] = palette
+    indices = inv.astype(np.uint8).reshape(h, w)
+    if interlace:
+        order = np.concatenate([np.arange(s, h, t) for s, t in _GIF_PASSES])
+        indices = indices[order]
+    min_code = max(2, pal_bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | ((pal_bits - 1) & 0x07))  # global table, 2^pal_bits entries
+    out += b"\x00\x00"  # background index, aspect ratio
+    out += pal.tobytes()
+    out.append(0x2C)  # image descriptor
+    out += struct.pack("<HHHH", 0, 0, w, h)
+    out.append(0x40 if interlace else 0x00)
+    out.append(min_code)
+    out += _lzw_encode_gif(indices.reshape(-1), min_code)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a → (H, W, 3) uint8.  Global and
+    local color tables, interlace, and extension blocks (skipped —
+    transparency is ignored, the palette color is returned) are
+    handled; malformed streams raise NotImplementedError."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF payload")
+    pos = 6
+    _, _, packed, _, _ = struct.unpack_from("<HHBBB", payload, pos)
+    pos += 7
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise NotImplementedError(f"unexpected GIF block 0x{block:02x}")
+        _, _, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise NotImplementedError("GIF image has no color table")
+        min_code = payload[pos]
+        pos += 1
+        parts = []
+        while payload[pos]:
+            ln = payload[pos]
+            parts.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        idx = _lzw_decode_gif(b"".join(parts), min_code, w * h).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            order = np.concatenate([np.arange(s, h, t) for s, t in _GIF_PASSES])
+            rows = np.empty(h, np.int64)
+            rows[order] = np.arange(h)
+            idx = idx[rows]
+        return pal[idx]
+    raise NotImplementedError("GIF contains no image frame")
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch: BMP, PNG or baseline JPEG → (H, W, C)
+    """Magic-byte dispatch: BMP, PNG, baseline JPEG or GIF → (H, W, C)
     uint8; NotImplementedError for everything else (WebP/AVIF/… need
     codecs absent from this container)."""
     if payload[:2] == b"BM":
@@ -740,7 +957,9 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
-    raise NotImplementedError("unsupported image container (BMP/PNG/JPEG only)")
+    if payload[:4] == b"GIF8":
+        return decode_gif(payload)
+    raise NotImplementedError("unsupported image container (BMP/PNG/JPEG/GIF only)")
 
 
 def synthesize_real_media_table(n: int = 240) -> pa.Table:
@@ -752,11 +971,12 @@ def synthesize_real_media_table(n: int = 240) -> pa.Table:
 
     - image ``i``: width ``16+(i%8)*4``, height ``12+(i%5)*4``, every
       pixel channel ``(i*7)%256`` → mean pixel is exactly that value.
-      The container cycles BMP → PNG → JPEG across image rows
-      (``(i//3)%3``); JPEG rows encode at quality 100 (all-ones quant
+      The container cycles BMP → PNG → JPEG → GIF across image rows
+      (``(i//3)%4``); JPEG rows encode at quality 100 (all-ones quant
       tables), where a constant-color image is DC-only and round-trips
-      EXACTLY, so all three codecs share the same arithmetic oracle.
-      JPEG rows alternate 4:2:0 / 4:4:4 chroma.
+      EXACTLY, and GIF is palette-lossless, so all four codecs share
+      the same arithmetic oracle.  JPEG rows alternate 4:2:0 / 4:4:4
+      chroma; GIF rows alternate interlaced / sequential.
     - audio ``i``: 8 kHz, ``400+(i%7)*100`` samples, alternating
       ±(1000+10·i) square wave → RMS energy is exactly ``1000+10·i``,
       duration ``n_samples/8000``.
@@ -769,18 +989,21 @@ def synthesize_real_media_table(n: int = 240) -> pa.Table:
             w, h = 16 + (i % 8) * 4, 12 + (i % 5) * 4
             px = np.full((h, w, 3), (i * 7) % 256, dtype=np.uint8)
             kinds.append("image")
-            fmt = (i // 3) % 3
+            fmt = (i // 3) % 4
             if fmt == 0:
                 payloads.append(encode_bmp(px))
                 mimes.append("image/bmp")
             elif fmt == 1:
                 payloads.append(encode_png(px))
                 mimes.append("image/png")
-            else:
+            elif fmt == 2:
                 payloads.append(encode_jpeg(
                     px, quality=100,
                     subsampling="420" if (i // 3) % 2 == 0 else "444"))
                 mimes.append("image/jpeg")
+            else:
+                payloads.append(encode_gif(px, interlace=(i // 3) % 2 == 0))
+                mimes.append("image/gif")
         elif m == 1:
             ns, amp = 400 + (i % 7) * 100, 1000 + 10 * i
             samples = np.full(ns, amp, dtype=np.int16)

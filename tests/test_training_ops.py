@@ -745,3 +745,47 @@ def test_jpeg_dc_quantization_matches_closed_form():
         assert int(out[0, 0, 0]) == expect, (v, int(out[0, 0, 0]), expect)
         assert (out == out[0, 0, 0]).all()
         assert expect != v  # quantization actually quantized
+
+
+def test_gif_codec_roundtrips_and_gates():
+    """Pure-Python GIF89a codec: lossless round-trip for palette
+    images (sequential AND interlaced), LZW dictionary overflow with
+    mid-stream clear, magic-byte dispatch, honest gates for >256
+    colors and non-GIF payloads."""
+    from siteone_crawler_ray.stages.multimodal import (
+        decode_gif, decode_image, encode_gif)
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, size=(13, 3), dtype=np.uint8)
+    px = pal[rng.integers(0, 13, size=(21, 33))]
+    for il in (False, True):
+        out = decode_gif(encode_gif(px, interlace=il))
+        assert out.shape == px.shape and (out == px).all(), il
+
+    # grayscale input → replicated channels
+    g = rng.integers(0, 200, size=(9, 14), dtype=np.uint8)
+    og = decode_gif(encode_gif(g))
+    assert og.shape == (9, 14, 3) and (og == np.stack([g] * 3, axis=2)).all()
+
+    # 256-color random noise forces >4096 LZW entries → clear/restart path
+    noise = rng.integers(0, 256, size=(120, 160), dtype=np.uint8)
+    big = np.stack([noise] * 3, axis=2)
+    assert (decode_gif(encode_gif(big)) == big).all()
+    assert (decode_gif(encode_gif(big, interlace=True)) == big).all()
+
+    # extension blocks (e.g. GCE) are skipped: splice one in by hand
+    enc = bytearray(encode_gif(px))
+    desc = enc.find(b"\x2c", 13)  # image descriptor after header+GCT
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = bytes(enc[:desc]) + gce + bytes(enc[desc:])
+    assert (decode_gif(spliced) == px).all()
+
+    # magic-byte dispatch reaches the GIF path
+    assert (decode_image(encode_gif(px)) == px).all()
+
+    # honest gates
+    many = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    with pytest.raises(NotImplementedError):
+        encode_gif(many)  # ~1k distinct colors
+    with pytest.raises(NotImplementedError):
+        decode_gif(b"\x89PNG\r\n\x1a\n")
