@@ -1592,6 +1592,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'lsh' AS which, vec_id, rank FROM topk
         """,
         "embedding_checks": """
+            WITH emb AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+            c AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id % 37 = 0),
+            assign AS (
+              SELECT vec_id, e, cl FROM (
+                SELECT emb.vec_id, emb.e, c.cid AS cl,
+                       row_number() OVER (
+                         PARTITION BY emb.vec_id
+                         ORDER BY list_cosine_similarity(emb.e, c.ce) DESC, c.cid) AS rn
+                FROM emb, c) WHERE rn = 1)
             SELECT 'norm' AS section, vec_id AS id_a,
                    round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 4) AS x
             FROM embeddings
@@ -1599,6 +1610,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'pair' AS section, a.vec_id AS id_a, CAST(b.vec_id AS DOUBLE) AS x
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+            UNION ALL
+            SELECT 'cluster' AS section, vec_id AS id_a, CAST(cl AS DOUBLE) AS x
+            FROM assign
+            UNION ALL
+            SELECT 'semdup' AS section, a.vec_id AS id_a, CAST(count(*) AS DOUBLE) AS x
+            FROM assign a JOIN assign b ON a.cl = b.cl AND b.vec_id < a.vec_id
+            WHERE list_cosine_similarity(a.e, b.e) >= 0.45
+            GROUP BY a.vec_id
         """,
         "packed_sequences": """
             WITH d AS (SELECT source, doc_id, text,

@@ -723,22 +723,36 @@ def text_metrics(sf_dir: str) -> pa.Table:
 
 def embedding_checks(sf_dir: str) -> pa.Table:
     """embedding_norms (full-table L2 map) + embedding_dup_pairs
-    (cosine near-dup join) tagged into one (section, id_a, x) table:
-    norm rows → ('norm', vec_id, l2); pair rows → ('pair', id_a, id_b)
-    with id_b carried in the double column (exact for testdata ids)."""
+    (cosine near-dup join) + semantic_dedup (SemDeDup-style cluster
+    assignment and first-id-wins near-identical counts,
+    stages/dedup.semantic_dedup) tagged into one (section, id_a, x)
+    table: norm rows → ('norm', vec_id, l2); pair rows → ('pair',
+    id_a, id_b) with id_b carried in the double column (exact for
+    testdata ids); cluster rows → ('cluster', vec_id, centroid id);
+    semdup rows → ('semdup', vec_id, n_sim_earlier) for flagged docs."""
+    from ..stages.dedup import semantic_dedup
+
     nm = embedding_norms(sf_dir)
     dp = embedding_dup_pairs_table(sf_dir)
+    sd = semantic_dedup(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+    flagged = sd.filter(pa.compute.greater(sd["n_sim_earlier"], 0))
     return pa.table(
         {
             "section": pa.array(
-                ["norm"] * nm.num_rows + ["pair"] * dp.num_rows, pa.string()),
+                ["norm"] * nm.num_rows + ["pair"] * dp.num_rows
+                + ["cluster"] * sd.num_rows + ["semdup"] * flagged.num_rows,
+                pa.string()),
             "id_a": pa.concat_arrays(
                 [nm["vec_id"].cast(pa.int64()).combine_chunks(),
-                 dp["id_a"].cast(pa.int64()).combine_chunks()]
+                 dp["id_a"].cast(pa.int64()).combine_chunks(),
+                 sd["vec_id"].cast(pa.int64()).combine_chunks(),
+                 flagged["vec_id"].cast(pa.int64()).combine_chunks()]
             ),
             "x": pa.concat_arrays(
                 [nm["l2"].cast(pa.float64()).combine_chunks(),
-                 dp["id_b"].cast(pa.float64()).combine_chunks()]
+                 dp["id_b"].cast(pa.float64()).combine_chunks(),
+                 sd["cluster"].cast(pa.float64()).combine_chunks(),
+                 flagged["n_sim_earlier"].cast(pa.float64()).combine_chunks()]
             ),
         }
     )

@@ -637,6 +637,103 @@ def embedding_dup_pairs(ds, *, id_col="vec_id", vec_col="embedding", threshold=0
     return out.take(pc.sort_indices(out, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))
 
 
+def semantic_dedup(ds, *, id_col="vec_id", vec_col="embedding",
+                   centroid_mod: int = 37, threshold: float = 0.45,
+                   num_partitions: int | None = None) -> pa.Table:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    2303.09540 — public literature): cluster embeddings, then mark as
+    duplicates the docs that are near-identical in embedding space to
+    an earlier doc of the same cluster.  Returns one row per vector:
+    ``(vec_id, cluster, n_sim_earlier)`` where ``cluster`` is the id
+    of the assigned centroid doc and ``n_sim_earlier`` counts
+    same-cluster docs with smaller id at cosine ≥ ``threshold``
+    (``> 0`` ⇒ semantic duplicate under first-id-wins).
+
+    Two deliberate deviations from the paper, for determinism:
+
+    - centroids are the docs with ``id % centroid_mod == 0`` and
+      assignment is ONE cosine-argmax pass (the k-means E-step with
+      fixed seeds; ties broken toward the smallest centroid id).  A
+      production run would plug k-means|| centroids into the same
+      broadcast — the assignment pass is unchanged;
+    - within a cluster the paper keeps the doc farthest from the
+      centroid; here first-id-wins (matching ``exact_dedup``) so the
+      result is partition- and order-independent.
+
+    Scale shape: the centroid matrix is the SMALL side — normalized
+    once, ``ray.put`` once, read by every assignment task (no
+    per-batch reshipping); assignment is a per-batch float64 matmul;
+    then ONE hash exchange on the cluster id co-locates each cluster
+    and the within-cluster all-pairs matmul is O(c²) per cluster,
+    which SemDeDup bounds by construction (clusters ≈ N/K docs)."""
+    import ray
+    import pyarrow.compute as pc
+
+    from ..functions.agg import block_refs as _brefs
+
+    def _norm_rows(batch: pa.Table) -> np.ndarray:
+        m = np.vstack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return m
+
+    src = ds.select_columns([id_col, vec_col])
+
+    # centroid set: tiny by construction (every centroid_mod-th id) —
+    # collected once, normalized, broadcast
+    def centroid_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % centroid_mod == 0))
+
+    cent = pa.concat_tables(
+        [t for t in ray.get(_brefs(src.map_batches(centroid_rows, batch_format="pyarrow")))
+         if t.num_rows]
+    )
+    cent = cent.take(pc.sort_indices(cent, sort_keys=[(id_col, "ascending")]))
+    cent_ids = cent[id_col].to_numpy(zero_copy_only=False).copy()
+    cent_ref = ray.put(_norm_rows(cent))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cent_ref)
+        m = _norm_rows(batch)
+        # argmax returns the FIRST max → smallest centroid id on ties
+        # (cent is id-sorted), matching the oracle's (sim DESC, cid) rank
+        cl = cent_ids[np.argmax(m @ cm.T, axis=1)]
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(cl, pa.int64()),
+            "nvec": pa.FixedSizeListArray.from_arrays(pa.array(m.ravel()), m.shape[1]),
+        })
+
+    def per_cluster(sub: pa.Table) -> pa.Table:
+        ids = sub[id_col].to_numpy(zero_copy_only=False)
+        cls = sub["cluster"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, cls))
+        ids, cls = ids[order], cls[order]
+        m = np.vstack(sub["nvec"].to_numpy(zero_copy_only=False))[order]
+        starts = np.nonzero(np.concatenate([[True], cls[1:] != cls[:-1]]))[0]
+        bounds = np.append(starts, len(cls))
+        n_sim = np.zeros(len(ids), np.int64)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            cos = m[s:e] @ m[s:e].T
+            hit = np.tril(cos >= threshold, k=-1)  # earlier id = lower row
+            n_sim[s:e] = hit.sum(axis=1)
+        return pa.table({id_col: pa.array(ids), "cluster": pa.array(cls, pa.int64()),
+                         "n_sim_earlier": pa.array(n_sim)})
+
+    parts = _partitioned_exchange(
+        src.map_batches(assign, batch_format="pyarrow"), "cluster", per_cluster,
+        num_partitions=num_partitions,
+    )
+    if not parts:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64()),
+                         "n_sim_earlier": pa.array([], pa.int64())})
+    out = pa.concat_tables(parts)
+    return out.take(pc.sort_indices(out, sort_keys=[(id_col, "ascending")]))
+
+
 # ---- near-dup clustering: connected components over the pair graph --------
 #
 # A 100-TB training-data pipeline doesn't stop at duplicate PAIRS — it

@@ -789,3 +789,41 @@ def test_gif_codec_roundtrips_and_gates():
         encode_gif(many)  # ~1k distinct colors
     with pytest.raises(NotImplementedError):
         decode_gif(b"\x89PNG\r\n\x1a\n")
+
+
+def test_semantic_dedup_matches_bruteforce_and_partitioning():
+    """SemDeDup-shape semantic dedup (stages/dedup.semantic_dedup):
+    centroid argmax assignment + within-cluster earlier-id similar
+    counts match a scalar brute force, are partition-count-invariant,
+    and flag a planted near-identical pair."""
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.dedup import semantic_dedup
+
+    rng = np.random.default_rng(4)
+    vecs = rng.normal(size=(90, 12))
+    vecs[41] = vecs[14] * 1.7 + rng.normal(scale=1e-4, size=12)  # same direction
+    ids = np.arange(90, dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(vecs), pa.list_(pa.float64()))})
+    ds = rd.from_arrow([t.slice(i, 16) for i in range(0, 90, 16)])
+
+    out = semantic_dedup(ds, centroid_mod=11, threshold=0.9)
+    assert out["vec_id"].to_pylist() == list(range(90))
+
+    # scalar reference
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cids = ids[ids % 11 == 0]
+    cl = cids[np.argmax(m @ m[cids].T, axis=1)]
+    nsim = np.array([int((((m[(cl == cl[j]) & (ids < j)]) @ m[j]) >= 0.9).sum())
+                     for j in range(90)])
+    assert out["cluster"].to_pylist() == cl.tolist()
+    assert out["n_sim_earlier"].to_pylist() == nsim.tolist()
+
+    # the planted pair lands in one cluster and is flagged exactly once
+    assert cl[41] == cl[14] and nsim[41] >= 1
+
+    # partition independence of the cluster exchange
+    for P in (1, 3, 7):
+        alt = semantic_dedup(ds, centroid_mod=11, threshold=0.9, num_partitions=P)
+        assert alt.equals(out), P
