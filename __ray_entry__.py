@@ -639,14 +639,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def media_stages(sf_dir: str):
         """REAL multimodal decode end-to-end: BMP / PNG / baseline-JPEG
-        / GIF images (the container cycles per image row) and WAV PCM
-        audio decode with the pure-Python codecs (decoder='real'),
-        video frame-samples with the honest fake (no codec-free video
-        container exists).  One row per media item with analytic
-        content (stages/multimodal.py synthesize_real_media_table;
-        JPEG rows are constant-color at quality 100 = DC-only = exact,
-        GIF is palette-lossless) so the DuckDB oracle recomputes every
-        value arithmetically."""
+        / GIF / lossless-WebP images (the container cycles per image
+        row) and WAV PCM audio decode with the pure-Python codecs
+        (decoder='real'), video frame-samples with the honest fake (no
+        codec-free video container exists).  One row per media item
+        with analytic content (stages/multimodal.py
+        synthesize_real_media_table; JPEG rows are constant-color at
+        quality 100 = DC-only = exact, GIF and VP8L are lossless) so
+        the DuckDB oracle recomputes every value arithmetically."""
         import pyarrow as pa
         import ray.data as rd
 

@@ -9,10 +9,12 @@ RIFF/WAVE 16-bit PCM (``decode_wav``), Windows BMP 24-bit
 (``decode_bmp``), PNG 8-bit gray/RGB/RGBA with all five row filters
 (``decode_png``), baseline sequential JPEG (``decode_jpeg``:
 Annex-K Huffman, 4:4:4/4:2:2/4:2:0, grayscale, restart intervals),
-and GIF87a/89a (``decode_gif``: LZW, interlace, local color tables) —
-and raises ``NotImplementedError`` for the rest (progressive JPEG,
-WebP/AVIF, MP3/MP4), whose codec libraries (PIL/ffmpeg) are NOT in
-this container.
+GIF87a/89a (``decode_gif``: LZW, interlace, local color tables), and
+lossless WebP (``codec_webp.decode_webp``: VP8L prefix codes, color
+cache, LZ77, all four transforms) — and raises
+``NotImplementedError`` for the rest (progressive JPEG, lossy VP8,
+AVIF, MP3/MP4), whose codec libraries (PIL/ffmpeg) are NOT in this
+container.
 ``decoder="fake"`` (the default for arbitrary payloads) derives
 deterministic metadata from the payload hash so the Ray-side plumbing
 — schema, batch sizing for wide binary rows, actor signature,
@@ -948,9 +950,10 @@ def decode_gif(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch: BMP, PNG, baseline JPEG or GIF → (H, W, C)
-    uint8; NotImplementedError for everything else (WebP/AVIF/… need
-    codecs absent from this container)."""
+    """Magic-byte dispatch: BMP, PNG, baseline JPEG, GIF or lossless
+    WebP (VP8L) → (H, W, C) uint8; NotImplementedError for everything
+    else (lossy VP8 / AVIF / progressive JPEG need codecs absent from
+    this container)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
@@ -959,7 +962,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_jpeg(payload)
     if payload[:4] == b"GIF8":
         return decode_gif(payload)
-    raise NotImplementedError("unsupported image container (BMP/PNG/JPEG/GIF only)")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .codec_webp import decode_webp
+
+        return decode_webp(payload)
+    raise NotImplementedError("unsupported image container (BMP/PNG/JPEG/GIF/WebP-lossless only)")
 
 
 def synthesize_real_media_table(n: int = 240) -> pa.Table:
@@ -971,12 +978,13 @@ def synthesize_real_media_table(n: int = 240) -> pa.Table:
 
     - image ``i``: width ``16+(i%8)*4``, height ``12+(i%5)*4``, every
       pixel channel ``(i*7)%256`` → mean pixel is exactly that value.
-      The container cycles BMP → PNG → JPEG → GIF across image rows
-      (``(i//3)%4``); JPEG rows encode at quality 100 (all-ones quant
-      tables), where a constant-color image is DC-only and round-trips
-      EXACTLY, and GIF is palette-lossless, so all four codecs share
-      the same arithmetic oracle.  JPEG rows alternate 4:2:0 / 4:4:4
-      chroma; GIF rows alternate interlaced / sequential.
+      The container cycles BMP → PNG → JPEG → GIF → WebP across image
+      rows (``(i//3)%5``); JPEG rows encode at quality 100 (all-ones
+      quant tables), where a constant-color image is DC-only and
+      round-trips EXACTLY, and GIF / lossless-WebP are exact by
+      construction, so all five codecs share the same arithmetic
+      oracle.  JPEG rows alternate 4:2:0 / 4:4:4 chroma; GIF rows
+      alternate interlaced / sequential.
     - audio ``i``: 8 kHz, ``400+(i%7)*100`` samples, alternating
       ±(1000+10·i) square wave → RMS energy is exactly ``1000+10·i``,
       duration ``n_samples/8000``.
@@ -989,7 +997,7 @@ def synthesize_real_media_table(n: int = 240) -> pa.Table:
             w, h = 16 + (i % 8) * 4, 12 + (i % 5) * 4
             px = np.full((h, w, 3), (i * 7) % 256, dtype=np.uint8)
             kinds.append("image")
-            fmt = (i // 3) % 4
+            fmt = (i // 3) % 5
             if fmt == 0:
                 payloads.append(encode_bmp(px))
                 mimes.append("image/bmp")
@@ -1001,9 +1009,14 @@ def synthesize_real_media_table(n: int = 240) -> pa.Table:
                     px, quality=100,
                     subsampling="420" if (i // 3) % 2 == 0 else "444"))
                 mimes.append("image/jpeg")
-            else:
+            elif fmt == 3:
                 payloads.append(encode_gif(px, interlace=(i // 3) % 2 == 0))
                 mimes.append("image/gif")
+            else:
+                from .codec_webp import encode_webp
+
+                payloads.append(encode_webp(px))
+                mimes.append("image/webp")
         elif m == 1:
             ns, amp = 400 + (i % 7) * 100, 1000 + 10 * i
             samples = np.full(ns, amp, dtype=np.int16)

@@ -827,3 +827,54 @@ def test_semantic_dedup_matches_bruteforce_and_partitioning():
     for P in (1, 3, 7):
         alt = semantic_dedup(ds, centroid_mod=11, threshold=0.9, num_partitions=P)
         assert alt.equals(out), P
+
+
+def test_webp_codec_roundtrips_and_gates():
+    """Pure-Python VP8L (lossless WebP) codec: lossless round-trip
+    through every decoder path — all 14 predictor modes, the color
+    transform, subtract-green, color-indexing with pixel bundling at
+    every width, color cache, LZ77 backward references (plane-mapped
+    and plain distances), meta prefix groups — plus honest gates for
+    lossy VP8 and non-WebP payloads."""
+    from siteone_crawler_ray.stages.codec_webp import decode_webp, encode_webp
+    from siteone_crawler_ray.stages.multimodal import decode_image
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(21, 29, 3), dtype=np.uint8)
+
+    for mode in range(14):
+        enc = encode_webp(img, transform="predictor", predictor_mode=mode,
+                          predictor_bits=3)
+        assert (decode_webp(enc) == img).all(), f"predictor {mode}"
+
+    for elem in ((0, 0, 0), (16, 240, 37), (255, 128, 1)):
+        enc = encode_webp(img, transform="color", color_element=elem)
+        assert (decode_webp(enc) == img).all(), elem
+
+    assert (decode_webp(encode_webp(img, transform="subtract_green")) == img).all()
+
+    for ncol in (2, 5, 14, 100):  # bundling: 8/4/2/1 pixels per unit
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        pimg = pal[rng.integers(0, ncol, size=(13, 22))]
+        assert (decode_webp(encode_webp(pimg, transform="palette")) == pimg).all(), ncol
+
+    rep = np.tile(rng.integers(0, 256, size=(4, 8, 3), dtype=np.uint8), (5, 4, 1))
+    enc = encode_webp(rep, transform="none", cache_bits=5, use_lz77=True, meta_bits=2)
+    assert (decode_webp(enc) == rep).all()
+
+    rgba = rng.integers(0, 256, size=(9, 7, 4), dtype=np.uint8)
+    out = decode_webp(encode_webp(rgba, transform="none"))
+    assert out.shape == (9, 7, 4) and (out == rgba).all()
+
+    # magic-byte dispatch reaches the WebP path
+    const = np.full((10, 10, 3), 42, np.uint8)
+    assert (decode_image(encode_webp(const)) == const).all()
+
+    # honest gates: lossy VP8 chunk, non-WebP RIFF, non-RIFF
+    lossy = b"RIFF" + (20).to_bytes(4, "little") + b"WEBPVP8 " + (8).to_bytes(4, "little") + b"\0" * 8
+    with pytest.raises(NotImplementedError):
+        decode_webp(lossy)
+    with pytest.raises(NotImplementedError):
+        decode_webp(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(NotImplementedError):
+        decode_webp(b"\x89PNG\r\n\x1a\n")
