@@ -949,6 +949,20 @@ def decode_gif(payload: bytes) -> np.ndarray:
     raise NotImplementedError("GIF contains no image frame")
 
 
+def decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Magic-byte dispatch: RIFF/WAVE 16-bit PCM or native FLAC →
+    (sample_rate, channels, samples); NotImplementedError otherwise
+    (MP3/AAC/Ogg need codec libraries absent from this container)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    if payload[:4] == b"fLaC":
+        from .codec_flac import decode_flac
+
+        rate, ch, samples = decode_flac(payload)
+        return rate, ch, samples.reshape(-1) if ch == 1 else samples
+    raise NotImplementedError("unsupported audio container (WAV-PCM/FLAC only)")
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch: BMP, PNG, baseline JPEG, GIF or lossless
     WebP (VP8L) → (H, W, C) uint8; NotImplementedError for everything
@@ -987,7 +1001,8 @@ def synthesize_real_media_table(n: int = 240) -> pa.Table:
       alternate interlaced / sequential.
     - audio ``i``: 8 kHz, ``400+(i%7)*100`` samples, alternating
       ±(1000+10·i) square wave → RMS energy is exactly ``1000+10·i``,
-      duration ``n_samples/8000``.
+      duration ``n_samples/8000``.  The container alternates WAV-PCM /
+      FLAC (``(i//3)%2``) — FLAC is lossless, so the oracle is shared.
     - video ``i``: ``256·(3+(i%5))`` bytes → ``3+(i%5)`` fake frames.
     """
     kinds, payloads, mimes = [], [], []
@@ -1022,8 +1037,15 @@ def synthesize_real_media_table(n: int = 240) -> pa.Table:
             samples = np.full(ns, amp, dtype=np.int16)
             samples[1::2] *= -1
             kinds.append("audio")
-            payloads.append(encode_wav(samples, 8000))
-            mimes.append("audio/wav")
+            if (i // 3) % 2 == 0:
+                payloads.append(encode_wav(samples, 8000))
+                mimes.append("audio/wav")
+            else:
+                from .codec_flac import encode_flac
+
+                payloads.append(encode_flac(samples.astype(np.int64), 8000,
+                                            block_size=256, fixed_order=1))
+                mimes.append("audio/flac")
         else:
             kinds.append("video")
             payloads.append(bytes((i + j) % 256 for j in range(256 * (3 + (i % 5)))))
@@ -1093,9 +1115,9 @@ class ImageDecodeStage:
 class AudioFrameSampleStage:
     """Actor stage: sample_rate/duration metadata + frame-level RMS
     energy from a binary payload.  ``decoder='real'`` parses RIFF/WAVE
-    16-bit PCM via :func:`decode_wav` (energy over raw int16 values);
-    compressed audio raises.  ``'fake'`` treats the payload as 8-bit
-    samples for plumbing tests."""
+    16-bit PCM or FLAC via :func:`decode_audio` (energy over raw
+    sample values); other compressed audio raises.  ``'fake'`` treats
+    the payload as 8-bit samples for plumbing tests."""
 
     def __init__(self, decoder: str = "fake", frames: int = 4):
         self.decoder = decoder
@@ -1107,9 +1129,9 @@ class AudioFrameSampleStage:
         durs = np.empty(len(payloads))
         for i, p in enumerate(payloads):
             if self.decoder == "real":
-                rate, channels, samples = decode_wav(p)
-                a = samples.astype(np.float64)
-                durs[i] = len(samples) / channels / rate
+                rate, channels, samples = decode_audio(p)
+                a = samples.reshape(-1).astype(np.float64)
+                durs[i] = len(a) / channels / rate
             else:
                 a = np.frombuffer(p, dtype=np.uint8).astype(np.float64)
                 durs[i] = len(a) / 8000.0
