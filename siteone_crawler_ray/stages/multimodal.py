@@ -949,6 +949,74 @@ def decode_gif(payload: bytes) -> np.ndarray:
     raise NotImplementedError("GIF contains no image frame")
 
 
+# ---- ICO (favicon container: PNG or header-less DIB entries) --------------
+
+
+def encode_ico(pixels: np.ndarray, as_png: bool = False) -> bytes:
+    """(H, W, 3|4) uint8 → single-entry ICO: a PNG entry
+    (``as_png=True``, the modern favicon form) or a 32-bit BGRA DIB
+    with the doubled-height header and an all-opaque AND mask."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.stack([px] * 3, axis=2)
+    h, w = px.shape[:2]
+    if as_png:
+        img = encode_png(px)
+    else:
+        if px.shape[2] == 3:
+            px = np.concatenate([px, np.full((h, w, 1), 255, np.uint8)], axis=2)
+        bgra = px[::-1, :, [2, 1, 0, 3]]  # bottom-up BGRA
+        mask_stride = ((w + 31) // 32) * 4
+        hdr = struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0,
+                          h * w * 4 + h * mask_stride, 0, 0, 0, 0)
+        img = hdr + bgra.tobytes() + b"\x00" * (h * mask_stride)
+    entry = struct.pack("<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32, len(img), 22)
+    return struct.pack("<HHH", 0, 1, 1) + entry + img
+
+
+def decode_ico(payload: bytes) -> np.ndarray:
+    """First entry of an ICO favicon → (H, W, 3|4) uint8.  PNG entries
+    route through :func:`decode_png`; DIB entries support 32-bit BGRA
+    and 24-bit BGR with the 1-bit AND transparency mask; other DIB
+    depths raise NotImplementedError."""
+    if len(payload) < 22 or payload[:4] != b"\x00\x00\x01\x00":
+        raise NotImplementedError("not an ICO payload")
+    count = struct.unpack_from("<H", payload, 4)[0]
+    if count < 1:
+        raise NotImplementedError("empty ICO directory")
+    size, off = struct.unpack_from("<II", payload, 6 + 8)
+    img = payload[off : off + size]
+    if img[:8] == _PNG_SIG:
+        return decode_png(img)
+    (hsz, w, h2, _planes, bpp, comp) = struct.unpack_from("<IiiHHI", img, 0)
+    if hsz != 40 or comp != 0:
+        raise NotImplementedError("unsupported ICO DIB header")
+    h = h2 // 2  # doubled height: XOR image + AND mask
+    pos = hsz
+    if bpp == 32:
+        xor = np.frombuffer(img, np.uint8, h * w * 4, pos).reshape(h, w, 4)
+        rgba = xor[::-1, :, [2, 1, 0, 3]].copy()
+        pos += h * w * 4
+    elif bpp == 24:
+        stride = ((w * 3 + 3) // 4) * 4
+        rows = np.frombuffer(img, np.uint8, h * stride, pos).reshape(h, stride)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        rgb = bgr[::-1, :, ::-1]
+        rgba = np.concatenate([rgb, np.full((h, w, 1), 255, np.uint8)], axis=2)
+        pos += h * stride
+    else:
+        raise NotImplementedError(f"{bpp}-bit ICO DIB not supported (24/32/PNG only)")
+    mask_stride = ((w + 31) // 32) * 4
+    if pos + h * mask_stride <= len(img):
+        mrows = np.frombuffer(img, np.uint8, h * mask_stride, pos).reshape(h, mask_stride)
+        bits = np.unpackbits(mrows, axis=1)[:, :w][::-1]
+        rgba = rgba.copy()
+        rgba[:, :, 3] = np.where(bits == 1, 0, rgba[:, :, 3])
+    if (rgba[:, :, 3] == 255).all():
+        return rgba[:, :, :3].copy()
+    return rgba
+
+
 def decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Magic-byte dispatch: RIFF/WAVE 16-bit PCM or native FLAC →
     (sample_rate, channels, samples); NotImplementedError otherwise
@@ -964,10 +1032,10 @@ def decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch: BMP, PNG, baseline JPEG, GIF or lossless
-    WebP (VP8L) → (H, W, C) uint8; NotImplementedError for everything
-    else (lossy VP8 / AVIF / progressive JPEG need codecs absent from
-    this container)."""
+    """Magic-byte dispatch: BMP, PNG, baseline JPEG, GIF, lossless
+    WebP (VP8L) or ICO favicon → (H, W, C) uint8; NotImplementedError
+    for everything else (lossy VP8 / AVIF / progressive JPEG need
+    codecs absent from this container)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
@@ -980,7 +1048,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .codec_webp import decode_webp
 
         return decode_webp(payload)
-    raise NotImplementedError("unsupported image container (BMP/PNG/JPEG/GIF/WebP-lossless only)")
+    if payload[:4] == b"\x00\x00\x01\x00":
+        return decode_ico(payload)
+    raise NotImplementedError(
+        "unsupported image container (BMP/PNG/JPEG/GIF/WebP-lossless/ICO only)")
 
 
 def synthesize_real_media_table(n: int = 240) -> pa.Table:

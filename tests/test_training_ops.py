@@ -928,3 +928,33 @@ def test_flac_codec_roundtrips_and_gates():
         decode_flac(b"OggS\x00\x00")
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3\x04\x00\x00")  # MP3 with ID3 tag
+
+
+def test_ico_codec_roundtrips_and_gates():
+    """ICO favicon container: PNG entries and 32-bit DIB entries with
+    the doubled-height header + AND mask round-trip; 24-bit DIB
+    decodes; unsupported depths and non-ICO payloads raise."""
+    from siteone_crawler_ray.stages.multimodal import (
+        decode_ico, decode_image, encode_ico)
+
+    rng = np.random.default_rng(21)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+
+    assert (decode_ico(encode_ico(px)) == px).all()              # 32-bit DIB
+    assert (decode_ico(encode_ico(px, as_png=True)) == px).all()  # PNG entry
+    assert (decode_image(encode_ico(px)) == px).all()             # dispatch
+
+    # RGBA with a transparent region survives via the alpha channel
+    rgba = np.concatenate([px, np.full((16, 16, 1), 255, np.uint8)], axis=2)
+    rgba[:4, :4, 3] = 0
+    out = decode_ico(encode_ico(rgba))
+    assert out.shape == (16, 16, 4) and (out == rgba).all()
+
+    # odd width exercises AND-mask row alignment
+    wide = rng.integers(0, 256, size=(5, 33, 3), dtype=np.uint8)
+    assert (decode_ico(encode_ico(wide)) == wide).all()
+
+    with pytest.raises(NotImplementedError):
+        decode_ico(b"\x00\x00\x02\x00" + b"\x00" * 30)  # cursor, not icon
+    with pytest.raises(NotImplementedError):
+        decode_ico(b"GIF89a")
