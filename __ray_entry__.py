@@ -640,10 +640,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def media_stages(sf_dir: str):
         """REAL multimodal decode end-to-end: BMP / PNG / baseline-JPEG
         / GIF / lossless-WebP images (the container cycles per image
-        row) and WAV PCM audio decode with the pure-Python codecs
-        (decoder='real'), video frame-samples with the honest fake (no
-        codec-free video container exists).  One row per media item
-        with analytic content (stages/multimodal.py
+        row), WAV-PCM / FLAC audio, and MP4 video frame-sampling with
+        the pure-Python codecs (decoder='real' on all three
+        modalities; MP4 frame counts + durations come from a real
+        stbl sample-table walk, frame payloads stay opaque).  One row
+        per media item with analytic content (stages/multimodal.py
         synthesize_real_media_table; JPEG rows are constant-color at
         quality 100 = DC-only = exact, GIF and VP8L are lossless) so
         the DuckDB oracle recomputes every value arithmetically."""
@@ -662,7 +663,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = rd.from_arrow([media.slice(i, 30) for i in range(0, media.num_rows, 30)])
         img = decode_pipeline(ds, "image", ImageDecodeStage, concurrency=2, decoder="real")
         aud = decode_pipeline(ds, "audio", AudioFrameSampleStage, concurrency=2, decoder="real")
-        vid = decode_pipeline(ds, "video", VideoFrameSampleStage, concurrency=2, frames=8)
+        vid = decode_pipeline(ds, "video", VideoFrameSampleStage, concurrency=2, frames=8,
+                              decoder="real")
 
         def img_row(b: pa.Table) -> pa.Table:
             feats = b["features"].to_pylist()
@@ -690,13 +692,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         vid_counts = (
             vid.map_batches(
-                lambda b: pa.table({"media_id": b["media_id"],
-                                    "one": pa.array([1] * b.num_rows, pa.int64())}),
+                lambda b: pa.table({
+                    "media_id": b["media_id"],
+                    "one": pa.array([1] * b.num_rows, pa.int64()),
+                    "dur_us": pa.array(
+                        [int(round(d * 1e6)) for d in b["duration_sec"].to_pylist()],
+                        pa.int64()),
+                }),
                 batch_format="pyarrow",
             )
         )
         from siteone_crawler_ray.functions.agg import collect_blocks as _cb
-        vt = pa.concat_tables(_cb(vid_counts)).group_by("media_id").aggregate([("one", "sum")])
+        vt = pa.concat_tables(_cb(vid_counts)).group_by("media_id").aggregate(
+            [("one", "sum"), ("dur_us", "max")])
 
         def vid_row(t: pa.Table) -> pa.Table:
             n = t.num_rows
@@ -704,7 +712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "media_id": t["media_id"], "kind": pa.array(["video"] * n),
                 "width": pa.array([0] * n, pa.int64()), "height": pa.array([0] * n, pa.int64()),
                 "mean_pixel": pa.array([0] * n, pa.int64()),
-                "duration_us": pa.array([0] * n, pa.int64()),
+                "duration_us": t["dur_us_max"].cast(pa.int64()),
                 "rms_energy": pa.array([0] * n, pa.int64()),
                 "n_frames": t["one_sum"].cast(pa.int64()),
             })
@@ -1703,16 +1711,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # real-codec multimodal decode: the media corpus is analytic in
         # the index i (synthesize_real_media_table), so every decoded
-        # value — BMP dims & mean pixel, WAV duration & RMS energy,
-        # video frame count — has a closed form the engine must hit
-        # exactly after real RIFF/BMP parsing.
+        # value — image dims & mean pixel, WAV/FLAC duration & RMS
+        # energy, MP4 frame count & duration (10 fps, timescale 1000 →
+        # exactly n_frames·100000 µs out of the stts/mdhd tables) —
+        # has a closed form the engine must hit exactly after real
+        # container parsing.
         "media_stages": """
             SELECT printf('m%05d', CAST(i AS INT)) AS media_id,
                    CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                    (CASE WHEN i % 3 = 0 THEN 16 + (i % 8) * 4 ELSE 0 END)::BIGINT AS width,
                    (CASE WHEN i % 3 = 0 THEN 12 + (i % 5) * 4 ELSE 0 END)::BIGINT AS height,
                    (CASE WHEN i % 3 = 0 THEN (i * 7) % 256 ELSE 0 END)::BIGINT AS mean_pixel,
-                   (CASE WHEN i % 3 = 1 THEN (400 + (i % 7) * 100) * 125 ELSE 0 END)::BIGINT AS duration_us,
+                   (CASE i % 3 WHEN 1 THEN (400 + (i % 7) * 100) * 125
+                               WHEN 2 THEN (3 + (i % 5)) * 100000
+                               ELSE 0 END)::BIGINT AS duration_us,
                    (CASE WHEN i % 3 = 1 THEN 1000 + 10 * i ELSE 0 END)::BIGINT AS rms_energy,
                    (CASE WHEN i % 3 = 2 THEN 3 + (i % 5) ELSE 0 END)::BIGINT AS n_frames
             FROM range(240) t(i)

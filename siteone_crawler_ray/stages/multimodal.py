@@ -11,10 +11,12 @@ RIFF/WAVE 16-bit PCM (``decode_wav``), Windows BMP 24-bit
 Annex-K Huffman, 4:4:4/4:2:2/4:2:0, grayscale, restart intervals),
 GIF87a/89a (``decode_gif``: LZW, interlace, local color tables), and
 lossless WebP (``codec_webp.decode_webp``: VP8L prefix codes, color
-cache, LZ77, all four transforms) — and raises
-``NotImplementedError`` for the rest (progressive JPEG, lossy VP8,
-AVIF, MP3/MP4), whose codec libraries (PIL/ffmpeg) are NOT in this
-container.
+cache, LZ77, all four transforms), ICO favicons (``decode_ico``),
+FLAC audio (``codec_flac.decode_flac``) and the MP4 container
+(``codec_mp4.decode_mp4``: full stbl sample-table walk; frame
+payloads stay opaque) — and raises ``NotImplementedError`` for the
+rest (progressive JPEG, lossy VP8, AVIF, MP3, H.264 frame decode),
+whose codec libraries (PIL/ffmpeg) are NOT in this container.
 ``decoder="fake"`` (the default for arbitrary payloads) derives
 deterministic metadata from the payload hash so the Ray-side plumbing
 — schema, batch sizing for wide binary rows, actor signature,
@@ -1055,11 +1057,11 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 
 def synthesize_real_media_table(n: int = 240) -> pa.Table:
-    """Deterministic media corpus with REAL container payloads where an
-    uncompressed format exists: BMP images (``i % 3 == 0``), WAV PCM
-    audio (``i % 3 == 1``); video rows (``i % 3 == 2``) stay synthetic
-    (no codec-free video container).  Content is analytic in ``i`` so
-    decode output has a closed-form arithmetic oracle:
+    """Deterministic media corpus with REAL container payloads: images
+    (``i % 3 == 0``), audio (``i % 3 == 1``) and MP4 video
+    (``i % 3 == 2`` — real ISO-BMFF container, opaque frame payloads).
+    Content is analytic in ``i`` so decode output has a closed-form
+    arithmetic oracle:
 
     - image ``i``: width ``16+(i%8)*4``, height ``12+(i%5)*4``, every
       pixel channel ``(i*7)%256`` → mean pixel is exactly that value.
@@ -1074,7 +1076,10 @@ def synthesize_real_media_table(n: int = 240) -> pa.Table:
       ±(1000+10·i) square wave → RMS energy is exactly ``1000+10·i``,
       duration ``n_samples/8000``.  The container alternates WAV-PCM /
       FLAC (``(i//3)%2``) — FLAC is lossless, so the oracle is shared.
-    - video ``i``: ``256·(3+(i%5))`` bytes → ``3+(i%5)`` fake frames.
+    - video ``i``: a real MP4 holding ``3+(i%5)`` opaque 256-byte
+      frames (frame ``f`` byte ``j`` is ``(i+256f+j)%256``) at 10 fps,
+      timescale 1000 → duration is exactly ``(3+(i%5))·0.1`` s and the
+      stts/stsc/stsz/stco tables are what the decoder must walk.
     """
     kinds, payloads, mimes = [], [], []
     for i in range(n):
@@ -1118,8 +1123,13 @@ def synthesize_real_media_table(n: int = 240) -> pa.Table:
                                             block_size=256, fixed_order=1))
                 mimes.append("audio/flac")
         else:
+            from .codec_mp4 import encode_mp4
+
             kinds.append("video")
-            payloads.append(bytes((i + j) % 256 for j in range(256 * (3 + (i % 5)))))
+            raw = bytes((i + j) % 256 for j in range(256 * (3 + (i % 5))))
+            payloads.append(encode_mp4(
+                [raw[f * 256 : (f + 1) * 256] for f in range(3 + (i % 5))],
+                fps=10, timescale=1000))
             mimes.append("video/mp4")
     return pa.table({
         "media_id": pa.array([f"m{i:05d}" for i in range(n)], pa.string()),
@@ -1264,7 +1274,14 @@ class ImageResizeStage:
 
 class VideoFrameSampleStage:
     """Actor stage: sample N evenly-spaced frames → per-frame byte
-    slices + timestamps (fake decode; real raises)."""
+    slices + container timestamps + per-item duration.
+
+    ``decoder='real'`` parses the MP4 container with
+    :func:`codec_mp4.decode_mp4` — frame byte ranges come from the
+    ``stbl`` sample tables and timestamps from ``stts``; the frame
+    PAYLOADS stay opaque (H.264 entropy decode needs codec libraries
+    absent here).  ``'fake'`` slices 256-byte pseudo-frames for
+    plumbing tests."""
 
     def __init__(self, decoder: str = "fake", frames: int = 3, fps: float = 25.0):
         self.decoder = decoder
@@ -1272,24 +1289,34 @@ class VideoFrameSampleStage:
         self.fps = fps
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decoder == "real":
-            raise NotImplementedError("video codec libraries are not available in this environment")
         payloads = batch["payload"].to_numpy(zero_copy_only=False)
-        ids, fidx, ts, frames = [], [], [], []
+        ids, fidx, ts, frames, durs = [], [], [], [], []
         mids = batch["media_id"].to_pylist()
         for mid, p in zip(mids, payloads):
-            n_frames_total = max(1, len(p) // 256)  # fake: 256 B per frame
-            step = max(1, n_frames_total // self.frames)
-            for k, f in enumerate(range(0, n_frames_total, step)[: self.frames]):
+            if self.decoder == "real":
+                from .codec_mp4 import decode_mp4
+
+                info = decode_mp4(p)
+                all_frames, all_ts = info["frames"], info["timestamps"]
+                dur = info["duration_sec"]
+            else:
+                n_total = max(1, len(p) // 256)  # fake: 256 B per frame
+                all_frames = [p[f * 256 : (f + 1) * 256] for f in range(n_total)]
+                all_ts = [f / self.fps for f in range(n_total)]
+                dur = n_total / self.fps
+            step = max(1, len(all_frames) // self.frames)
+            for k, f in enumerate(range(0, len(all_frames), step)[: self.frames]):
                 ids.append(mid)
                 fidx.append(k)
-                ts.append(round(f / self.fps, 6))
-                frames.append(p[f * 256 : (f + 1) * 256])
+                ts.append(round(all_ts[f], 6))
+                frames.append(all_frames[f])
+                durs.append(round(dur, 6))
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.string()),
                 "frame_index": pa.array(fidx, pa.int32()),
                 "timestamp_sec": pa.array(ts, pa.float64()),
+                "duration_sec": pa.array(durs, pa.float64()),
                 "frame": pa.array(frames, pa.binary()),
             }
         )

@@ -1,5 +1,7 @@
 """Dedup / similarity / text-analysis / multimodal stage tests."""
 
+import struct
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -958,3 +960,63 @@ def test_ico_codec_roundtrips_and_gates():
         decode_ico(b"\x00\x00\x02\x00" + b"\x00" * 30)  # cursor, not icon
     with pytest.raises(NotImplementedError):
         decode_ico(b"GIF89a")
+
+
+def test_mp4_codec_roundtrips_and_gates():
+    """MP4/ISO-BMFF container: the decoder reconstructs frame byte
+    ranges by expanding stsc runs against stco/co64 + stsz, and
+    timestamps from stts; the encoder drives multi-chunk, variable-
+    size, fixed-size and 64-bit-offset layouts.  Frame payloads stay
+    opaque; fragmented / non-BMFF payloads raise."""
+    from siteone_crawler_ray.stages.codec_mp4 import decode_mp4, encode_mp4
+
+    # variable sizes, odd frame count → two-run stsc (tail chunk short)
+    frames = [bytes([k] * s) for k, s in enumerate([10, 20, 30, 40, 50])]
+    d = decode_mp4(encode_mp4(frames, fps=10, timescale=1000))
+    assert d["frames"] == frames
+    assert d["timestamps"] == [0.0, 0.1, 0.2, 0.3, 0.4]
+    assert d["duration_sec"] == 0.5
+    assert d["sync"] == [True, False, True, False, True]
+    assert d["codec"] == "mp4v" and (d["width"], d["height"]) == (16, 16)
+
+    # fixed-size stsz, even count, 4-per-chunk, 64-bit co64 offsets
+    frames2 = [bytes([7] * 64)] * 6
+    d2 = decode_mp4(encode_mp4(frames2, fps=25, timescale=100,
+                               use_co64=True, frames_per_chunk=4))
+    assert d2["frames"] == frames2 and abs(d2["duration_sec"] - 0.24) < 1e-9
+
+    # single frame
+    d3 = decode_mp4(encode_mp4([b"x" * 5], fps=1, timescale=10))
+    assert d3["frames"] == [b"x" * 5] and d3["duration_sec"] == 1.0
+
+    with pytest.raises(NotImplementedError):
+        decode_mp4(b"\x00" * 20)  # not BMFF
+    with pytest.raises(NotImplementedError):  # fragmented
+        moof = struct.pack(">I", 8) + b"moof"
+        decode_mp4(struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4 + moof)
+
+
+def test_video_frame_sample_real_matches_analytic():
+    """The real MP4 path of VideoFrameSampleStage returns the exact
+    opaque frame bytes, container timestamps and mdhd duration the
+    analytic corpus encodes (synthesize_real_media_table: 10 fps,
+    3+(i%5) frames of 256 bytes, byte j of frame f = (i+256f+j)%256)."""
+    import pyarrow.compute as pc
+
+    from siteone_crawler_ray.stages.multimodal import (
+        VideoFrameSampleStage, synthesize_real_media_table)
+
+    t = synthesize_real_media_table(30)
+    vid = t.filter(pc.equal(pc.field("kind"), "video"))
+    out = VideoFrameSampleStage(decoder="real", frames=8)(vid)
+    assert out.num_rows == sum(3 + (int(m[1:]) % 5)
+                               for m in vid["media_id"].to_pylist())
+    for mid, k, f, ts, du in zip(out["media_id"].to_pylist(),
+                                 out["frame_index"].to_pylist(),
+                                 out["frame"].to_pylist(),
+                                 out["timestamp_sec"].to_pylist(),
+                                 out["duration_sec"].to_pylist()):
+        i = int(mid[1:])
+        assert f == bytes((i + 256 * k + j) % 256 for j in range(256))
+        assert abs(ts - k * 0.1) < 1e-9
+        assert abs(du - (3 + i % 5) * 0.1) < 1e-9
