@@ -10,13 +10,15 @@ RIFF/WAVE 16-bit PCM (``decode_wav``), Windows BMP 24-bit
 (``decode_png``), baseline sequential JPEG (``decode_jpeg``:
 Annex-K Huffman, 4:4:4/4:2:2/4:2:0, grayscale, restart intervals),
 GIF87a/89a (``decode_gif``: LZW, interlace, local color tables), and
-lossless WebP (``codec_webp.decode_webp``: VP8L prefix codes, color
-cache, LZ77, all four transforms), ICO favicons (``decode_ico``),
-FLAC audio (``codec_flac.decode_flac``) and the MP4 container
-(``codec_mp4.decode_mp4``: full stbl sample-table walk; frame
-payloads stay opaque) — and raises ``NotImplementedError`` for the
-rest (progressive JPEG, lossy VP8, AVIF, MP3, H.264 frame decode),
-whose codec libraries (PIL/ffmpeg) are NOT in this container.
+baseline AND progressive JPEG (``decode_jpeg``: Annex-K Huffman,
+spectral selection + successive approximation, 4:4:4/4:2:2/4:2:0,
+restart intervals), lossless WebP (``codec_webp.decode_webp``: VP8L
+prefix codes, color cache, LZ77, all four transforms), ICO favicons
+(``decode_ico``), FLAC audio (``codec_flac.decode_flac``) and the MP4
+container (``codec_mp4.decode_mp4``: full stbl sample-table walk;
+frame payloads stay opaque) — and raises ``NotImplementedError`` for
+the rest (lossy VP8, AVIF, MP3, H.264 frame decode), whose codec
+libraries (PIL/ffmpeg) are NOT in this container.
 ``decoder="fake"`` (the default for arbitrary payloads) derives
 deterministic metadata from the payload hash so the Ray-side plumbing
 — schema, batch sizing for wide binary rows, actor signature,
@@ -229,11 +231,12 @@ def decode_png(payload: bytes) -> np.ndarray:
 #
 # Pure Python/numpy: Annex K quantization + Huffman tables, IJG quality
 # scaling, 8×8 DCT via matrix multiplication, 4:4:4 and 4:2:0 chroma,
-# grayscale, restart intervals on decode.  Honest gates: progressive
-# (SOF2), arithmetic coding, 12-bit precision and sampling factors > 2
+# grayscale, restart intervals, and progressive (SOF2) with full
+# spectral selection + successive approximation on decode.  Honest
+# gates: arithmetic coding, 12-bit precision and sampling factors > 2
 # raise NotImplementedError.  The dominant web image format
 # (src/engine/crawler.rs:1557-1596 content-type map) thus decodes here
-# without PIL.
+# without PIL, in both its sequential and progressive forms.
 
 _JPEG_ZZ = np.array([
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -418,14 +421,161 @@ def _pad_edge(plane: np.ndarray, bh: int, bw_: int) -> np.ndarray:
     return np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
 
 
+def _enc_ac_first(bw: _BitWriter, blk: np.ndarray, ss: int, se: int,
+                  al: int, ac_tab) -> None:
+    """Progressive AC first-scan encoding (G.1.2.2) for one block:
+    point-transformed band coefficients, EOB runs emitted per block
+    (run length 1 — symbol 0x00 — so Annex K tables suffice)."""
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        vals.append(v >> al if v >= 0 else -((-v) >> al))
+    nz = [i for i, v in enumerate(vals) if v]
+    if not nz:
+        code, ln = ac_tab[0x00]
+        bw.write(code, ln)
+        return
+    last = nz[-1]
+    run = 0
+    for i in range(last + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s, b = _magnitude(v)
+        code, ln = ac_tab[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(b, s)
+        run = 0
+    if last < se - ss:
+        code, ln = ac_tab[0x00]
+        bw.write(code, ln)
+
+
+def _enc_ac_refine(bw: _BitWriter, blk: np.ndarray, ss: int, se: int,
+                   al: int, ac_tab) -> None:
+    """Progressive AC refinement encoding (G.1.2.3) for one block:
+    newly-significant coefficients (|coef|>>al == 1) as run+sign,
+    history-nonzero coefficients as buffered correction bits flushed
+    after each symbol; the tail folds into a per-block EOB."""
+    absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+    last_sig = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            last_sig = i
+    run, corr = 0, []
+    for i in range(last_sig + 1):
+        t = absv[i]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:  # ZRL only before the last newly-significant coef
+            code, ln = ac_tab[0xF0]
+            bw.write(code, ln)
+            run -= 16
+            for b in corr:
+                bw.write(b, 1)
+            corr = []
+        if t > 1:
+            corr.append(t & 1)
+            continue
+        code, ln = ac_tab[(run << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(blk[ss + i]) > 0 else 0, 1)
+        for b in corr:
+            bw.write(b, 1)
+        corr = []
+        run = 0
+    if last_sig < se - ss:  # trailing zeros / corrections → EOB(1) + bits
+        code, ln = ac_tab[0x00]
+        bw.write(code, ln)
+        for t in absv[last_sig + 1 :]:
+            if t > 1:
+                bw.write(t & 1, 1)
+
+
+def _enc_progressive_scans(comps: list[dict], mcus_y: int,
+                           mcus_x: int) -> list[tuple[bytes, bytes]]:
+    """libjpeg's default progressive scan script → [(SOS body, entropy
+    bytes)]: interleaved DC first (Al=1), per-component AC 1–5 and
+    6–63 first (Al=2), DC refine, AC refine 2→1 and 1→0 over 1–63."""
+    scans: list[tuple[bytes, bytes]] = []
+
+    def dc_sos(ah: int, al: int) -> bytes:
+        return (bytes([len(comps)])
+                + b"".join(bytes([c["id"], c["td"] << 4]) for c in comps)
+                + bytes([0, 0, (ah << 4) | al]))
+
+    # DC first (Al=1): interleaved over the full MCU grid
+    bw = _BitWriter()
+    preds = {c["id"]: 0 for c in comps}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in comps:
+                for dy in range(c["v"]):
+                    for dx in range(c["h"]):
+                        v = int(c["blocks"][my * c["v"] + dy, mx * c["h"] + dx, 0]) >> 1
+                        s, b = _magnitude(v - preds[c["id"]])
+                        code, ln = c["dc"][s]
+                        bw.write(code, ln)
+                        if s:
+                            bw.write(b, s)
+                        preds[c["id"]] = v
+    scans.append((dc_sos(0, 1), bw.flush()))
+
+    # AC first scans: per component, non-interleaved block raster
+    for ss_, se_ in ((1, 5), (6, 63)):
+        for c in comps:
+            bw = _BitWriter()
+            for by in range(c["nbh"]):
+                for bx in range(c["nbw"]):
+                    _enc_ac_first(bw, c["blocks"][by, bx], ss_, se_, 2, c["ac"])
+            scans.append((bytes([1, c["id"], c["ta"], ss_, se_, 2]), bw.flush()))
+
+    # DC refine (Ah=1 → Al=0): one raw bit per block, no Huffman
+    bw = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in comps:
+                for dy in range(c["v"]):
+                    for dx in range(c["h"]):
+                        bw.write(int(c["blocks"][my * c["v"] + dy,
+                                                 mx * c["h"] + dx, 0]) & 1, 1)
+    scans.append((dc_sos(1, 0), bw.flush()))
+
+    # AC refine sweeps: Ah=2→Al=1, then Ah=1→Al=0
+    for al_ in (1, 0):
+        for c in comps:
+            bw = _BitWriter()
+            for by in range(c["nbh"]):
+                for bx in range(c["nbw"]):
+                    _enc_ac_refine(bw, c["blocks"][by, bx], 1, 63, al_, c["ac"])
+            scans.append((bytes([1, c["id"], c["ta"], 1, 63,
+                                 ((al_ + 1) << 4) | al_]), bw.flush()))
+    return scans
+
+
 def encode_jpeg(pixels: np.ndarray, quality: int = 90,
-                subsampling: str = "444", restart_interval: int = 0) -> bytes:
+                subsampling: str = "444", restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
     """(H, W) / (H, W, 1) gray or (H, W, 3) RGB uint8 → baseline
     sequential JPEG bytes (Annex K tables, IJG quality scaling,
     ``subsampling`` ∈ {"444", "420"} for color;
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs with DC-predictor resets)."""
+    MCUs with DC-predictor resets).  ``progressive=True`` emits SOF2
+    with the classic libjpeg default scan script — interleaved DC
+    first (Al=1), per-component AC bands 1–5 and 6–63 first (Al=2),
+    DC refine, then two AC refinement sweeps (2→1, 1→0) — driving
+    every successive-approximation decoder path; the coefficients are
+    identical to the sequential encoding, so decode output matches
+    the sequential file bit-for-bit."""
     px = np.asarray(pixels, dtype=np.uint8)
+    if progressive and restart_interval:
+        raise ValueError("progressive + restart_interval is not supported")
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[:, :, 0]
     gray = px.ndim == 2
@@ -461,34 +611,49 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
 
     dc_l, ac_l = _huff_encode_table(*_DC_L), _huff_encode_table(*_AC_L)
     dc_c, ac_c = _huff_encode_table(*_DC_C), _huff_encode_table(*_AC_C)
-    # per-MCU block schedule: [(zigzag coeffs, comp idx, dc tab, ac tab)]
-    mcus: list[list] = []
-    if gray:
-        for by in range(yblocks.shape[0]):
-            for bx in range(yblocks.shape[1]):
-                mcus.append([(yblocks[by, bx], 0, dc_l, ac_l)])
+    if progressive:
+        # non-interleaved AC-scan rasters use the component's OWN
+        # block dims (A.2.2), which for Y in 4:2:0 are smaller than
+        # the MCU-padded array
+        ph, pw = -(-h // 8), -(-w // 8)
+        pcomps = [{"id": 1, "blocks": yblocks, "h": sub if not gray else 1,
+                   "v": sub if not gray else 1, "nbh": ph, "nbw": pw,
+                   "dc": dc_l, "ac": ac_l, "td": 0, "ta": 0}]
+        for ci, cb in enumerate(cblocks):
+            pcomps.append({"id": 2 + ci, "blocks": cb, "h": 1, "v": 1,
+                           "nbh": cb.shape[0], "nbw": cb.shape[1],
+                           "dc": dc_c, "ac": ac_c, "td": 1, "ta": 1})
+        scans = _enc_progressive_scans(pcomps, yblocks.shape[0] // (sub if not gray else 1),
+                                       yblocks.shape[1] // (sub if not gray else 1))
     else:
-        for my in range(yblocks.shape[0] // sub):
-            for mx in range(yblocks.shape[1] // sub):
-                blocks = [(yblocks[my * sub + dy, mx * sub + dx], 0, dc_l, ac_l)
-                          for dy in range(sub) for dx in range(sub)]
-                blocks.append((cblocks[0][my, mx], 1, dc_c, ac_c))
-                blocks.append((cblocks[1][my, mx], 2, dc_c, ac_c))
-                mcus.append(blocks)
-    bwr = _BitWriter()
-    preds = [0, 0, 0]
-    scan_parts: list[bytes] = []
-    for n, mcu in enumerate(mcus):
-        if restart_interval and n and n % restart_interval == 0:
-            scan_parts.append(bwr.flush())
-            scan_parts.append(
-                bytes([0xFF, 0xD0 + ((n // restart_interval - 1) % 8)]))
-            bwr = _BitWriter()
-            preds = [0, 0, 0]
-        for zz, ci, dct, act in mcu:
-            preds[ci] = _encode_block(zz, preds[ci], dct, act, bwr)
-    scan_parts.append(bwr.flush())
-    scan = b"".join(scan_parts)
+        # per-MCU block schedule: [(zigzag coeffs, comp idx, dc tab, ac tab)]
+        mcus: list[list] = []
+        if gray:
+            for by in range(yblocks.shape[0]):
+                for bx in range(yblocks.shape[1]):
+                    mcus.append([(yblocks[by, bx], 0, dc_l, ac_l)])
+        else:
+            for my in range(yblocks.shape[0] // sub):
+                for mx in range(yblocks.shape[1] // sub):
+                    blocks = [(yblocks[my * sub + dy, mx * sub + dx], 0, dc_l, ac_l)
+                              for dy in range(sub) for dx in range(sub)]
+                    blocks.append((cblocks[0][my, mx], 1, dc_c, ac_c))
+                    blocks.append((cblocks[1][my, mx], 2, dc_c, ac_c))
+                    mcus.append(blocks)
+        bwr = _BitWriter()
+        preds = [0, 0, 0]
+        scan_parts: list[bytes] = []
+        for n, mcu in enumerate(mcus):
+            if restart_interval and n and n % restart_interval == 0:
+                scan_parts.append(bwr.flush())
+                scan_parts.append(
+                    bytes([0xFF, 0xD0 + ((n // restart_interval - 1) % 8)]))
+                bwr = _BitWriter()
+                preds = [0, 0, 0]
+            for zz, ci, dct, act in mcu:
+                preds[ci] = _encode_block(zz, preds[ci], dct, act, bwr)
+        scan_parts.append(bwr.flush())
+        scan = b"".join(scan_parts)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -507,7 +672,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
         sof += bytes([1, 0x11, 0])
     else:
         sof += bytes([1, (sub << 4) | sub, 0, 2, 0x11, 1, 3, 0x11, 1])
-    out.append(seg(0xFFC0, sof))
+    out.append(seg(0xFFC2 if progressive else 0xFFC0, sof))
     out.append(seg(0xFFC4, dht(0x00, *_DC_L)))
     out.append(seg(0xFFC4, dht(0x10, *_AC_L)))
     if not gray:
@@ -515,11 +680,16 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
         out.append(seg(0xFFC4, dht(0x11, *_AC_C)))
     if restart_interval:
         out.append(seg(0xFFDD, struct.pack(">H", restart_interval)))
-    sos = bytes([ncomp])
-    sos += bytes([1, 0x00]) if gray else bytes([1, 0x00, 2, 0x11, 3, 0x11])
-    sos += bytes([0, 63, 0])
-    out.append(seg(0xFFDA, sos))
-    out.append(scan)
+    if progressive:
+        for sos_body, data in scans:
+            out.append(seg(0xFFDA, sos_body))
+            out.append(data)
+    else:
+        sos = bytes([ncomp])
+        sos += bytes([1, 0x00]) if gray else bytes([1, 0x00, 2, 0x11, 3, 0x11])
+        sos += bytes([0, 63, 0])
+        out.append(seg(0xFFDA, sos))
+        out.append(scan)
     out.append(b"\xff\xd9")  # EOI
     return b"".join(out)
 
@@ -561,12 +731,13 @@ def _receive_extend(br: _BitReader, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def _decode_block(br: _BitReader, dc_tab, ac_tab, pred: int,
-                  qtab_zz: np.ndarray) -> tuple[np.ndarray, int]:
-    zz = np.zeros(64, dtype=np.int64)
+def _decode_block_seq(br: _BitReader, dc_tab, ac_tab, pred: int,
+                      blk: np.ndarray) -> int:
+    """Sequential full-band (Ss=0..63, Ah=Al=0) coefficient decode
+    into ``blk`` (64, zigzag/stream order); returns the new DC pred."""
     s = _huff_decode(br, dc_tab)
-    dc = pred + _receive_extend(br, s)
-    zz[0] = dc
+    pred += _receive_extend(br, s)
+    blk[0] = pred
     k = 1
     while k < 64:
         rs = _huff_decode(br, ac_tab)
@@ -579,23 +750,189 @@ def _decode_block(br: _BitReader, dc_tab, ac_tab, pred: int,
         k += r
         if k > 63:
             raise NotImplementedError("corrupt JPEG AC run")
-        zz[k] = _receive_extend(br, s)
+        blk[k] = _receive_extend(br, s)
         k += 1
-    rm = np.zeros(64, dtype=np.float64)
-    rm[_JPEG_ZZ] = zz * qtab_zz  # dezigzag + dequantize
-    f = _DCT_C.T @ rm.reshape(8, 8) @ _DCT_C
-    return np.clip(np.rint(f + 128.0), 0, 255).astype(np.uint8), dc
+    return pred
+
+
+def _decode_ac_first(br: _BitReader, blk: np.ndarray, ss: int, se: int,
+                     al: int, ac_tab, eobrun: int) -> int:
+    """Progressive AC first scan (Ah=0) for one block (G.1.2.2);
+    returns the remaining end-of-band run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read(r)
+            break
+        k += r
+        if k > se:
+            raise NotImplementedError("corrupt progressive JPEG AC run")
+        blk[k] = _receive_extend(br, s) << al
+        k += 1
+    return eobrun
+
+
+def _decode_ac_refine(br: _BitReader, blk: np.ndarray, ss: int, se: int,
+                      al: int, ac_tab, eobrun: int) -> int:
+    """Progressive AC refinement scan (Ah>0) for one block (G.1.2.3):
+    newly-significant coefficients arrive as run+sign, history-nonzero
+    coefficients absorb one correction bit each; EOB runs still carry
+    correction bits for the rest of the band."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                coef = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise NotImplementedError("invalid JPEG refinement magnitude")
+                coef = p1 if br.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read_bit() and (int(blk[k]) & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if coef and k <= se:
+                blk[k] = coef
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if br.read_bit() and (int(blk[k]) & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _split_entropy(payload: bytes, start: int) -> tuple[list[bytes], int]:
+    """Entropy-coded data from ``start`` → RST-delimited destuffed
+    segments + the position of the next marker."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = start
+    while p < len(payload):
+        b = payload[p]
+        if b == 0xFF:
+            if p + 1 >= len(payload):
+                p += 1
+                break
+            nb = payload[p + 1]
+            if nb == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nb <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # next real marker
+        cur.append(b)
+        p += 1
+    segments.append(bytes(cur))
+    return segments, p
+
+
+def _decode_one_scan(segments: list[bytes], scan_comps, ss: int, se: int,
+                     ah: int, al: int, frame: dict, coeffs: dict,
+                     dc_tabs: dict, ac_tabs: dict, restart: int) -> None:
+    """Decode one entropy-coded scan (sequential or any of the four
+    progressive kinds) into the per-component coefficient arrays."""
+    by_id = {c["id"]: c for c in frame["comps"]}
+    progressive = frame["progressive"]
+    comps = []
+    for cid, td, ta in scan_comps:
+        c = by_id.get(cid)
+        if c is None:
+            raise NotImplementedError("JPEG scan references an unknown component")
+        dct, act = dc_tabs.get(td), ac_tabs.get(ta)
+        needs_dc = (not progressive) or (ss == 0 and ah == 0)
+        needs_ac = (not progressive) or ss > 0
+        if (needs_dc and dct is None) or (needs_ac and act is None):
+            raise NotImplementedError("JPEG scan references an undefined table")
+        comps.append((c, dct, act))
+
+    # unit schedule: interleaved scans walk the MCU grid, single-
+    # component scans walk the component's own block raster (A.2.2)
+    units: list[list[tuple]] = []
+    if len(comps) > 1:
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                unit = []
+                for c, dct, act in comps:
+                    for dy in range(c["v"]):
+                        for dx in range(c["h"]):
+                            unit.append((c, dct, act, my * c["v"] + dy, mx * c["h"] + dx))
+                units.append(unit)
+    else:
+        c, dct, act = comps[0]
+        for by in range(c["nbh"]):
+            for bx in range(c["nbw"]):
+                units.append([(c, dct, act, by, bx)])
+
+    seg_i = 0
+    br = _BitReader(segments[0])
+    preds = {c["id"]: 0 for c in frame["comps"]}
+    eobrun = 0
+    for n, unit in enumerate(units):
+        if restart and n and n % restart == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise NotImplementedError("truncated JPEG: missing restart segment")
+            br = _BitReader(segments[seg_i])
+            preds = {c["id"]: 0 for c in frame["comps"]}
+            eobrun = 0
+        for c, dct, act, by, bx in unit:
+            blk = coeffs[c["id"]][by, bx]
+            if not progressive:
+                preds[c["id"]] = _decode_block_seq(br, dct, act, preds[c["id"]], blk)
+            elif ss == 0 and ah == 0:  # DC first
+                s = _huff_decode(br, dct)
+                preds[c["id"]] += _receive_extend(br, s)
+                blk[0] = preds[c["id"]] << al
+            elif ss == 0:  # DC refinement: one raw bit per block
+                if br.read_bit():
+                    blk[0] = int(blk[0]) | (1 << al)
+            elif ah == 0:
+                eobrun = _decode_ac_first(br, blk, ss, se, al, act, eobrun)
+            else:
+                eobrun = _decode_ac_refine(br, blk, ss, se, al, act, eobrun)
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline sequential JPEG → (H, W, C) uint8 (C = 1 gray / 3 RGB).
+    """Huffman JPEG → (H, W, C) uint8 (C = 1 gray / 3 RGB).
 
-    Supports Huffman baseline (SOF0) and extended sequential (SOF1),
-    8-bit precision, sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0),
-    restart intervals; chroma upsampling is nearest-neighbour
-    (deterministic; decoders may legally differ here, T.81 leaves the
-    filter open).  Progressive (SOF2), arithmetic coding (SOF9+),
-    hierarchical and 12-bit variants raise NotImplementedError."""
+    Supports baseline (SOF0), extended sequential (SOF1) AND
+    progressive (SOF2) with full spectral selection + successive
+    approximation (DC first/refine, AC first/refine, EOB runs), 8-bit
+    precision, sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0), restart
+    intervals; all scans accumulate into per-component coefficient
+    arrays and one vectorized IDCT runs at the end.  Chroma upsampling
+    is nearest-neighbour (deterministic; T.81 leaves the filter open).
+    Arithmetic coding (SOF9+), hierarchical and 12-bit variants raise
+    NotImplementedError."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG payload")
     pos = 2
@@ -604,13 +941,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     ac_tabs: dict[int, dict] = {}
     frame = None
     restart = 0
-    scan_comps = None
-    scan_start = None
-    while pos + 4 <= len(payload):
+    coeffs: dict[int, np.ndarray] = {}
+    saw_scan = False
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise NotImplementedError("desynchronized JPEG marker stream")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone markers
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
             break
         (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + ln]
@@ -632,7 +974,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[o + 17 : o + 17 + nv])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decode_table(bits, vals)
                 o += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both Huffman sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
@@ -643,82 +985,57 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(f"JPEG sampling factor {hi}x{vi}")
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-fw // (8 * hmax))
+            mcus_y = -(-fh // (8 * vmax))
+            for c in comps:
+                # non-interleaved block raster dims (A.2.2)
+                c["nbh"] = -(-(-(-fh * c["v"] // vmax)) // 8)
+                c["nbw"] = -(-(-(-fw * c["h"] // hmax)) // 8)
+                coeffs[c["id"]] = np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+            frame = {"h": fh, "w": fw, "comps": comps, "hmax": hmax, "vmax": vmax,
+                     "mcus_x": mcus_x, "mcus_y": mcus_y,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline/extended sequential Huffman JPEG is supported "
+                "only sequential/progressive Huffman JPEG is supported "
                 f"(SOF marker 0xFF{marker:02X})")
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise NotImplementedError("JPEG SOS before SOF")
             ns = body[0]
             scan_comps = [(body[1 + i * 2], body[2 + i * 2] >> 4, body[2 + i * 2] & 0x0F)
                           for i in range(ns)]
-            scan_start = pos + 2 + ln
-            break
+            ss, se, a = body[1 + ns * 2 : 4 + ns * 2]
+            segments, next_pos = _split_entropy(payload, pos + 2 + ln)
+            _decode_one_scan(segments, scan_comps, ss, se, a >> 4, a & 0x0F,
+                             frame, coeffs, dc_tabs, ac_tabs, restart)
+            saw_scan = True
+            pos = next_pos
+            continue
         pos += 2 + ln
-    if frame is None or scan_comps is None:
+    if frame is None or not saw_scan:
         raise NotImplementedError("malformed JPEG: missing SOF/SOS")
 
-    # split the entropy-coded data at RST markers, destuff 0xFF00
-    segments: list[bytes] = []
-    cur = bytearray()
-    p = scan_start
-    while p < len(payload):
-        b = payload[p]
-        if b == 0xFF and p + 1 < len(payload):
-            nb = payload[p + 1]
-            if nb == 0x00:
-                cur.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= nb <= 0xD7:  # RSTn
-                segments.append(bytes(cur))
-                cur = bytearray()
-                p += 2
-                continue
-            break  # EOI or next marker
-        cur.append(b)
-        p += 1
-    segments.append(bytes(cur))
-
-    hmax = max(c["h"] for c in frame["comps"])
-    vmax = max(c["v"] for c in frame["comps"])
+    # dequantize + one vectorized IDCT per component
     fh, fw = frame["h"], frame["w"]
-    mcus_x = -(-fw // (8 * hmax))
-    mcus_y = -(-fh // (8 * vmax))
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = {}
     for c in frame["comps"]:
-        planes[c["id"]] = np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.uint8)
-    order = []  # per-MCU block schedule: (comp dict, dc, ac, qtab)
-    by_id = {c["id"]: c for c in frame["comps"]}
-    for cid, td, ta in scan_comps:
-        c = by_id[cid]
-        order.append((c, dc_tabs.get(td), ac_tabs.get(ta), qtabs.get(c["tq"])))
-        if order[-1][1] is None or order[-1][2] is None or order[-1][3] is None:
-            raise NotImplementedError("JPEG scan references an undefined table")
-
-    seg_i = 0
-    br = _BitReader(segments[0])
-    preds = {c["id"]: 0 for c in frame["comps"]}
-    mcu_n = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart and mcu_n and mcu_n % restart == 0:
-                seg_i += 1
-                if seg_i >= len(segments):
-                    raise NotImplementedError("truncated JPEG: missing restart segment")
-                br = _BitReader(segments[seg_i])
-                preds = {c["id"]: 0 for c in frame["comps"]}
-            for c, dct, act, qt in order:
-                for dy in range(c["v"]):
-                    for dx in range(c["h"]):
-                        blk, preds[c["id"]] = _decode_block(br, dct, act,
-                                                            preds[c["id"]], qt)
-                        y0 = (my * c["v"] + dy) * 8
-                        x0 = (mx * c["h"] + dx) * 8
-                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = blk
-            mcu_n += 1
+        qt = qtabs.get(c["tq"])
+        if qt is None:
+            raise NotImplementedError("JPEG component references an undefined quant table")
+        co = coeffs[c["id"]].astype(np.float64)
+        rm = np.zeros_like(co)
+        rm[:, :, _JPEG_ZZ] = co * qt  # dezigzag + dequantize
+        F = rm.reshape(co.shape[0], co.shape[1], 8, 8)
+        f = np.einsum("ux,nmuv,vy->nmxy", _DCT_C, F, _DCT_C)
+        plane = f.transpose(0, 2, 1, 3).reshape(co.shape[0] * 8, co.shape[1] * 8)
+        planes[c["id"]] = np.clip(np.rint(plane + 128.0), 0, 255).astype(np.uint8)
 
     if len(frame["comps"]) == 1:
         return planes[frame["comps"][0]["id"]][:fh, :fw][:, :, None]
@@ -1070,8 +1387,9 @@ def synthesize_real_media_table(n: int = 240) -> pa.Table:
       quant tables), where a constant-color image is DC-only and
       round-trips EXACTLY, and GIF / lossless-WebP are exact by
       construction, so all five codecs share the same arithmetic
-      oracle.  JPEG rows alternate 4:2:0 / 4:4:4 chroma; GIF rows
-      alternate interlaced / sequential.
+      oracle.  JPEG rows alternate 4:2:0 / 4:4:4 chroma AND
+      baseline / progressive (SOF2) coding — the full cross product
+      over the cycle; GIF rows alternate interlaced / sequential.
     - audio ``i``: 8 kHz, ``400+(i%7)*100`` samples, alternating
       ±(1000+10·i) square wave → RMS energy is exactly ``1000+10·i``,
       duration ``n_samples/8000``.  The container alternates WAV-PCM /
@@ -1098,7 +1416,8 @@ def synthesize_real_media_table(n: int = 240) -> pa.Table:
             elif fmt == 2:
                 payloads.append(encode_jpeg(
                     px, quality=100,
-                    subsampling="420" if (i // 3) % 2 == 0 else "444"))
+                    subsampling="420" if (i // 3) % 2 == 0 else "444",
+                    progressive=(i // 30) % 2 == 1))
                 mimes.append("image/jpeg")
             elif fmt == 3:
                 payloads.append(encode_gif(px, interlace=(i // 3) % 2 == 0))

@@ -718,10 +718,12 @@ def test_jpeg_codec_roundtrips_and_gates():
     # magic-byte dispatch reaches the JPEG path
     assert (decode_image(encode_jpeg(img, quality=90)) == a).all()
 
-    # honest gates: progressive (SOF2) and arithmetic (SOF9) rejected
+    # honest gates: lossless (SOF3) and arithmetic (SOF9) rejected
+    # (progressive SOF2 is now SUPPORTED — see
+    # test_progressive_jpeg_matches_sequential)
     enc = bytearray(encode_jpeg(img))
     i = enc.find(b"\xff\xc0")
-    for bad in (0xC2, 0xC9):
+    for bad in (0xC3, 0xC9):
         enc[i + 1] = bad
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(enc))
@@ -1020,3 +1022,35 @@ def test_video_frame_sample_real_matches_analytic():
         assert f == bytes((i + 256 * k + j) % 256 for j in range(256))
         assert abs(ts - k * 0.1) < 1e-9
         assert abs(du - (3 + i % 5) * 0.1) < 1e-9
+
+
+def test_progressive_jpeg_matches_sequential():
+    """Progressive (SOF2) encoding carries the identical quantized
+    coefficients as sequential, so decode output must match the
+    sequential file bit-for-bit — across gray/color, 4:4:4/4:2:0,
+    odd sizes and qualities.  Every successive-approximation decoder
+    path (DC first/refine, AC first, two AC refinement sweeps, EOB
+    runs, ZRL-with-correction-bits) is exercised by random content."""
+    from siteone_crawler_ray.stages.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    cases = [
+        ((16, 16), {}),
+        ((24, 17), {}),
+        ((21, 13, 3), {"subsampling": "444"}),
+        ((19, 27, 3), {"subsampling": "420"}),
+        ((48, 40, 3), {"subsampling": "420"}),
+    ]
+    for shape, kw in cases:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for q in (50, 90, 100):
+            seq = decode_jpeg(encode_jpeg(px, quality=q, **kw))
+            prog = decode_jpeg(encode_jpeg(px, quality=q, progressive=True, **kw))
+            assert (seq == prog).all(), (shape, kw, q)
+
+    # constant color at q100 is DC-only and round-trips EXACTLY
+    px = np.full((20, 28, 3), 143, np.uint8)
+    assert (decode_jpeg(encode_jpeg(px, quality=100, progressive=True)) == px).all()
+
+    with pytest.raises(ValueError):
+        encode_jpeg(px, progressive=True, restart_interval=4)
