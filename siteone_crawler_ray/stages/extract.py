@@ -496,8 +496,9 @@ def extract_title_extras(batch: pa.Table) -> dict[str, np.ndarray]:
     for sel, out in ((kinds == "title", title), (kinds == "meta", desc)):
         idx = np.nonzero(sel)[0]
         if len(idx):
-            # keep the first span of each parent (idx is in span order)
+            # keep the first span of each parent; parent indices are
+            # nondecreasing, so first-occurrence is a diff, not a sort
             p = parent[idx]
-            firsts = np.unique(p, return_index=True)[1]
+            firsts = np.flatnonzero(np.diff(p, prepend=p[0] - 1))
             out[p[firsts]] = texts[idx[firsts]]
     return {"title": title, "description": desc}

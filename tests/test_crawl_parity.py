@@ -639,3 +639,36 @@ def test_url_list_seeds_carry_url_list_source(tmp_workdir):
     for u in extra:
         assert by_url[u] == UrlSource.URL_LIST, u
     assert by_url[seeds[0]] == UrlSource.INIT_URL
+
+
+def test_vectorized_header_kernels_match_scalar():
+    """The fetch stage's vectorized header synthesis (LUT gathers /
+    masked fills / whole-buffer hexlify) must be element-wise identical
+    to the scalar reference functions it replaced — fuzzed over random
+    uint64 keys including the 0/1/2 edge keys.  Guards against the
+    numpy uint64-%-int float-promotion trap in particular."""
+    import numpy as np
+
+    from siteone_crawler_ray.functions import urls as U
+    from siteone_crawler_ray.stages.fetch import (
+        _CONTENT_TYPE_HEADER, _HEADER_LUT, _cache_control_vec,
+        _content_encoding_vec, _etag_vec, _is_external_vec,
+        synthetic_cache_control)
+
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, 2**64, size=5000, dtype=np.uint64)
+    keys[:3] = [0, 1, 2]
+    ct = rng.integers(1, 13, size=5000).astype(np.int8)
+    cc = _cache_control_vec(keys, ct)
+    et = _etag_vec(keys)
+    ce = _content_encoding_vec(keys, ct)
+    hdr = _HEADER_LUT[ct.astype(np.int64)]
+    for i in range(5000):
+        k, c = int(keys[i]), int(ct[i])
+        assert cc[i] == synthetic_cache_control(k, c)
+        assert et[i] == (f'W/"{k:x}"' if k % 2 == 0 else None)
+        assert ce[i] == ("gzip" if k % 4 == 0 and c in (1, 2, 3, 8, 12) else None)
+        assert hdr[i] == _CONTENT_TYPE_HEADER.get(c, "")
+    hosts = np.array(["www.a.com", "a.com", "b.org", "", "A.com"], dtype=object)
+    assert list(_is_external_vec(hosts, "a.com")) == [
+        not U.is_same_host(h, "a.com") for h in hosts]
