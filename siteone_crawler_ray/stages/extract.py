@@ -360,14 +360,7 @@ class CandidateGauntlet:
             final = self.transforms.apply_one(final)
         return (canon, host, same, allowed_s, allowed_c, basename, robots_ok, final)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        """→ rows tagged ``ok`` (enqueue candidates) or ``skip`` (recorded
-        with a reason); silently-dropped rows are removed."""
-        hrefs = batch["norm_href"].to_numpy(zero_copy_only=False)
-        sources = batch["source_url"].to_numpy(zero_copy_only=False)
-        kinds = batch["kind"].to_numpy(zero_copy_only=False)
-        depths = batch["depth"].to_numpy(zero_copy_only=False)
-        n = len(hrefs)
+    def _requestable(self, batch: pa.Table) -> np.ndarray:
         # is_requestable_resource (utils.rs:607-633) on the RAW href,
         # vectorized: one Arrow regex pass replaces n Python calls and
         # the n-string materialization of the raw column
@@ -375,22 +368,203 @@ class CandidateGauntlet:
         bad = pc.match_substring_regex(raw_col, pattern=r"^#|\{|<|&#")
         has_scheme = pc.match_substring_regex(raw_col, pattern=r"^[a-zA-Z0-9]+:")
         is_http = pc.match_substring_regex(raw_col, pattern=r"(?i)^https?:/")
-        requestable = pc.and_(
+        return pc.and_(
             pc.invert(bad),
             pc.or_(pc.invert(has_scheme), is_http),
         ).to_numpy(zero_copy_only=False)
 
+    def _ent_for(self, h: str, b: str) -> tuple:
+        """Cached per-(href, origin) derivation for base-independent href
+        shapes (path-absolute / protocol-relative / absolute); uncached
+        full derivation for base-relative hrefs."""
+        if h[:1] == "/" or U.HTTP_URL_RE.match(h):
+            cache = self._cache
+            key = (h, _origin_of(b))
+            ent = cache.get(key)
+            if ent is None:
+                ent = self._derive(h, b)
+                if len(cache) >= self.CACHE_CAP:
+                    cache.clear()
+                cache[key] = ent
+            return ent
+        # base-relative href: the (href, page) pair never repeats after
+        # per-page dedup — caching it only bloats the dict
+        return self._derive(h, b)
 
-        url = np.empty(n, dtype=object)  # canonical absolute (query-filtered)
-        skip_url = np.empty(n, dtype=object)  # canonical absolute (unfiltered)
+    def _decide(self, batch: pa.Table) -> tuple:
+        """Vectorized gauntlet: derive once per unique (href, origin)
+        pair (dictionary-encoded in Arrow, so repeated hrefs never even
+        materialize as Python strings), then run the drop/skip/ok
+        cascade as numpy mask algebra over per-unique gathers.  Output
+        is element-wise identical to :meth:`_decide_rows` (the scalar
+        reference kept for parity tests).
+
+        Measured tradeoff (alternated extract_probe A/B at 8/16
+        workers): even on the synthetic scaling corpus — the WORST
+        case for this path, random cross-links make ~77% of hrefs
+        unique so per-unique work ≈ per-row work — it ties the scalar
+        loop within run noise.  On real web graphs, nav/asset hrefs
+        repeat on every page of an origin, so the unique count (and
+        the Python-string materialization, which the Arrow
+        dictionary_encode confines to dictionary values) collapses."""
+        n = batch.num_rows
+        requestable = self._requestable(batch)
+
+        nh_col = batch["norm_href"]
+        if isinstance(nh_col, pa.ChunkedArray):
+            nh_col = nh_col.combine_chunks()
+        src_col = batch["source_url"]
+        if isinstance(src_col, pa.ChunkedArray):
+            src_col = src_col.combine_chunks()
+
+        # unique hrefs / unique source pages / unique origins
+        nh_dict = nh_col.dictionary_encode()
+        h_idx = nh_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        h_uniq = nh_dict.dictionary.to_pylist()
+        src_dict = src_col.dictionary_encode()
+        s_idx = src_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        s_uniq = src_dict.dictionary.to_pylist()
+        omap: dict = {}
+        origins: list[str] = []
+        rep_base: list[str] = []  # a representative full base per origin
+        oid_of_src = np.empty(len(s_uniq), dtype=np.int64)
+        for i, b in enumerate(s_uniq):
+            o = _origin_of(b)
+            j = omap.get(o)
+            if j is None:
+                j = omap[o] = len(origins)
+                origins.append(o)
+                rep_base.append(b)
+            oid_of_src[i] = j
+        row_oid = oid_of_src[s_idx]
+
+        # href shape: base-independent (cacheable by origin) vs relative
+        indep = pc.or_(
+            pc.starts_with(nh_col, pattern="/"),
+            pc.match_substring_regex(nh_col, pattern=r"(?i)^https?://"),
+        ).to_numpy(zero_copy_only=False)
+
+        # per-row ent fields, gathered from per-unique derivations
+        canon = np.full(n, None, dtype=object)
+        same = np.zeros(n, dtype=bool)
+        allowed_s = np.zeros(n, dtype=bool)
+        allowed_c = np.zeros(n, dtype=bool)
+        robots_ok = np.zeros(n, dtype=bool)
+        final = np.full(n, None, dtype=object)
+        bn_block = np.zeros(n, dtype=bool)
+        blocklist = self.basename_blocklist
+
+        ci = np.nonzero(indep & requestable)[0]
+        if len(ci):
+            n_org = len(origins)
+            pairkey = h_idx[ci] * n_org + row_oid[ci]
+            upair, inv = np.unique(pairkey, return_inverse=True)
+            m = len(upair)
+            u_canon = np.empty(m, dtype=object)
+            u_same = np.empty(m, dtype=bool)
+            u_als = np.empty(m, dtype=bool)
+            u_alc = np.empty(m, dtype=bool)
+            u_rob = np.empty(m, dtype=bool)
+            u_final = np.empty(m, dtype=object)
+            u_bn = np.zeros(m, dtype=bool)
+            cache = self._cache
+            cap = self.CACHE_CAP
+            derive = self._derive
+            for k in range(m):
+                pk = int(upair[k])
+                h = h_uniq[pk // n_org]
+                o = origins[pk % n_org]
+                key = (h, o)
+                ent = cache.get(key)
+                if ent is None:
+                    ent = derive(h, rep_base[pk % n_org])
+                    if len(cache) >= cap:
+                        cache.clear()
+                    cache[key] = ent
+                u_canon[k] = ent[0]
+                u_same[k] = ent[2] or False
+                u_als[k] = ent[3] or False
+                u_alc[k] = ent[4] or False
+                u_rob[k] = ent[6] or False
+                u_final[k] = ent[7]
+                bn = ent[5]
+                if bn is not None and bn in blocklist:
+                    u_bn[k] = True
+            canon[ci] = u_canon[inv]
+            same[ci] = u_same[inv]
+            allowed_s[ci] = u_als[inv]
+            allowed_c[ci] = u_alc[inv]
+            robots_ok[ci] = u_rob[inv]
+            final[ci] = u_final[inv]
+            bn_block[ci] = u_bn[inv]
+
+        ri = np.nonzero(~indep & requestable)[0]
+        if len(ri):
+            derive = self._derive
+            for i in ri:
+                ent = derive(h_uniq[h_idx[i]], s_uniq[s_idx[i]])
+                if ent[0] is None:
+                    continue
+                canon[i] = ent[0]
+                same[i] = ent[2]
+                allowed_s[i] = ent[3]
+                allowed_c[i] = ent[4]
+                robots_ok[i] = ent[6]
+                final[i] = ent[7]
+                bn = ent[5]
+                if bn is not None and bn in blocklist:
+                    bn_block[i] = True
+
+        # decision cascade as mask algebra (same order as _decide_rows:
+        # host-skip > robots-skip > depth-skip > final-drop > ok)
+        kinds_not_link = pc.not_equal(batch["kind"], "link").to_numpy(
+            zero_copy_only=False)
+        has_canon = np.array([c is not None for c in canon], dtype=bool)
+        und = requestable & has_canon & ~bn_block
+        allowed = allowed_c | (allowed_s & kinds_not_link)
+        skip_host = und & ~same & ~allowed
+        rem = und & ~skip_host
+        skip_robots = rem & ~robots_ok
+        rem &= ~skip_robots
+        if self.max_depth is not None:
+            depths = batch["depth"].to_numpy(zero_copy_only=False)
+            skip_depth = rem & (depths.astype(np.int64) > self.max_depth)
+            rem &= ~skip_depth
+        else:
+            skip_depth = np.zeros(n, dtype=bool)
+        has_final = np.array([f is not None for f in final], dtype=bool)
+        ok = rem & has_final
+
+        tag = np.full(n, "", dtype=object)
+        skip_any = skip_host | skip_robots | skip_depth
+        tag[skip_any] = "skip"
+        tag[ok] = "ok"
+        reason = np.zeros(n, dtype=np.int8)
+        reason[skip_host] = SkippedReason.NOT_ALLOWED_HOST
+        reason[skip_robots] = SkippedReason.ROBOTS_TXT
+        reason[skip_depth] = SkippedReason.EXCEEDS_MAX_DEPTH
+        url = np.full(n, None, dtype=object)
+        url[ok] = final[ok]
+        skip_url = np.full(n, None, dtype=object)
+        sel = skip_any | ok
+        skip_url[sel] = canon[sel]
+        return url, skip_url, tag, reason
+
+    def _decide_rows(self, batch: pa.Table) -> tuple:
+        """Scalar reference decision loop — semantics-defining twin of
+        :meth:`_decide`, kept for the element-wise parity test."""
+        hrefs = batch["norm_href"].to_numpy(zero_copy_only=False)
+        sources = batch["source_url"].to_numpy(zero_copy_only=False)
+        kinds = batch["kind"].to_numpy(zero_copy_only=False)
+        depths = batch["depth"].to_numpy(zero_copy_only=False)
+        n = len(hrefs)
+        requestable = self._requestable(batch)
+
+        url = np.full(n, None, dtype=object)  # canonical absolute (query-filtered)
+        skip_url = np.full(n, None, dtype=object)  # canonical absolute (unfiltered)
         tag = np.empty(n, dtype=object)
         reason = np.zeros(n, dtype=np.int8)
 
-        # Memoized per-(href, base) derivation.  Absolute / path-absolute
-        # / protocol-relative hrefs resolve identically for every page of
-        # an origin, and asset hrefs repeat on every page — the cache
-        # collapses the per-row canonicalize+robots work to a dict get.
-        cache = self._cache
         # NB: --single-foreign-page gating happens in explode_spans
         # (before per-page dedup), not here — see its docstring.
         for i in range(n):
@@ -398,18 +572,7 @@ class CandidateGauntlet:
             if not requestable[i]:
                 tag[i] = ""
                 continue
-            if h[:1] == "/" or U.HTTP_URL_RE.match(h):
-                key = (h, _origin_of(b))
-                ent = cache.get(key)
-                if ent is None:
-                    ent = self._derive(h, b)
-                    if len(cache) >= self.CACHE_CAP:
-                        cache.clear()
-                    cache[key] = ent
-            else:
-                # base-relative href: the (href, page) pair never repeats
-                # after per-page dedup — caching it only bloats the dict
-                ent = self._derive(h, b)
+            ent = self._ent_for(h, b)
             canon, host, same, allowed_s, allowed_c, basename, robots_ok, final = ent
             if canon is None:
                 tag[i] = ""
@@ -439,7 +602,12 @@ class CandidateGauntlet:
             tag[i] = "ok"
             url[i] = final
             skip_url[i] = canon
+        return url, skip_url, tag, reason
 
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """→ rows tagged ``ok`` (enqueue candidates) or ``skip`` (recorded
+        with a reason); silently-dropped rows are removed."""
+        url, skip_url, tag, reason = self._decide(batch)
         keep = np.nonzero(tag != "")[0]
         out_url = np.where(tag == "ok", url, skip_url)[keep]
         kept = batch.take(pa.array(keep))

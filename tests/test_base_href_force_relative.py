@@ -120,3 +120,65 @@ def test_engine_oracle_parity_with_force_relative(tmp_path):
         np.sort(res.seen_keys),
         np.sort(np.fromiter(orc.seen_keys, dtype=np.uint64)),
     )
+
+
+def test_gauntlet_vectorized_decide_matches_scalar():
+    """`CandidateGauntlet._decide` (unique-pair vectorized) must be
+    element-wise identical to `_decide_rows` (the scalar reference
+    loop) across href shapes: path-absolute, protocol-relative,
+    absolute (mixed case), bare-relative, dot-relative, fragments,
+    unrequestable schemes, foreign hosts, robots-blocked paths,
+    depth overflow and a basename blocklist hit."""
+    import numpy as np
+    import pyarrow as pa
+
+    robots = RobotsIndex.from_bodies({
+        "example.com": "User-agent: *\nDisallow: /private/\n",
+        "cdn.example.com": "User-agent: *\nDisallow: /\n",
+    })
+    hrefs = [
+        "/a/b.html", "//cdn.example.com/lib.js", "https://example.com/x",
+        "HTTPS://EXAMPLE.COM/Y", "img/logo.png", "./rel.html",
+        "#frag", "mailto:x@y.z", "javascript:void(0)",
+        "https://foreign.org/p", "https://static.foreign.org/s.css",
+        "/private/secret.html", "deep.html", "/a//double.html",
+        "page.html?q=1&r=2", "/q?", "x.html;p=1", "",
+        "/exact-dup.html", "/exact-dup.html", "notfound.bin",
+    ]
+    n = len(hrefs)
+    rng = np.random.default_rng(3)
+    sources = [
+        ["https://example.com/", "https://example.com/sub/dir/page.html",
+         "https://example.com/other/"][rng.integers(0, 3)]
+        for _ in range(n)
+    ]
+    kinds = [["link", "img", "script"][rng.integers(0, 3)] for _ in range(n)]
+    depths = rng.integers(0, 6, size=n).astype(np.int32)
+
+    def mk():
+        g = CandidateGauntlet(
+            robots, "example.com",
+            allowed_domains_static=("static.*",),
+            max_depth=4, remove_query_params=False,
+        )
+        g.basename_blocklist = frozenset({"exact-dup.html"})
+        return g
+
+    batch = pa.table({
+        "href": hrefs, "norm_href": hrefs, "kind": kinds,
+        "source_url": sources, "source_uq_id": ["s"] * n,
+        "source_seq": pa.array(np.zeros(n, np.int64)),
+        "source_wavepos": pa.array(np.arange(n, dtype=np.int64)),
+        "source_attr": pa.array(np.full(n, 10, np.int8)),
+        "extract_idx": pa.array(np.zeros(n, np.int64)),
+        "depth": pa.array(depths),
+    })
+    u1, s1, t1, r1 = mk()._decide(batch)
+    u2, s2, t2, r2 = mk()._decide_rows(batch)
+    assert list(t1) == list(t2)
+    assert list(r1) == list(r2)
+    kept = [i for i in range(n) if t1[i]]
+    assert [u1[i] for i in kept] == [u2[i] for i in kept]
+    assert [s1[i] for i in kept] == [s2[i] for i in kept]
+    # at least one row of each decision class actually occurred
+    assert {"", "skip", "ok"} <= set(t1)
