@@ -43,17 +43,21 @@ _WHY_TTY = "terminal-presentation knob; no interactive TTY UI here"
 _WHY_STORE = "result storage is the workdir parquet lineage (see --workdir)"
 
 INERT_OPTIONS: dict[str, tuple[str, str]] = {
-    # --- AI phase ---------------------------------------------------------
+    # --- AI phase (live-endpoint knobs only; the phase itself — page
+    # selection/ranking, prompt assembly, llms.txt generation, usage
+    # accounting — is LIVE via pipelines/ai_phase.py with an injectable
+    # transport: --ai-provider fake runs it fully offline, --ai-dry-run
+    # previews the selection for any provider) ----------------------------
     **{o: ("value", _WHY_AI) for o in (
-        "--ai-actions", "--ai-api-key", "--ai-api-key-env", "--ai-api-key-file",
-        "--ai-cache-dir", "--ai-endpoint", "--ai-exclude", "--ai-extra-body",
-        "--ai-include", "--ai-language", "--ai-max-concurrency", "--ai-max-pages",
-        "--ai-max-reqs-per-sec", "--ai-max-tokens", "--ai-model", "--ai-prompt",
-        "--ai-prompt-file", "--ai-provider", "--ai-synthesis-extra-body",
-        "--ai-temperature", "--ai-timeout",
+        "--ai-api-key", "--ai-api-key-env", "--ai-api-key-file",
+        "--ai-cache-dir", "--ai-endpoint", "--ai-extra-body",
+        "--ai-language",
+        "--ai-max-reqs-per-sec", "--ai-model", "--ai-prompt",
+        "--ai-prompt-file", "--ai-synthesis-extra-body",
+        "--ai-timeout",
     )},
     **{o: ("flag", _WHY_AI) for o in (
-        "--ai-dry-run", "--ai-seo-affects-score", "--ai-use-max-completion-tokens",
+        "--ai-seo-affects-score", "--ai-use-max-completion-tokens",
     )},
     # --- headless browser / screenshots / console capture -----------------
     **{o: ("value", _WHY_BROWSER) for o in (
@@ -235,6 +239,22 @@ def build_parser() -> argparse.ArgumentParser:
     # an explicit value picks the parquet codec for the visited parts
     p.add_argument("--result-storage-compression", nargs="?", const="gzip",
                    choices=["snappy", "gzip", "zstd", "none"], default="snappy")
+    # AI phase (src/ai/: selection + llms.txt generation run offline;
+    # the LLM is an injectable transport — provider "fake" is the
+    # deterministic offline one, anything else needs a live endpoint)
+    p.add_argument("--ai-provider")
+    p.add_argument("--ai-actions", default="llms-txt",
+                   help="comma list; corpus mode implements llms-txt")
+    p.add_argument("--ai-max-pages", type=int, default=30)
+    p.add_argument("--ai-include", action="append", default=[])
+    p.add_argument("--ai-exclude", action="append", default=[])
+    p.add_argument("--ai-dry-run", action="store_true",
+                   help="print the ranked page selection, no LLM calls")
+    p.add_argument("--ai-max-tokens", type=int, default=256)
+    p.add_argument("--ai-temperature", type=float, default=0.0)
+    p.add_argument("--ai-max-concurrency", type=int, default=2)
+    p.add_argument("--ai-llms-txt-file",
+                   help="output path for llms.txt (default: <workdir>/llms.txt)")
     # sitemap settings (core_options.rs:147-151)
     p.add_argument("--sitemap-xml-file")
     p.add_argument("--sitemap-txt-file")
@@ -620,6 +640,44 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
                              args.markdown_replace_query_string),
                          remove_links_images=(
                              args.markdown_remove_links_and_images_from_single_file))
+
+    # ---- AI phase (src/ai/ runner shape; transport-injectable) ----
+    if args.ai_provider or args.ai_dry_run:
+        from .pipelines.ai_phase import run_ai_phase, select_pages
+
+        visited_ai = res.visited_table(columns=[
+            "uq_id", "url", "source_uq_id", "source_attr", "status_code",
+            "content_type", "is_external", "title", "description", "spans"])
+        inc = tuple(r for arg in args.ai_include for r in arg.split(",") if r)
+        exc = tuple(r for arg in args.ai_exclude for r in arg.split(",") if r)
+        if args.ai_dry_run:
+            # selection preview, no LLM calls (selection.rs dry-run path)
+            sel = select_pages(visited_ai, inc, exc, args.ai_max_pages)
+            print(f"AI selection (dry-run): {sel.selected.num_rows} of "
+                  f"{sel.total_candidates_before_cap} candidates "
+                  f"({sel.total_html_pages} HTML pages, "
+                  f"{sel.excluded_by_mask} excluded by mask)")
+            for r in sel.selected.to_pylist():
+                print(f"  {r['score']:7.2f}  {r['url']}")
+        elif args.ai_provider != "fake":
+            print(f"WARNING: --ai-provider {args.ai_provider} needs a live "
+                  "LLM endpoint (no network in corpus mode); only the "
+                  "deterministic 'fake' provider runs here. Use "
+                  "--ai-dry-run to preview the page selection.",
+                  file=sys.stderr)
+        elif "llms-txt" in (args.ai_actions or "").split(","):
+            out = run_ai_phase(
+                visited_ai, site_name=_host0 or "site",
+                include=inc, exclude=exc, max_pages=args.ai_max_pages,
+                concurrency=args.ai_max_concurrency,
+                use_ray=cfg.use_ray)
+            path = args.ai_llms_txt_file or os.path.join(args.workdir, "llms.txt")
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(out["llms_txt"])
+            u = out["usage"]
+            print(f"AI llms.txt: {out['entries'].num_rows} entries → {path} "
+                  f"({u['calls']} calls, {u['prompt_tokens']} prompt + "
+                  f"{u['completion_tokens']} completion tokens)")
 
     report = None
     if args.output_json_file:
