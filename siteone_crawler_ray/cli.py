@@ -51,9 +51,8 @@ INERT_OPTIONS: dict[str, tuple[str, str]] = {
     **{o: ("value", _WHY_AI) for o in (
         "--ai-api-key", "--ai-api-key-env", "--ai-api-key-file",
         "--ai-cache-dir", "--ai-endpoint", "--ai-extra-body",
-        "--ai-language",
-        "--ai-max-reqs-per-sec", "--ai-model", "--ai-prompt",
-        "--ai-prompt-file", "--ai-synthesis-extra-body",
+        "--ai-max-reqs-per-sec", "--ai-model",
+        "--ai-synthesis-extra-body",
         "--ai-timeout",
     )},
     **{o: ("flag", _WHY_AI) for o in (
@@ -244,7 +243,13 @@ def build_parser() -> argparse.ArgumentParser:
     # deterministic offline one, anything else needs a live endpoint)
     p.add_argument("--ai-provider")
     p.add_argument("--ai-actions", default="llms-txt",
-                   help="comma list; corpus mode implements llms-txt")
+                   help="comma list of llms-txt,llms-full,seo,typos,custom")
+    p.add_argument("--ai-prompt", help="custom-action prompt template "
+                   "({{url}}/{{title}}/{{content_markdown}}/… placeholders)")
+    p.add_argument("--ai-prompt-file",
+                   help="file containing the custom-action prompt")
+    p.add_argument("--ai-language",
+                   help="force the typos action's evaluation language")
     p.add_argument("--ai-max-pages", type=int, default=30)
     p.add_argument("--ai-include", action="append", default=[])
     p.add_argument("--ai-exclude", action="append", default=[])
@@ -665,19 +670,44 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
                   "deterministic 'fake' provider runs here. Use "
                   "--ai-dry-run to preview the page selection.",
                   file=sys.stderr)
-        elif "llms-txt" in (args.ai_actions or "").split(","):
+        else:
+            actions = tuple(a.strip() for a in (args.ai_actions or "").split(",")
+                            if a.strip())
+            custom_prompt = args.ai_prompt or ""
+            if args.ai_prompt_file:
+                with open(args.ai_prompt_file, encoding="utf-8") as f:
+                    custom_prompt = f.read()
             out = run_ai_phase(
                 visited_ai, site_name=_host0 or "site",
                 include=inc, exclude=exc, max_pages=args.ai_max_pages,
                 concurrency=args.ai_max_concurrency,
-                use_ray=cfg.use_ray)
-            path = args.ai_llms_txt_file or os.path.join(args.workdir, "llms.txt")
-            with open(path, "w", encoding="utf-8") as f:
-                f.write(out["llms_txt"])
+                use_ray=cfg.use_ray, actions=actions,
+                custom_prompt=custom_prompt, forced_lang=args.ai_language)
             u = out["usage"]
-            print(f"AI llms.txt: {out['entries'].num_rows} entries → {path} "
-                  f"({u['calls']} calls, {u['prompt_tokens']} prompt + "
-                  f"{u['completion_tokens']} completion tokens)")
+            if "llms-txt" in actions:
+                path = args.ai_llms_txt_file or os.path.join(args.workdir,
+                                                             "llms.txt")
+                with open(path, "w", encoding="utf-8") as f:
+                    f.write(out["llms_txt"])
+                print(f"AI llms.txt: {out['entries'].num_rows} entries → "
+                      f"{path}")
+            if "llms-full" in actions:
+                fp = os.path.join(args.workdir, "llms-full.txt")
+                with open(fp, "w", encoding="utf-8") as f:
+                    f.write(out["llms_full"])
+                print(f"AI llms-full.txt → {fp}")
+            if {"seo", "typos", "custom"} & set(actions):
+                rp = os.path.join(args.workdir, "ai-actions.json")
+                recs = [{k: (json.loads(r[k]) if k in ("seo", "typos",
+                                                       "custom") and r[k]
+                             else r[k])
+                         for k in ("url", "seo", "typos", "custom")}
+                        for r in out["entries"].to_pylist()]
+                with open(rp, "w", encoding="utf-8") as f:
+                    json.dump(recs, f, indent=1)
+                print(f"AI per-page action results → {rp}")
+            print(f"AI usage: {u['calls']} calls, {u['prompt_tokens']} "
+                  f"prompt + {u['completion_tokens']} completion tokens")
 
     report = None
     if args.output_json_file:

@@ -280,3 +280,132 @@ def test_cli_ai_phase_end_to_end(tmp_path, ray_session, capsys):
     assert rc == 0
     assert "needs a live" in capsys.readouterr().err
     assert not os.path.exists(os.path.join(str(tmp_path), "w3", "llms.txt"))
+
+
+def test_seo_action_request_and_parse():
+    from siteone_crawler_ray.pipelines.ai_phase import (
+        PageContext, _string_or_vec, build_seo_request, parse_seo)
+
+    ctx = PageContext(url="https://a.test/docs/x", title="T",
+                      meta_description="D", content_markdown="body")
+    req = build_seo_request(ctx, "Acme", is_homepage=False)
+    # reference field order (actions/seo.rs:150-183)
+    u = req.user
+    assert u.index("<url>") < u.index("<site_name>") < \
+        u.index("<is_homepage>") < u.index("<current_title>") < \
+        u.index("<heading_outline>") < u.index("<content_markdown>")
+    assert "<site_name>Acme</site_name>" in u
+    assert "<is_homepage>false</is_homepage>" in u
+
+    # defaults on garbage / partial JSON (serde #[serde(default)])
+    d = parse_seo("nonsense")
+    assert d["scores"]["overall"] == 0 and d["lang"] == ""
+    assert d["recommendations"]["meta_keywords"] == []
+    d = parse_seo('{"scores": {"title": "55"}, '
+                  '"recommendations": {"meta_keywords": "a, b,, c"}}')
+    assert d["scores"]["title"] == 55
+    assert d["recommendations"]["meta_keywords"] == ["a", "b", "c"]
+    # string_or_vec both shapes (seo.rs:224-243)
+    assert _string_or_vec(["x", " y ", ""]) == ["x", "y"]
+    assert _string_or_vec("x, y") == ["x", "y"]
+    assert _string_or_vec(None) == []
+
+
+def test_typos_action_strips_code_and_forces_lang():
+    from siteone_crawler_ray.pipelines.ai_phase import (
+        PageContext, build_typos_request, parse_typos)
+
+    ctx = PageContext(url="https://a.test/", title="T",
+                      content_markdown="text\n```\nfn mian() {}\n```\nmore")
+    req = build_typos_request(ctx)
+    assert "mian" not in req.user and "[code omitted]" in req.user
+    req2 = build_typos_request(ctx, forced_lang="cs")
+    assert "<lang>cs</lang>" in req2.user and "cs" in req2.system
+    d = parse_typos('{"lang": "en", "issues": [{"type": "spelling", '
+                    '"excerpt": "teh"}]}')
+    assert d["issues"][0]["kind"] == "spelling"
+    assert d["issues"][0]["severity"] == ""  # missing → default
+    assert parse_typos("garbage") == {"lang": "", "issues": []}
+
+
+def test_custom_action_interpolation_and_parse():
+    from siteone_crawler_ray.pipelines.ai_phase import (
+        CUSTOM_PREAMBLE, PageContext, build_custom_request, interpolate,
+        parse_custom)
+
+    ctx = PageContext(url="https://a.test/p", title="<T>",
+                      content_markdown="body text")
+    # placeholders wrap values in sanitized data tags automatically
+    s = interpolate("Check {{title}} on {{url}}.", ctx)
+    assert "<title>&lt;T&gt;</title>" in s and "<url>https://a.test/p</url>" in s
+    # a prompt with no placeholder still gets the page appended
+    req = build_custom_request("Audit tone of voice.", ctx)
+    assert req.system == CUSTOM_PREAMBLE
+    assert "<content_markdown>body text</content_markdown>" in req.user
+    # array / wrapper / prose-fallback parsing (custom.rs:122-151)
+    arr = parse_custom('[{"severity": "high", "label": "L", "message": "M"}]')
+    assert arr[0]["severity"] == "high" and arr[0]["location"] == ""
+    wrapped = parse_custom('{"findings": [{"label": "W"}]}')
+    assert wrapped[0]["label"] == "W"
+    prose = parse_custom("The page looks fine to me.")
+    assert prose[0]["severity"] == "info" and "fine" in prose[0]["message"]
+    assert parse_custom("<think>only thoughts") == []
+
+
+def test_run_ai_phase_all_actions(tmp_path, ray_session):
+    from siteone_crawler_ray.pipelines.ai_phase import build_llms_full
+
+    visited = _crawl_visited(tmp_path, seed=37, pages=120)
+    out = run_ai_phase(
+        visited, site_name="Acme", site_summary="Synthetic.",
+        max_pages=6, concurrency=2,
+        actions=("llms-txt", "llms-full", "seo", "typos", "custom"),
+        custom_prompt="Check {{content_markdown}} for policy issues.")
+    n = out["entries"].num_rows
+    assert n == 6
+    # one summary call (shared by llms-txt/llms-full) + seo + typos +
+    # custom per page (runner.rs:81-87 call accounting)
+    assert out["usage"]["calls"] == 4 * n
+    # llms-full carries the page markdown under summary-derived names
+    full = out["llms_full"]
+    assert full.startswith("# Acme\n\n> Synthetic.\n")
+    assert full.count("---\n") == n and full.count("URL: https://") == n
+    # action results are well-formed JSON per page
+    for col, probe in (("seo", "scores"), ("typos", "issues")):
+        for s in out["entries"][col].to_pylist():
+            assert probe in json.loads(s)
+    for s in out["entries"]["custom"].to_pylist():
+        assert isinstance(json.loads(s), list)
+    # determinism across executions
+    out2 = run_ai_phase(
+        visited, site_name="Acme", site_summary="Synthetic.",
+        max_pages=6, concurrency=3, use_ray=False,
+        actions=("llms-txt", "llms-full", "seo", "typos", "custom"),
+        custom_prompt="Check {{content_markdown}} for policy issues.")
+    assert out2["llms_full"] == full
+    assert out2["entries"].to_pylist() == out["entries"].to_pylist()
+    assert build_llms_full("S", "", []) == "# S\n"
+
+
+def test_cli_ai_all_actions(tmp_path, ray_session, capsys):
+    from siteone_crawler_ray import cli
+
+    tabs = make_graph_corpus(seed=43, hosts=2, total_pages=100)
+    cp = os.path.join(str(tmp_path), "corpus")
+    write_corpus(tabs["documents"], cp, num_buckets=4)
+    seed = tabs["seeds"]["url"][0].as_py()
+    wd = os.path.join(str(tmp_path), "w")
+    rc = cli.main(["--url", seed, "--corpus", cp, "--workdir", wd,
+                   "--ai-provider", "fake", "--ai-max-pages", "4",
+                   "--ai-actions", "llms-txt,llms-full,seo,typos,custom",
+                   "--ai-prompt", "Check {{title}}."])
+    assert rc == 0
+    assert os.path.exists(os.path.join(wd, "llms.txt"))
+    assert os.path.exists(os.path.join(wd, "llms-full.txt"))
+    with open(os.path.join(wd, "ai-actions.json"), encoding="utf-8") as f:
+        recs = json.load(f)
+    assert len(recs) == 4
+    assert all("scores" in r["seo"] and "issues" in r["typos"]
+               and isinstance(r["custom"], list) for r in recs)
+    out = capsys.readouterr().out
+    assert "AI usage: 16 calls" in out
