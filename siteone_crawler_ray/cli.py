@@ -243,7 +243,8 @@ def build_parser() -> argparse.ArgumentParser:
     # deterministic offline one, anything else needs a live endpoint)
     p.add_argument("--ai-provider")
     p.add_argument("--ai-actions", default="llms-txt",
-                   help="comma list of llms-txt,llms-full,seo,typos,custom")
+                   help="comma list of llms-txt,llms-full,seo,typos,custom,"
+                        "summary")
     p.add_argument("--ai-prompt", help="custom-action prompt template "
                    "({{url}}/{{title}}/{{content_markdown}}/… placeholders)")
     p.add_argument("--ai-prompt-file",
@@ -652,7 +653,8 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
 
         visited_ai = res.visited_table(columns=[
             "uq_id", "url", "source_uq_id", "source_attr", "status_code",
-            "content_type", "is_external", "title", "description", "spans"])
+            "content_type", "is_external", "title", "description", "spans",
+            "size"])
         inc = tuple(r for arg in args.ai_include for r in arg.split(",") if r)
         exc = tuple(r for arg in args.ai_exclude for r in arg.split(",") if r)
         if args.ai_dry_run:
@@ -677,13 +679,43 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
             if args.ai_prompt_file:
                 with open(args.ai_prompt_file, encoding="utf-8") as f:
                     custom_prompt = f.read()
-            out = run_ai_phase(
-                visited_ai, site_name=_host0 or "site",
-                include=inc, exclude=exc, max_pages=args.ai_max_pages,
-                concurrency=args.ai_max_concurrency,
-                use_ray=cfg.use_ray, actions=actions,
-                custom_prompt=custom_prompt, forced_lang=args.ai_language)
+            # "summary" is the fixed-cost 6-call executive summary
+            # (summary/mod.rs) — not a per-page action; run it off the
+            # scoring findings instead of the page selection
+            want_summary = "summary" in actions
+            page_actions = tuple(a for a in actions if a != "summary")
+            if page_actions:
+                out = run_ai_phase(
+                    visited_ai, site_name=_host0 or "site",
+                    include=inc, exclude=exc, max_pages=args.ai_max_pages,
+                    concurrency=args.ai_max_concurrency,
+                    use_ray=cfg.use_ray, actions=page_actions,
+                    custom_prompt=custom_prompt, forced_lang=args.ai_language)
+            else:
+                out = {"usage": {"calls": 0, "prompt_tokens": 0,
+                                 "completion_tokens": 0}}
+            actions = page_actions
             u = out["usage"]
+            if want_summary:
+                from .pipelines import scoring as SC
+                from .pipelines.ai_phase import (render_summary_markdown,
+                                                 run_report_summary)
+
+                sc_findings = SC.findings_from_reports(
+                    table_cache.get("page_findings")
+                    or RP.page_findings(visited_ds),
+                    table_cache.get("count_by_status")
+                    or RP.count_by_status(visited_ds))
+                sum_out = run_report_summary(
+                    visited_ai, sc_findings, SC.score(sc_findings).scores)
+                sp = os.path.join(args.workdir, "ai-summary.md")
+                with open(sp, "w", encoding="utf-8") as f:
+                    f.write(render_summary_markdown(sum_out))
+                su = sum_out["usage"]
+                print(f"AI executive summary ({su['calls']} calls, grade "
+                      f"{sum_out['summary']['overall_grade'] or '—'}) → {sp}")
+                for k in ("calls", "prompt_tokens", "completion_tokens"):
+                    u[k] += su[k]
             if "llms-txt" in actions:
                 path = args.ai_llms_txt_file or os.path.join(args.workdir,
                                                              "llms.txt")

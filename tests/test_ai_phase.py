@@ -409,3 +409,151 @@ def test_cli_ai_all_actions(tmp_path, ray_session, capsys):
                and isinstance(r["custom"], list) for r in recs)
     out = capsys.readouterr().out
     assert "AI usage: 16 calls" in out
+
+
+# ---- executive summary (src/ai/summary/: 5 area evals + synthesis) ----
+
+
+def _summary_visited() -> pa.Table:
+    return pa.table({
+        "url": ["https://a.example/", "https://a.example/p1",
+                "http://a.example/old", "https://cdn.example/x.css"],
+        "status_code": pa.array([200, 200, 301, 200], pa.int32()),
+        "content_type": pa.array(
+            [ContentType.HTML, ContentType.HTML, ContentType.REDIRECT,
+             ContentType.STYLESHEET], pa.int32()),
+        "is_external": [False, False, False, True],
+        "size": pa.array([1000, 2500, 0, 300], pa.int64()),
+    })
+
+
+def test_build_area_inputs_scope_and_grouping():
+    from siteone_crawler_ray.pipelines.ai_phase import (
+        SUMMARY_AREAS, build_area_inputs)
+    from siteone_crawler_ray.pipelines.scoring import Finding
+
+    findings = [
+        Finding(category="security", severity="WARNING", count=3, rule="https"),
+        Finding(category="seo", severity="NOTICE", count=2, rule="title-dup"),
+        Finding(category="best_practice", severity="CRITICAL", count=1,
+                rule="broken-links"),
+    ]
+    got = build_area_inputs(_summary_visited(), findings,
+                            {"security": 7.0, "seo": 9.5})
+    assert [a for a, _ in got] == list(SUMMARY_AREAS)
+    payload = dict(got)
+    scope = payload["security"]["scope"]
+    assert scope == {"total_urls": 4, "html_pages": 2, "internal_urls": 3,
+                     "external_urls": 1, "https_urls": 3, "http_urls": 1,
+                     "total_transfer_bytes": 3800}
+    assert payload["security"]["findings"] == [
+        {"severity": "WARNING", "code": "https", "count": 3}]
+    assert payload["security"]["category_score"]["score_0_to_10"] == 7.0
+    # best_practice routes to infrastructure; unknown scores stay None
+    assert payload["infrastructure"]["findings"][0]["code"] == "broken-links"
+    assert payload["performance"]["category_score"]["score_0_to_10"] is None
+    assert payload["seo"]["findings"][0]["count"] == 2
+
+
+def test_area_and_synthesis_requests_round_trip_fake_transport():
+    from siteone_crawler_ray.pipelines.ai_phase import (
+        SUMMARY_AREAS, build_area_request, build_synthesis_request,
+        parse_area_assessment, parse_report_summary)
+
+    assessments = []
+    for area in SUMMARY_AREAS:
+        req = build_area_request(area, {"area": area, "scope": {},
+                                        "findings": []})
+        assert f'"area": "{area}"' in req.system
+        assert "<area_data>" in req.user
+        raw, _pt, _ct = fake_llm_transport(req)
+        a = parse_area_assessment(raw, area)
+        assert a["area"] == area and 0 <= a["score"] <= 100
+        assert a["grade"] in set("ABCDF")
+        assessments.append(a)
+    sreq = build_synthesis_request(assessments)
+    assert "<area_assessments>" in sreq.user
+    # each finding inside the synthesis payload carries its parent area
+    for a in assessments:
+        for f in a["findings"]:
+            assert f'"area": "{a["area"]}"' in sreq.user
+    raw, _pt, _ct = fake_llm_transport(sreq)
+    s = parse_report_summary(raw)
+    assert s["overall_grade"] in set("ABCDF")
+    assert all(r["area"] in SUMMARY_AREAS for r in s["recommendations"])
+
+
+def test_parse_summary_objects_default_on_garbage():
+    from siteone_crawler_ray.pipelines.ai_phase import (
+        parse_area_assessment, parse_report_summary)
+
+    a = parse_area_assessment("not json", "seo")
+    assert a == {"area": "seo", "grade": "", "score": 0,
+                 "summary_narrative": "", "findings": []}
+    s = parse_report_summary("[1, 2]")
+    assert s == {"overall_assessment": "", "overall_grade": "",
+                 "recommendations": []}
+    a2 = parse_area_assessment(
+        json.dumps({"score": "bad", "findings": ["x", {"title": "t"}]}),
+        "performance")
+    assert a2["score"] == 0 and a2["findings"] == [
+        {"severity": "", "title": "t", "detail": "", "evidence": "",
+         "recommendation": ""}]
+
+
+def test_run_report_summary_deterministic_and_fixed_cost():
+    from siteone_crawler_ray.pipelines.ai_phase import (
+        render_summary_markdown, run_report_summary)
+    from siteone_crawler_ray.pipelines.scoring import Finding
+
+    findings = [Finding(category="security", severity="WARNING", count=2,
+                        rule="csp")]
+    r1 = run_report_summary(_summary_visited(), findings, {"security": 8.0})
+    r2 = run_report_summary(_summary_visited(), findings, {"security": 8.0})
+    assert r1 == r2
+    assert r1["usage"]["calls"] == 6  # 5 areas + 1 synthesis, site-size-free
+    assert len(r1["assessments"]) == 5
+    md = render_summary_markdown(r1)
+    assert md.startswith("# Executive summary")
+    assert "## Area assessments" in md
+    for a in r1["assessments"]:
+        assert f"**{a['area']}**" in md
+
+
+def test_cli_ai_summary_action(tmp_path, ray_session, capsys):
+    from siteone_crawler_ray import cli
+
+    tabs = make_graph_corpus(seed=44, hosts=2, total_pages=80)
+    cp = os.path.join(str(tmp_path), "corpus")
+    write_corpus(tabs["documents"], cp, num_buckets=4)
+    seed = tabs["seeds"]["url"][0].as_py()
+    wd = os.path.join(str(tmp_path), "w")
+    rc = cli.main(["--url", seed, "--corpus", cp, "--workdir", wd,
+                   "--ai-provider", "fake", "--ai-max-pages", "3",
+                   "--ai-actions", "llms-txt,summary"])
+    assert rc == 0
+    sp = os.path.join(wd, "ai-summary.md")
+    assert os.path.exists(sp)
+    with open(sp, encoding="utf-8") as f:
+        md = f.read()
+    assert "# Executive summary" in md and "## Area assessments" in md
+    out = capsys.readouterr().out
+    assert "AI executive summary (6 calls" in out
+    # llms.txt still produced; usage line includes the summary's 6 calls
+    assert os.path.exists(os.path.join(wd, "llms.txt"))
+
+
+def test_cli_ai_summary_only_action(tmp_path, ray_session, capsys):
+    from siteone_crawler_ray import cli
+
+    tabs = make_graph_corpus(seed=45, hosts=1, total_pages=60)
+    cp = os.path.join(str(tmp_path), "corpus")
+    write_corpus(tabs["documents"], cp, num_buckets=4)
+    seed = tabs["seeds"]["url"][0].as_py()
+    wd = os.path.join(str(tmp_path), "w")
+    rc = cli.main(["--url", seed, "--corpus", cp, "--workdir", wd,
+                   "--ai-provider", "fake", "--ai-actions", "summary"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(wd, "ai-summary.md"))
+    assert not os.path.exists(os.path.join(wd, "llms.txt"))
+    assert "AI usage: 6 calls" in capsys.readouterr().out
