@@ -139,6 +139,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve a markdown export rendered to HTML")
     p.add_argument("--serve-port", type=int, default=8321)
     p.add_argument("--serve-bind-address", default="127.0.0.1")
+    # scripted wizard (src/wizard/: the TUI's decisions as an answers doc)
+    p.add_argument("--wizard-answers", metavar="FILE",
+                   help="run the setup wizard from a JSON answers document "
+                        "('-' for stdin) instead of a TTY; prints the "
+                        "generated command then executes it")
+    p.add_argument("--wizard-dry-run", action="store_true",
+                   help="with --wizard-answers: print the generated "
+                        "command without executing it")
     # crawl limits (README.md:546-573 defaults)
     p.add_argument("--max-visited-urls", type=int, default=10000)
     p.add_argument("--max-queue-length", type=int, default=9000)
@@ -465,6 +473,45 @@ def main(argv: list[str] | None = None, init_ray: bool = True) -> int:
         else:
             sys.stdout.write(md)
         return 0
+
+    if args.wizard_answers:
+        # scripted wizard (src/wizard/: TTY replaced by an answers doc):
+        # build the synthetic command, show the pre-confirm summary, then
+        # execute it through this same entry point (main.rs:37-47)
+        import time as _time
+
+        from .pipelines.wizard import (WizardCancelled, argv_to_cli_args,
+                                       run_wizard_scripted, summary_lines)
+
+        try:
+            if args.wizard_answers == "-":
+                answers = json.load(sys.stdin)
+            else:
+                with open(args.wizard_answers, encoding="utf-8") as f:
+                    answers = json.load(f)
+            wargv, wstate = run_wizard_scripted(
+                answers, date=_time.strftime("%Y%m%d"), with_state=True)
+        except WizardCancelled:
+            print("Wizard cancelled.")
+            return 0
+        except (ValueError, OSError) as e:
+            print(f"ERROR: wizard: {e}", file=sys.stderr)
+            return 2
+        if wstate is not None:
+            for line in summary_lines(wstate, wargv):
+                print(line)
+        else:
+            print("Command:   " + " ".join(wargv))
+        if args.wizard_dry_run:
+            return 0
+        tokens = argv_to_cli_args(wargv)
+        # the sandbox engine reads from a corpus, not sockets: carry the
+        # harness-level corpus/workdir flags into the generated command
+        if args.corpus:
+            tokens += ["--corpus", args.corpus]
+        if args.workdir:
+            tokens += ["--workdir", args.workdir]
+        return main(tokens, init_ray=init_ray)
 
     if args.serve_offline or args.serve_markdown:
         # serve mode replaces crawling (main.rs:80-94); exit 101 on a

@@ -241,9 +241,19 @@ class EpochCrawler:
             from ..stages.frontier import make_shard_actors
 
             self._shards = make_shard_actors(self.cfg.num_shards, self.cfg.filter_capacity)
-            k = self.cfg.fetch_concurrency or adaptive_worker_count(self.cfg.num_shards)
+            from ..stages.worker import clamp_worker_count
+
+            # clamp a user-requested pool to schedulable CPUs — an
+            # oversized pool of 1-CPU actors would pend forever and
+            # deadlock the warm-up ray.get (wizard Stress Test
+            # --workers=20 on a small box)
+            k = clamp_worker_count(
+                self.cfg.fetch_concurrency
+                or adaptive_worker_count(self.cfg.num_shards),
+                num_shards=self.cfg.num_shards)
             self._workers = make_crawl_workers(
                 k,
+                num_shards=self.cfg.num_shards,
                 corpus_path=self.corpus_path,
                 gauntlet_kwargs=self._gauntlet_kwargs(),
                 max_reqs_per_sec=self.cfg.max_reqs_per_sec,

@@ -238,11 +238,30 @@ def _chunk_dedup(cands: pa.Table) -> pa.Table:
     return cands.take(pa.array(keep)) if len(keep) != m else cands
 
 
-def make_crawl_workers(num_workers: int, **kwargs):
+def make_crawl_workers(num_workers: int, num_shards: int = 8, **kwargs):
+    """Create the 1-CPU fetch worker pool, clamped to what can actually
+    schedule.  A user-requested pool larger than the cluster (e.g. the
+    wizard's Stress Test `--workers=20` on a 4-CPU box) would otherwise
+    leave actors pending forever and deadlock the warm-up `ray.get` —
+    the reference's workers are I/O tasks that oversubscribe freely
+    (crawler.rs worker loop), ours are CPU-pinned actors, so the cap is
+    the honest translation."""
     import ray
 
+    n = clamp_worker_count(num_workers, num_shards)
     Actor = ray.remote(num_cpus=1)(CrawlWorker)
-    return [Actor.remote(**kwargs) for _ in range(num_workers)]
+    return [Actor.remote(**kwargs) for _ in range(n)]
+
+
+def clamp_worker_count(num_workers: int, num_shards: int = 8) -> int:
+    """Largest worker count that can schedule alongside the driver and
+    the fractional-CPU frontier shards (0.25 CPU each, so ~num_shards/4
+    whole CPUs must stay free — same headroom as adaptive_worker_count;
+    without it, 7 workers + 8 shards pend forever on an 8-CPU box)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(1, min(num_workers, cpus - max(1, num_shards // 4) - 1))
 
 
 def adaptive_worker_count(num_shards: int, cap: int = 64) -> int:
