@@ -1182,6 +1182,10 @@ def run_ai_phase(visited: pa.Table, *, site_name: str, site_summary: str = "",
             batch_format="pyarrow",
             concurrency=min(concurrency, max(1, rows.num_rows)),
             num_cpus=1,
+            # take_all is safe HERE ONLY: the selection firewall caps
+            # this dataset at max_pages rows (reference default 30) of
+            # short summary strings — a report-sized result, never the
+            # corpus
         ).take_all()
     else:
         stage = SummaryStage(transport_factory=transport_factory,
