@@ -335,3 +335,45 @@ def test_cli_wizard_executes_generated_crawl(tmp_path, ray_session, capsys):
     assert "Command:   siteone-crawler --url=" in out
     # the generated crawl actually ran against the corpus
     assert os.path.isdir(os.path.join(wd, "visited"))
+
+
+# ---- property: every wizard command parses through the real CLI ----
+
+try:
+    from hypothesis import given, settings as hyp_settings, strategies as st
+
+    _FORM_LABELS = {fs.label: fs.options
+                    for fs in build_form_settings(WizardState())}
+
+    @st.composite
+    def _answers(draw):
+        preset = draw(st.sampled_from([p.name for p in PRESETS]))
+        chosen = draw(st.dictionaries(
+            st.sampled_from(sorted(_FORM_LABELS)), st.none(), max_size=6))
+        settings = {label: draw(st.sampled_from(_FORM_LABELS[label]))
+                    for label in chosen}
+        return {"preset": preset, "url": "https://fuzz.example/p",
+                "settings": settings}
+
+    @given(_answers())
+    @hyp_settings(max_examples=60, deadline=None)
+    def test_fuzz_generated_command_parses_through_cli(answers):
+        """Any preset + any valid form selection must yield a command the
+        real CLI parser accepts, with the numeric knobs surviving the
+        round trip — guards the flag-name coupling between wizard.py's
+        argv builder and cli.py's parser."""
+        from siteone_crawler_ray.cli import build_parser
+
+        argv, state = run_wizard_scripted(
+            answers, date="20260818", with_state=True)
+        tokens = argv_to_cli_args(argv)
+        ns = build_parser().parse_args(tokens)
+        assert ns.url == [answers["url"]]  # --url is repeatable (list)
+        assert ns.max_visited_urls == state.max_visited_urls
+        if state.workers != 3:
+            assert ns.workers == state.workers
+        for flag in ("javascript", "styles", "fonts", "images", "files"):
+            assert getattr(ns, f"disable_{flag}") == \
+                getattr(state, f"disable_{flag}")
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass
