@@ -638,16 +638,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
 
     def media_stages(sf_dir: str):
-        """REAL multimodal decode end-to-end: BMP / PNG / baseline-JPEG
-        / GIF / lossless-WebP images (the container cycles per image
-        row), WAV-PCM / FLAC audio, and MP4 video frame-sampling with
-        the pure-Python codecs (decoder='real' on all three
+        """REAL multimodal decode end-to-end: BMP / PNG / JPEG / GIF /
+        lossless-WebP / baseline-TIFF images (the container cycles per
+        image row), WAV-PCM / FLAC audio, and MP4 video frame-sampling
+        with the pure-Python codecs (decoder='real' on all three
         modalities; MP4 frame counts + durations come from a real
         stbl sample-table walk, frame payloads stay opaque).  One row
         per media item with analytic content (stages/multimodal.py
         synthesize_real_media_table; JPEG rows are constant-color at
-        quality 100 = DC-only = exact, GIF and VP8L are lossless) so
-        the DuckDB oracle recomputes every value arithmetically."""
+        quality 100 = DC-only = exact, GIF, VP8L and TIFF are
+        lossless) so the DuckDB oracle recomputes every value
+        arithmetically."""
         import pyarrow as pa
         import ray.data as rd
 

@@ -7,14 +7,14 @@ Codec support is honest about the environment: ``decoder="real"``
 decodes the formats this module implements in pure Python/numpy —
 RIFF/WAVE 16-bit PCM (``decode_wav``), Windows BMP 24-bit
 (``decode_bmp``), PNG 8-bit gray/RGB/RGBA with all five row filters
-(``decode_png``), baseline sequential JPEG (``decode_jpeg``:
-Annex-K Huffman, 4:4:4/4:2:2/4:2:0, grayscale, restart intervals),
-GIF87a/89a (``decode_gif``: LZW, interlace, local color tables), and
-baseline AND progressive JPEG (``decode_jpeg``: Annex-K Huffman,
-spectral selection + successive approximation, 4:4:4/4:2:2/4:2:0,
-restart intervals), lossless WebP (``codec_webp.decode_webp``: VP8L
-prefix codes, color cache, LZ77, all four transforms), ICO favicons
-(``decode_ico``), FLAC audio (``codec_flac.decode_flac``) and the MP4
+(``decode_png``), baseline AND progressive JPEG (``decode_jpeg``:
+Annex-K Huffman, spectral selection + successive approximation,
+4:4:4/4:2:2/4:2:0, grayscale, restart intervals), GIF87a/89a
+(``decode_gif``: LZW, interlace, local color tables), lossless WebP
+(``codec_webp.decode_webp``: VP8L prefix codes, color cache, LZ77,
+all four transforms), ICO favicons (``decode_ico``), baseline TIFF
+(``codec_tiff.decode_tiff``: none/PackBits, both byte orders,
+strips), FLAC audio (``codec_flac.decode_flac``) and the MP4
 container (``codec_mp4.decode_mp4``: full stbl sample-table walk;
 frame payloads stay opaque) — and raises ``NotImplementedError`` for
 the rest (lossy VP8, AVIF, MP3, H.264 frame decode), whose codec
@@ -1351,10 +1351,10 @@ def decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch: BMP, PNG, baseline JPEG, GIF, lossless
-    WebP (VP8L) or ICO favicon → (H, W, C) uint8; NotImplementedError
-    for everything else (lossy VP8 / AVIF / progressive JPEG need
-    codecs absent from this container)."""
+    """Magic-byte dispatch: BMP, PNG, baseline/progressive JPEG, GIF,
+    lossless WebP (VP8L), ICO favicon or baseline TIFF → (H, W, C)
+    uint8; NotImplementedError for everything else (lossy VP8 / AVIF
+    need codecs absent from this container)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
@@ -1369,8 +1369,13 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_webp(payload)
     if payload[:4] == b"\x00\x00\x01\x00":
         return decode_ico(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .codec_tiff import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError(
-        "unsupported image container (BMP/PNG/JPEG/GIF/WebP-lossless/ICO only)")
+        "unsupported image container "
+        "(BMP/PNG/JPEG/GIF/WebP-lossless/ICO/TIFF only)")
 
 
 def synthesize_real_media_table(n: int = 240) -> pa.Table:
@@ -1382,14 +1387,16 @@ def synthesize_real_media_table(n: int = 240) -> pa.Table:
 
     - image ``i``: width ``16+(i%8)*4``, height ``12+(i%5)*4``, every
       pixel channel ``(i*7)%256`` → mean pixel is exactly that value.
-      The container cycles BMP → PNG → JPEG → GIF → WebP across image
-      rows (``(i//3)%5``); JPEG rows encode at quality 100 (all-ones
-      quant tables), where a constant-color image is DC-only and
-      round-trips EXACTLY, and GIF / lossless-WebP are exact by
-      construction, so all five codecs share the same arithmetic
-      oracle.  JPEG rows alternate 4:2:0 / 4:4:4 chroma AND
-      baseline / progressive (SOF2) coding — the full cross product
-      over the cycle; GIF rows alternate interlaced / sequential.
+      The container cycles BMP → PNG → JPEG → GIF → WebP → TIFF
+      across image rows (``(i//3)%6``); JPEG rows encode at quality
+      100 (all-ones quant tables), where a constant-color image is
+      DC-only and round-trips EXACTLY, and GIF / lossless-WebP /
+      baseline-TIFF are exact by construction, so all six codecs
+      share the same arithmetic oracle.  JPEG rows alternate 4:2:0 /
+      4:4:4 chroma AND baseline / progressive (SOF2) coding — the
+      full cross product over the cycle; GIF rows alternate
+      interlaced / sequential; TIFF rows alternate PackBits /
+      uncompressed and multi-strip / single-strip.
     - audio ``i``: 8 kHz, ``400+(i%7)*100`` samples, alternating
       ±(1000+10·i) square wave → RMS energy is exactly ``1000+10·i``,
       duration ``n_samples/8000``.  The container alternates WAV-PCM /
@@ -1406,7 +1413,7 @@ def synthesize_real_media_table(n: int = 240) -> pa.Table:
             w, h = 16 + (i % 8) * 4, 12 + (i % 5) * 4
             px = np.full((h, w, 3), (i * 7) % 256, dtype=np.uint8)
             kinds.append("image")
-            fmt = (i // 3) % 5
+            fmt = (i // 3) % 6
             if fmt == 0:
                 payloads.append(encode_bmp(px))
                 mimes.append("image/bmp")
@@ -1422,11 +1429,19 @@ def synthesize_real_media_table(n: int = 240) -> pa.Table:
             elif fmt == 3:
                 payloads.append(encode_gif(px, interlace=(i // 3) % 2 == 0))
                 mimes.append("image/gif")
-            else:
+            elif fmt == 4:
                 from .codec_webp import encode_webp
 
                 payloads.append(encode_webp(px))
                 mimes.append("image/webp")
+            else:
+                from .codec_tiff import encode_tiff
+
+                payloads.append(encode_tiff(
+                    px,
+                    compression=32773 if (i // 3) % 2 == 0 else 1,
+                    rows_per_strip=4 if (i // 6) % 2 == 0 else 1000))
+                mimes.append("image/tiff")
         elif m == 1:
             ns, amp = 400 + (i % 7) * 100, 1000 + 10 * i
             samples = np.full(ns, amp, dtype=np.int16)

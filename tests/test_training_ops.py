@@ -1054,3 +1054,95 @@ def test_progressive_jpeg_matches_sequential():
 
     with pytest.raises(ValueError):
         encode_jpeg(px, progressive=True, restart_interval=4)
+
+
+def test_tiff_codec_roundtrips_and_gates():
+    """Baseline TIFF 6.0: lossless round-trip through every decoder
+    path — gray/RGB/RGBA, uncompressed and PackBits, single- and
+    multi-strip, both byte orders (big-endian via a byte-swapped
+    re-emit), WhiteIsZero inversion — plus honest gates for LZW,
+    16-bit samples and non-TIFF payloads."""
+    import struct
+
+    from siteone_crawler_ray.stages.codec_tiff import decode_tiff, encode_tiff
+    from siteone_crawler_ray.stages.multimodal import decode_image
+
+    rng = np.random.default_rng(17)
+    for shape in ((12, 16), (13, 17, 3), (8, 9, 4)):
+        for comp in (1, 32773):
+            for rps in (4, 1000):
+                px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+                dec = decode_tiff(encode_tiff(px, compression=comp,
+                                              rows_per_strip=rps))
+                want = px if px.ndim == 3 else px[:, :, None]
+                assert dec.shape == want.shape and (dec == want).all(), \
+                    (shape, comp, rps)
+
+    # PackBits must survive run-heavy rows (the constant media-cycle
+    # case) and stay smaller than raw there
+    const = np.full((32, 48, 3), 99, np.uint8)
+    rle = encode_tiff(const, compression=32773)
+    assert (decode_tiff(rle) == const).all()
+    assert len(rle) < len(encode_tiff(const, compression=1))
+
+    # big-endian decode: swap the header/IFD scalars of a LE file
+    px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    le = bytearray(encode_tiff(px, compression=1, rows_per_strip=1000))
+    (ifd,) = struct.unpack_from("<I", le, 4)
+    (n,) = struct.unpack_from("<H", le, ifd)
+    be = bytearray(le)
+    be[0:4] = b"MM\x00*"
+    struct.pack_into(">I", be, 4, ifd)
+    struct.pack_into(">H", be, ifd, n)
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from("<HHI", le, off)
+        struct.pack_into(">HHI", be, off, tag, typ, cnt)
+        if typ == 3 and cnt == 1:
+            (v,) = struct.unpack_from("<H", le, off + 8)
+            struct.pack_into(">H", be, off + 8, v)
+        elif typ == 3 and cnt == 2:
+            v = struct.unpack_from("<HH", le, off + 8)
+            struct.pack_into(">HH", be, off + 8, *v)
+        elif typ == 3 and cnt > 2:
+            (v,) = struct.unpack_from("<I", le, off + 8)
+            struct.pack_into(">I", be, off + 8, v)
+            for e in range(cnt):
+                (x,) = struct.unpack_from("<H", le, v + 2 * e)
+                struct.pack_into(">H", be, v + 2 * e, x)
+        else:  # LONG scalar (single-strip offsets/counts fit inline)
+            (v,) = struct.unpack_from("<I", le, off + 8)
+            struct.pack_into(">I", be, off + 8, v)
+    struct.pack_into(">I", be, ifd + 2 + 12 * n, 0)
+    assert (decode_tiff(bytes(be)) == px) .all()
+
+    # WhiteIsZero (photometric 0) inverts on return
+    gray = rng.integers(0, 256, size=(7, 11), dtype=np.uint8)
+    buf = bytearray(encode_tiff(gray))
+    (ifd,) = struct.unpack_from("<I", buf, 4)
+    (n,) = struct.unpack_from("<H", buf, ifd)
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        if struct.unpack_from("<H", buf, off)[0] == 262:
+            struct.pack_into("<H", buf, off + 8, 0)
+    assert (decode_tiff(bytes(buf)) == (255 - gray)[:, :, None]).all()
+
+    # magic-byte dispatch reaches the TIFF path
+    assert (decode_image(encode_tiff(const)) == const).all()
+
+    # honest gates: LZW compression, 16-bit samples, non-TIFF
+    lzw = bytearray(encode_tiff(const))
+    (ifd,) = struct.unpack_from("<I", lzw, 4)
+    (n,) = struct.unpack_from("<H", lzw, ifd)
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        if struct.unpack_from("<H", lzw, off)[0] == 259:
+            struct.pack_into("<H", lzw, off + 8, 5)  # LZW
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(lzw))
+    with pytest.raises(NotImplementedError):
+        encode_tiff(const.astype(np.uint16))
+    with pytest.raises(NotImplementedError):
+        decode_tiff(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"II*\x01junk")  # near-miss magic falls to the gate
