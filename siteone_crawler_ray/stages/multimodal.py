@@ -14,7 +14,8 @@ Annex-K Huffman, spectral selection + successive approximation,
 (``codec_webp.decode_webp``: VP8L prefix codes, color cache, LZ77,
 all four transforms), ICO favicons (``decode_ico``), baseline TIFF
 (``codec_tiff.decode_tiff``: none/PackBits, both byte orders,
-strips), FLAC audio (``codec_flac.decode_flac``) and the MP4
+strips), FLAC audio (``codec_flac.decode_flac``), AIFF 16-bit PCM
+(``decode_aiff``: 80-bit extended sample rate, chunk walk) and the MP4
 container (``codec_mp4.decode_mp4``: full stbl sample-table walk;
 frame payloads stay opaque) — and raises ``NotImplementedError`` for
 the rest (lossy VP8, AVIF, MP3, H.264 frame decode), whose codec
@@ -102,6 +103,69 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     if bits != 16:
         raise NotImplementedError(f"{bits}-bit PCM not supported (16-bit only)")
     return rate, channels, np.frombuffer(data, dtype="<i2")
+
+
+def _f80_encode(rate: int) -> bytes:
+    """IEEE 754 80-bit extended float (AIFF-C spec §'extended'): the
+    COMM sample-rate field.  Integer rates only (all we emit)."""
+    if rate <= 0:
+        raise NotImplementedError("non-positive AIFF sample rate")
+    exp = rate.bit_length() - 1
+    mant = rate << (63 - exp)  # explicit leading 1 in bit 63
+    return struct.pack(">HQ", 16383 + exp, mant)
+
+
+def _f80_decode(b: bytes) -> int:
+    se, mant = struct.unpack(">HQ", b[:10])
+    exp = (se & 0x7FFF) - 16383
+    if se & 0x8000 or not 0 <= exp <= 62:
+        raise NotImplementedError("unsupported AIFF sample-rate exponent")
+    rate = mant >> (63 - exp)
+    if mant != rate << (63 - exp):
+        raise NotImplementedError("fractional AIFF sample rates not supported")
+    return rate
+
+
+def encode_aiff(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """int16 mono samples → FORM/AIFF bytes (big-endian PCM, COMM with
+    the 80-bit extended sample rate, SSND offset/blockSize 0)."""
+    data = np.asarray(samples, dtype=">i2").tobytes()
+    comm = struct.pack(">HIH", 1, len(samples), 16) + _f80_encode(sample_rate)
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = (b"AIFF"
+            + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def decode_aiff(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """FORM/AIFF 16-bit PCM → (sample_rate, channels, int16 samples);
+    NotImplementedError for AIFC compression or non-16-bit samples."""
+    if len(payload) < 12 or payload[:4] != b"FORM":
+        raise NotImplementedError("not a FORM/AIFF payload")
+    form = payload[8:12]
+    if form not in (b"AIFF", b"AIFC"):
+        raise NotImplementedError(f"not an AIFF form ({form!r})")
+    pos, rate, channels, bits, nframes, data = 12, None, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack(">I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"COMM":
+            channels, nframes, bits = struct.unpack(">HIH", body[:8])
+            rate = _f80_decode(body[8:18])
+            if form == b"AIFC" and body[18:22] not in (b"NONE", b"sowt", b""):
+                raise NotImplementedError("compressed AIFF-C not supported")
+        elif cid == b"SSND":
+            off, _blk = struct.unpack(">II", body[:8])
+            data = body[8 + off :]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise NotImplementedError("malformed AIFF: missing COMM/SSND chunk")
+    if bits != 16:
+        raise NotImplementedError(f"{bits}-bit AIFF not supported (16-bit only)")
+    samples = np.frombuffer(data, dtype=">i2")[: nframes * channels]
+    return rate, channels, samples.astype(np.int16)
 
 
 def encode_bmp(pixels: np.ndarray) -> bytes:
@@ -1337,9 +1401,10 @@ def decode_ico(payload: bytes) -> np.ndarray:
 
 
 def decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Magic-byte dispatch: RIFF/WAVE 16-bit PCM or native FLAC →
-    (sample_rate, channels, samples); NotImplementedError otherwise
-    (MP3/AAC/Ogg need codec libraries absent from this container)."""
+    """Magic-byte dispatch: RIFF/WAVE 16-bit PCM, native FLAC or
+    FORM/AIFF 16-bit PCM → (sample_rate, channels, samples);
+    NotImplementedError otherwise (MP3/AAC/Ogg need codec libraries
+    absent from this container)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if payload[:4] == b"fLaC":
@@ -1347,7 +1412,10 @@ def decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
 
         rate, ch, samples = decode_flac(payload)
         return rate, ch, samples.reshape(-1) if ch == 1 else samples
-    raise NotImplementedError("unsupported audio container (WAV-PCM/FLAC only)")
+    if payload[:4] == b"FORM":
+        return decode_aiff(payload)
+    raise NotImplementedError(
+        "unsupported audio container (WAV-PCM/FLAC/AIFF only)")
 
 
 def decode_image(payload: bytes) -> np.ndarray:
@@ -1399,8 +1467,9 @@ def synthesize_real_media_table(n: int = 240) -> pa.Table:
       uncompressed and multi-strip / single-strip.
     - audio ``i``: 8 kHz, ``400+(i%7)*100`` samples, alternating
       ±(1000+10·i) square wave → RMS energy is exactly ``1000+10·i``,
-      duration ``n_samples/8000``.  The container alternates WAV-PCM /
-      FLAC (``(i//3)%2``) — FLAC is lossless, so the oracle is shared.
+      duration ``n_samples/8000``.  The container cycles WAV-PCM /
+      FLAC / AIFF (``(i//3)%3``) — FLAC is lossless and AIFF is raw
+      big-endian PCM, so all three share the oracle.
     - video ``i``: a real MP4 holding ``3+(i%5)`` opaque 256-byte
       frames (frame ``f`` byte ``j`` is ``(i+256f+j)%256``) at 10 fps,
       timescale 1000 → duration is exactly ``(3+(i%5))·0.1`` s and the
@@ -1447,15 +1516,19 @@ def synthesize_real_media_table(n: int = 240) -> pa.Table:
             samples = np.full(ns, amp, dtype=np.int16)
             samples[1::2] *= -1
             kinds.append("audio")
-            if (i // 3) % 2 == 0:
+            afmt = (i // 3) % 3
+            if afmt == 0:
                 payloads.append(encode_wav(samples, 8000))
                 mimes.append("audio/wav")
-            else:
+            elif afmt == 1:
                 from .codec_flac import encode_flac
 
                 payloads.append(encode_flac(samples.astype(np.int64), 8000,
                                             block_size=256, fixed_order=1))
                 mimes.append("audio/flac")
+            else:
+                payloads.append(encode_aiff(samples, 8000))
+                mimes.append("audio/aiff")
         else:
             from .codec_mp4 import encode_mp4
 

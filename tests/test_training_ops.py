@@ -1146,3 +1146,53 @@ def test_tiff_codec_roundtrips_and_gates():
         decode_tiff(b"\x89PNG\r\n\x1a\n")
     with pytest.raises(NotImplementedError):
         decode_image(b"II*\x01junk")  # near-miss magic falls to the gate
+
+
+def test_aiff_codec_roundtrips_and_gates():
+    """FORM/AIFF 16-bit PCM: round-trip including the 80-bit extended
+    sample-rate field across magnitudes, chunk-walk with padding,
+    AIFC NONE acceptance; compression and bit-depth gates."""
+    import struct
+
+    from siteone_crawler_ray.stages.multimodal import (
+        _f80_decode, _f80_encode, decode_aiff, decode_audio, encode_aiff)
+
+    for rate in (1, 8000, 11025, 44100, 48000, 192000):
+        assert _f80_decode(_f80_encode(rate)) == rate, rate
+
+    rng = np.random.default_rng(23)
+    s = rng.integers(-30000, 30000, size=1001, dtype=np.int16)
+    rate, ch, back = decode_aiff(encode_aiff(s, 11025))
+    assert rate == 11025 and ch == 1 and np.array_equal(back, s)
+
+    # odd-sized chunk before SSND exercises the word-alignment walk
+    enc = encode_aiff(s, 8000)
+    with_anno = (enc[:12] + b"ANNO" + struct.pack(">I", 3) + b"hi!\x00"
+                 + enc[12:])
+    with_anno = (b"FORM"
+                 + struct.pack(">I", len(with_anno) - 8) + with_anno[8:])
+    rate, ch, back = decode_aiff(with_anno)
+    assert rate == 8000 and np.array_equal(back, s)
+
+    # shared dispatch entry
+    rate, ch, flat = decode_audio(encode_aiff(s, 8000))
+    assert rate == 8000 and np.array_equal(flat, s)
+
+    # gates: AIFC with real compression, 8-bit samples, non-AIFF FORM
+    aifc = bytearray(encode_aiff(s, 8000))
+    aifc[8:12] = b"AIFC"
+    comm_at = bytes(aifc).find(b"COMM")
+    grown = (bytes(aifc[:comm_at + 4])
+             + struct.pack(">I", 22)
+             + bytes(aifc[comm_at + 8 : comm_at + 8 + 18]) + b"ima4"
+             + bytes(aifc[comm_at + 8 + 18 :]))
+    with pytest.raises(NotImplementedError):
+        decode_aiff(grown)
+    bad_bits = bytearray(encode_aiff(s, 8000))
+    struct.pack_into(">H", bad_bits, bad_bits.find(b"COMM") + 8 + 6, 8)
+    with pytest.raises(NotImplementedError):
+        decode_aiff(bytes(bad_bits))
+    with pytest.raises(NotImplementedError):
+        decode_aiff(b"FORM\x00\x00\x00\x04AIFX")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"OggS\x00\x00")
