@@ -1481,7 +1481,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_nationkey, p_brand
         """,
         "range_join_count": """
-            SELECT e.event_id, count(o.o_orderkey) AS n_before
+            -- max(orderdate <= ts) IS the as-of match; a pytest proves
+            -- it equal to DuckDB's native ASOF JOIN on the same tables
+            SELECT e.event_id, count(o.o_orderkey) AS n_before,
+                   coalesce(max(CAST(epoch_us(o.o_orderdate) AS BIGINT)), -1)
+                     AS asof_date_us
             FROM events e LEFT JOIN orders o
               ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             GROUP BY e.event_id

@@ -327,9 +327,21 @@ def segment_join(sf_dir: str) -> pa.Table:
 
 
 def range_join_count(sf_dir: str) -> pa.Table:
-    """as-of/range-join shape: per-event count of this user's orders with
-    orderdate ≤ ts.  Broadcast sorted per-key date arrays + vectorized
-    searchsorted per batch (scale path: bucket both sides by key hash)."""
+    """Range join + AS-OF join in one pass: per event, the count of
+    this user's orders with orderdate ≤ ts (range) AND the most recent
+    such orderdate (as-of match; -1 when none).
+
+    Fully vectorized composite-rank merge — no per-row Python: sort the
+    right side by (key, time), rank every time against the global
+    sorted time array (monotone, duplicate-stable), fuse
+    ``key·(N+1)+rank`` into one sorted int64 axis, and answer every
+    event with two ``np.searchsorted`` calls.  ``pos_right − seg_start``
+    is the range count; ``times[pos_right − 1]`` is the as-of value.
+    The small side broadcasts once via ``ray.put``; at 100-TB both
+    sides hash-partition on the key (the pipelines/dedup.py
+    ``_scatter_exchange`` pattern) and the identical kernel runs per
+    partition with partition-local N, which also keeps the fused key
+    inside int64."""
     import ray
     import pyarrow.parquet as pq
 
@@ -338,23 +350,32 @@ def range_join_count(sf_dir: str) -> pa.Table:
     od = orders["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
     order = np.lexsort((od, ck))
     ck, od = ck[order], od[order]
-    starts = np.searchsorted(ck, np.arange(0, ck.max() + 2))
-    ref = ray.put((od, starts))
+    n_orders = len(od)
+    sorted_times = np.sort(od)  # rank domain (duplicates keep rank stable)
+    rank = np.searchsorted(sorted_times, od, side="right").astype(np.int64)
+    fused = ck.astype(np.int64) * (n_orders + 1) + rank
+    ref = ray.put((fused, od, sorted_times, np.int64(n_orders + 1)))
 
-    def count_before(batch: pa.Table) -> pa.Table:
-        dates, st = ray.get(ref)
-        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+    def asof_and_count(batch: pa.Table) -> pa.Table:
+        fkey, times, st_all, base = ray.get(ref)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
-        n = np.zeros(len(uid), dtype=np.int64)
-        valid = uid < len(st) - 1
-        for i in np.nonzero(valid)[0]:
-            u = uid[i]
-            seg = dates[st[u] : st[u + 1]]
-            n[i] = np.searchsorted(seg, ts[i], side="right")
-        return pa.table({"event_id": batch["event_id"], "n_before": pa.array(n)})
+        r_t = np.searchsorted(st_all, ts, side="right").astype(np.int64)
+        pos = np.searchsorted(fkey, uid * base + r_t, side="right")
+        seg = np.searchsorted(fkey, uid * base, side="left")
+        n = (pos - seg).astype(np.int64)
+        asof = np.full(len(uid), -1, dtype=np.int64)
+        hit = n > 0
+        asof[hit] = times[pos[hit] - 1]
+        return pa.table({
+            "event_id": batch["event_id"],
+            "n_before": pa.array(n),
+            "asof_date_us": pa.array(asof),
+        })
 
     return _collect(
-        _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(count_before, batch_format="pyarrow")
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+            asof_and_count, batch_format="pyarrow")
     )
 
 

@@ -1,0 +1,61 @@
+"""Relational operator parity beyond the driver harness.
+
+The driver oracles these slots at sf0.01; the tests here pin the
+semantics that the driver SQL states but cannot prove — e.g. that the
+`range_join_count` as-of column equals DuckDB's NATIVE ASOF JOIN, not
+merely the max-date reformulation used in the oracle.
+"""
+
+import duckdb
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for name in ("events", "orders"):
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM "
+                f"read_parquet('{SF}/{name}.parquet')")
+    return con
+
+
+def test_asof_join_matches_duckdb_native_asof(ray_session):
+    """The composite-rank merge in pipelines/relational.py answers the
+    as-of join exactly as DuckDB's ASOF LEFT JOIN does (ties on
+    (key, time) share the date, so the comparison is deterministic)."""
+    from siteone_crawler_ray.pipelines.relational import range_join_count
+
+    t = range_join_count(SF)
+    mine = t.select(["event_id", "asof_date_us"]).sort_by("event_id")
+    con = _con()  # keep alive: .sql() returns a lazy relation
+    native = con.sql("""
+        SELECT e.event_id,
+               coalesce(CAST(epoch_us(o.o_orderdate) AS BIGINT), -1)
+                 AS asof_date_us
+        FROM events e ASOF LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        ORDER BY e.event_id
+    """).arrow()
+    assert mine.num_rows == native.num_rows > 0
+    assert mine.equals(native.cast(mine.schema))
+
+
+def test_range_count_matches_plain_join(ray_session):
+    """The same kernel's range count equals the LEFT JOIN + GROUP BY
+    count — including zero rows for users with no orders."""
+    from siteone_crawler_ray.pipelines.relational import range_join_count
+
+    t = range_join_count(SF)
+    mine = t.select(["event_id", "n_before"]).sort_by("event_id")
+    con = _con()  # keep alive: .sql() returns a lazy relation
+    oracle = con.sql("""
+        SELECT e.event_id, count(o.o_orderkey) AS n_before
+        FROM events e LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        GROUP BY e.event_id ORDER BY e.event_id
+    """).arrow()
+    assert mine.equals(oracle.cast(mine.schema))
+    n = t["n_before"].to_numpy(zero_copy_only=False)
+    a = t["asof_date_us"].to_numpy(zero_copy_only=False)
+    assert ((n == 0) == (a == -1)).all()  # no-match sentinel consistency
