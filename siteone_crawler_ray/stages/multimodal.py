@@ -15,8 +15,9 @@ Annex-K Huffman, spectral selection + successive approximation,
 all four transforms), ICO favicons (``decode_ico``), baseline TIFF
 (``codec_tiff.decode_tiff``: none/PackBits, both byte orders,
 strips), FLAC audio (``codec_flac.decode_flac``), AIFF 16-bit PCM
-(``decode_aiff``: 80-bit extended sample rate, chunk walk) and the MP4
-container (``codec_mp4.decode_mp4``: full stbl sample-table walk;
+(``decode_aiff``: 80-bit extended sample rate, chunk walk) and the
+MP4 + AVI containers (``codec_mp4.decode_mp4``: full stbl
+sample-table walk; ``codec_avi.decode_avi``: RIFF movi/idx1 walk;
 frame payloads stay opaque) — and raises ``NotImplementedError`` for
 the rest (lossy VP8, AVIF, MP3, H.264 frame decode), whose codec
 libraries (PIL/ffmpeg) are NOT in this container.
@@ -1418,6 +1419,22 @@ def decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
         "unsupported audio container (WAV-PCM/FLAC/AIFF only)")
 
 
+def decode_video(payload: bytes) -> dict:
+    """Magic-byte dispatch: MP4/ISO-BMFF (``ftyp``) or RIFF AVI →
+    the frame/timestamp/duration dict; NotImplementedError otherwise
+    (MKV/WebM need an EBML parser this container has no library for —
+    frame payloads stay opaque in both supported containers)."""
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        from .codec_mp4 import decode_mp4
+
+        return decode_mp4(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from .codec_avi import decode_avi
+
+        return decode_avi(payload)
+    raise NotImplementedError("unsupported video container (MP4/AVI only)")
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch: BMP, PNG, baseline/progressive JPEG, GIF,
     lossless WebP (VP8L), ICO favicon or baseline TIFF → (H, W, C)
@@ -1470,10 +1487,13 @@ def synthesize_real_media_table(n: int = 240) -> pa.Table:
       duration ``n_samples/8000``.  The container cycles WAV-PCM /
       FLAC / AIFF (``(i//3)%3``) — FLAC is lossless and AIFF is raw
       big-endian PCM, so all three share the oracle.
-    - video ``i``: a real MP4 holding ``3+(i%5)`` opaque 256-byte
-      frames (frame ``f`` byte ``j`` is ``(i+256f+j)%256``) at 10 fps,
-      timescale 1000 → duration is exactly ``(3+(i%5))·0.1`` s and the
-      stts/stsc/stsz/stco tables are what the decoder must walk.
+    - video ``i``: ``3+(i%5)`` opaque 256-byte frames (frame ``f``
+      byte ``j`` is ``(i+256f+j)%256``) at 10 fps → duration is
+      exactly ``(3+(i%5))·0.1`` s.  The container alternates MP4 /
+      AVI (``(i//3)%2``): MP4 rows are a real stbl sample-table walk,
+      AVI rows a real RIFF movi walk (alternating with/without idx1),
+      and both share the oracle because the frame list and timing are
+      container metadata.
     """
     kinds, payloads, mimes = [], [], []
     for i in range(n):
@@ -1530,14 +1550,20 @@ def synthesize_real_media_table(n: int = 240) -> pa.Table:
                 payloads.append(encode_aiff(samples, 8000))
                 mimes.append("audio/aiff")
         else:
-            from .codec_mp4 import encode_mp4
-
             kinds.append("video")
             raw = bytes((i + j) % 256 for j in range(256 * (3 + (i % 5))))
-            payloads.append(encode_mp4(
-                [raw[f * 256 : (f + 1) * 256] for f in range(3 + (i % 5))],
-                fps=10, timescale=1000))
-            mimes.append("video/mp4")
+            fr = [raw[f * 256 : (f + 1) * 256] for f in range(3 + (i % 5))]
+            if (i // 3) % 2 == 0:
+                from .codec_mp4 import encode_mp4
+
+                payloads.append(encode_mp4(fr, fps=10, timescale=1000))
+                mimes.append("video/mp4")
+            else:
+                from .codec_avi import encode_avi
+
+                payloads.append(encode_avi(
+                    fr, fps=10, write_index=(i // 6) % 2 == 0))
+                mimes.append("video/x-msvideo")
     return pa.table({
         "media_id": pa.array([f"m{i:05d}" for i in range(n)], pa.string()),
         "kind": pa.array(kinds, pa.string()),
@@ -1683,12 +1709,12 @@ class VideoFrameSampleStage:
     """Actor stage: sample N evenly-spaced frames → per-frame byte
     slices + container timestamps + per-item duration.
 
-    ``decoder='real'`` parses the MP4 container with
-    :func:`codec_mp4.decode_mp4` — frame byte ranges come from the
-    ``stbl`` sample tables and timestamps from ``stts``; the frame
-    PAYLOADS stay opaque (H.264 entropy decode needs codec libraries
-    absent here).  ``'fake'`` slices 256-byte pseudo-frames for
-    plumbing tests."""
+    ``decoder='real'`` parses the container via :func:`decode_video`
+    (MP4 ``stbl`` sample tables via :func:`codec_mp4.decode_mp4`, or
+    AVI ``movi``/``idx1`` via :func:`codec_avi.decode_avi`); the frame
+    PAYLOADS stay opaque (H.264/MJPEG entropy decode needs codec
+    libraries absent here).  ``'fake'`` slices 256-byte pseudo-frames
+    for plumbing tests."""
 
     def __init__(self, decoder: str = "fake", frames: int = 3, fps: float = 25.0):
         self.decoder = decoder
@@ -1701,9 +1727,7 @@ class VideoFrameSampleStage:
         mids = batch["media_id"].to_pylist()
         for mid, p in zip(mids, payloads):
             if self.decoder == "real":
-                from .codec_mp4 import decode_mp4
-
-                info = decode_mp4(p)
+                info = decode_video(p)  # MP4 stbl walk or AVI movi walk
                 all_frames, all_ts = info["frames"], info["timestamps"]
                 dur = info["duration_sec"]
             else:

@@ -1196,3 +1196,66 @@ def test_aiff_codec_roundtrips_and_gates():
         decode_aiff(b"FORM\x00\x00\x00\x04AIFX")
     with pytest.raises(NotImplementedError):
         decode_audio(b"OggS\x00\x00")
+
+
+def test_avi_codec_roundtrips_and_gates():
+    """AVI 1.0 container: RIFF hdrl/movi/idx1 walk with word-aligned
+    odd-length frames, with/without the idx1 index, audio-stream
+    skipping; OpenDML, index disagreement and non-AVI payloads raise."""
+    import struct
+
+    from siteone_crawler_ray.stages.codec_avi import decode_avi, encode_avi
+    from siteone_crawler_ray.stages.multimodal import decode_video
+
+    frames = [bytes((i * 7 + j) % 256 for j in range(100 + i))
+              for i in range(7)]  # mixed parity → alignment exercised
+    for widx in (True, False):
+        d = decode_avi(encode_avi(frames, fps=10, width=32, height=24,
+                                  write_index=widx))
+        assert d["frames"] == frames and d["n_frames"] == 7
+        assert abs(d["duration_sec"] - 0.7) < 1e-9
+        assert d["timestamps"][:2] == [0.0, 0.1]
+        assert (d["width"], d["height"]) == (32, 24) and d["codec"] == "mjpg"
+
+    # shared dispatch reaches both containers
+    from siteone_crawler_ray.stages.codec_mp4 import encode_mp4
+    assert decode_video(encode_avi(frames, fps=10))["frames"] == frames
+    assert decode_video(encode_mp4(frames, fps=10,
+                                   timescale=1000))["frames"] == frames
+
+    # a second (audio) stream header must not steal the vids stream
+    avi = encode_avi(frames, fps=10)
+    strl_at = avi.find(b"strl")
+    auds_strh = (b"strh" + struct.pack("<I", 56) + b"auds" + b"\x00" * 52)
+    auds_strl = (b"LIST" + struct.pack("<I", 4 + len(auds_strh))
+                 + b"strl" + auds_strh)
+    hdrl_at = avi.find(b"hdrl")
+    # splice the audio strl after the video strl inside hdrl
+    strl_size = struct.unpack("<I", avi[strl_at - 4 : strl_at])[0]
+    insert_at = strl_at + strl_size
+    grown = bytearray(avi[:insert_at] + auds_strl + avi[insert_at:])
+    for at, delta in ((4, len(auds_strl)), (hdrl_at - 4, len(auds_strl))):
+        (sz,) = struct.unpack("<I", grown[at : at + 4])
+        struct.pack_into("<I", grown, at, sz + delta)
+    d = decode_avi(bytes(grown))
+    assert d["frames"] == frames and d["codec"] == "mjpg"
+
+    # gates: OpenDML AVIX, idx1 mismatch, non-AVI RIFF, non-RIFF
+    avix = bytearray(encode_avi(frames, fps=10))
+    movi_kind = avix.find(b"movi")
+    avix[movi_kind : movi_kind + 4] = b"AVIX"
+    with pytest.raises(NotImplementedError):
+        decode_avi(bytes(avix))
+    short_idx = bytearray(encode_avi(frames, fps=10, write_index=True))
+    idx_at = short_idx.find(b"idx1")
+    (isz,) = struct.unpack("<I", short_idx[idx_at + 4 : idx_at + 8])
+    struct.pack_into("<I", short_idx, idx_at + 4, isz - 16)  # drop an entry
+    del short_idx[idx_at + 8 + isz - 16 : idx_at + 8 + isz]
+    (tot,) = struct.unpack("<I", short_idx[4:8])
+    struct.pack_into("<I", short_idx, 4, tot - 16)
+    with pytest.raises(NotImplementedError):
+        decode_avi(bytes(short_idx))
+    with pytest.raises(NotImplementedError):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(NotImplementedError):
+        decode_video(b"\x1aE\xdf\xa3webm")  # EBML/MKV stays gated
