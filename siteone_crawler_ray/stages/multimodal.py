@@ -19,8 +19,11 @@ strips), FLAC audio (``codec_flac.decode_flac``), AIFF 16-bit PCM
 MP4 + AVI containers (``codec_mp4.decode_mp4``: full stbl
 sample-table walk; ``codec_avi.decode_avi``: RIFF movi/idx1 walk;
 frame payloads stay opaque) — and raises ``NotImplementedError`` for
-the rest (lossy VP8, AVIF, MP3, H.264 frame decode), whose codec
-libraries (PIL/ffmpeg) are NOT in this container.
+the rest (lossy VP8, AVIF, MP3 sample decode, H.264 frame decode),
+whose codec libraries (PIL/ffmpeg) are NOT in this container.  MP3
+still gets a real CONTAINER walk: ``codec_mp3.probe_mp3`` frame-syncs
+the whole stream for exact duration/bitrate/VBR metadata without
+decoding samples.
 ``decoder="fake"`` (the default for arbitrary payloads) derives
 deterministic metadata from the payload hash so the Ray-side plumbing
 — schema, batch sizing for wide binary rows, actor signature,

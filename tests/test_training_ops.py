@@ -1259,3 +1259,39 @@ def test_avi_codec_roundtrips_and_gates():
         decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
     with pytest.raises(NotImplementedError):
         decode_video(b"\x1aE\xdf\xa3webm")  # EBML/MKV stays gated
+
+
+def test_mp3_probe_walks_frames_and_gates():
+    """MPEG-audio frame-sync probe: exact per-frame duration over the
+    full walk, ID3v2/v1 skip, structural + Xing VBR detection, layer
+    I/II/III tables, resync past leading garbage, stop at trailing
+    garbage; non-MPEG payloads raise."""
+    from siteone_crawler_ray.stages.codec_mp3 import probe_mp3, synthesize_mp3
+
+    p = probe_mp3(synthesize_mp3(38))
+    assert p["n_frames"] == 38 and p["sample_rate"] == 44100
+    assert abs(p["duration_sec"] - 38 * 1152 / 44100) < 1e-9
+    assert p["bitrate"] == 128000 and not p["vbr"] and p["layer"] == 3
+
+    p = probe_mp3(synthesize_mp3(10, id3v2_bytes=500, id3v1=True))
+    assert p["n_frames"] == 10 and p["id3v2"]
+
+    p = probe_mp3(synthesize_mp3(9, vbr_alternate_kbps=192))
+    assert p["vbr"] and p["n_frames"] == 9 and p["bitrate"] == 128000
+    assert probe_mp3(synthesize_mp3(5, xing=True))["has_xing"]
+
+    p = probe_mp3(synthesize_mp3(7, layer=2, bitrate_kbps=192,
+                                 sample_rate=48000))
+    assert p["layer"] == 2 and abs(p["duration_sec"] - 7 * 1152 / 48000) < 1e-9
+    p = probe_mp3(synthesize_mp3(7, layer=1, bitrate_kbps=192,
+                                 sample_rate=32000))
+    assert p["layer"] == 1 and abs(p["duration_sec"] - 7 * 384 / 32000) < 1e-9
+
+    raw = synthesize_mp3(6)
+    assert probe_mp3(b"\x01\x02garbage" + raw)["n_frames"] == 6
+    assert probe_mp3(raw + b"\x00\x00\x00junk")["n_frames"] == 6
+
+    for bad in (b"", b"not audio at all",
+                b"ID3\x04\x00\x00\x00\x00\x00\x05hello"):
+        with pytest.raises(NotImplementedError):
+            probe_mp3(bad)
