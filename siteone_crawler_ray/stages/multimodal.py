@@ -1423,10 +1423,11 @@ def decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def decode_video(payload: bytes) -> dict:
-    """Magic-byte dispatch: MP4/ISO-BMFF (``ftyp``) or RIFF AVI →
-    the frame/timestamp/duration dict; NotImplementedError otherwise
-    (MKV/WebM need an EBML parser this container has no library for —
-    frame payloads stay opaque in both supported containers)."""
+    """Magic-byte dispatch: MP4/ISO-BMFF (``ftyp``), RIFF AVI or
+    Matroska/WebM (EBML) → the frame/timestamp/duration dict;
+    NotImplementedError otherwise.  Frame payloads stay opaque in all
+    three supported containers (H.264/VP8/VP9 entropy decode needs
+    codec libraries absent here)."""
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         from .codec_mp4 import decode_mp4
 
@@ -1435,7 +1436,12 @@ def decode_video(payload: bytes) -> dict:
         from .codec_avi import decode_avi
 
         return decode_avi(payload)
-    raise NotImplementedError("unsupported video container (MP4/AVI only)")
+    if payload[:4] == bytes.fromhex("1A45DFA3"):
+        from .codec_mkv import decode_mkv
+
+        return decode_mkv(payload)
+    raise NotImplementedError(
+        "unsupported video container (MP4/AVI/MKV-WebM only)")
 
 
 def decode_image(payload: bytes) -> np.ndarray:
@@ -1492,11 +1498,12 @@ def synthesize_real_media_table(n: int = 240) -> pa.Table:
       big-endian PCM, so all three share the oracle.
     - video ``i``: ``3+(i%5)`` opaque 256-byte frames (frame ``f``
       byte ``j`` is ``(i+256f+j)%256``) at 10 fps → duration is
-      exactly ``(3+(i%5))·0.1`` s.  The container alternates MP4 /
-      AVI (``(i//3)%2``): MP4 rows are a real stbl sample-table walk,
+      exactly ``(3+(i%5))·0.1`` s.  The container cycles MP4 / AVI /
+      WebM (``(i//3)%3``): MP4 rows are a real stbl sample-table walk,
       AVI rows a real RIFF movi walk (alternating with/without idx1),
-      and both share the oracle because the frame list and timing are
-      container metadata.
+      WebM rows a real EBML cluster walk (alternating known/unknown
+      Segment size) — all three share the oracle because the frame
+      list and timing are container metadata.
     """
     kinds, payloads, mimes = [], [], []
     for i in range(n):
@@ -1556,17 +1563,25 @@ def synthesize_real_media_table(n: int = 240) -> pa.Table:
             kinds.append("video")
             raw = bytes((i + j) % 256 for j in range(256 * (3 + (i % 5))))
             fr = [raw[f * 256 : (f + 1) * 256] for f in range(3 + (i % 5))]
-            if (i // 3) % 2 == 0:
+            vfmt = (i // 3) % 3
+            if vfmt == 0:
                 from .codec_mp4 import encode_mp4
 
                 payloads.append(encode_mp4(fr, fps=10, timescale=1000))
                 mimes.append("video/mp4")
-            else:
+            elif vfmt == 1:
                 from .codec_avi import encode_avi
 
                 payloads.append(encode_avi(
                     fr, fps=10, write_index=(i // 6) % 2 == 0))
                 mimes.append("video/x-msvideo")
+            else:
+                from .codec_mkv import synthesize_mkv
+
+                payloads.append(synthesize_mkv(
+                    1, len(fr), cluster_ms=100 * len(fr), frames=fr,
+                    unknown_segment_size=(i // 6) % 2 == 0))
+                mimes.append("video/webm")
     return pa.table({
         "media_id": pa.array([f"m{i:05d}" for i in range(n)], pa.string()),
         "kind": pa.array(kinds, pa.string()),

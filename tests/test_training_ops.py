@@ -1295,3 +1295,105 @@ def test_mp3_probe_walks_frames_and_gates():
                 b"ID3\x04\x00\x00\x00\x00\x00\x05hello"):
         with pytest.raises(NotImplementedError):
             probe_mp3(bad)
+
+
+def test_ogg_probe_walks_pages_and_gates():
+    """Ogg page walk (RFC 3533): lacing/packet accounting incl. a
+    hand-built page-spanning continued packet, per-stream granule
+    durations for Opus (pre-skip, RFC 7845) and Vorbis, CRC
+    verification, truncation/trailing-garbage tolerance; non-Ogg
+    payloads and CRC corruption raise."""
+    import struct
+
+    from siteone_crawler_ray.stages.codec_ogg import (
+        _ogg_crc, probe_ogg, synthesize_ogg)
+
+    p = probe_ogg(synthesize_ogg(25))
+    assert p["codec"] == "opus" and p["sample_rate"] == 48000
+    assert abs(p["duration_sec"] - 25 * 960 / 48000) < 1e-9
+    assert p["n_packets"] == 26 and p["eos"]  # 25 audio + BOS id
+
+    p = probe_ogg(synthesize_ogg(11, codec="vorbis", sample_rate=44100,
+                                 samples_per_packet=1024))
+    assert p["codec"] == "vorbis"
+    assert abs(p["duration_sec"] - 11 * 1024 / 44100) < 1e-9
+
+    assert probe_ogg(synthesize_ogg(3, packet_bytes=700))["n_packets"] == 4
+
+    raw = synthesize_ogg(8)
+    assert probe_ogg(raw + b"junk!")["n_pages"] == probe_ogg(raw)["n_pages"]
+    assert probe_ogg(raw[:-50])["n_pages"] == probe_ogg(raw)["n_pages"] - 1
+
+    # hand-built continued packet: 300 bytes spanning two pages
+    def page(htype, granule, serial, seq, lacing, body):
+        hdr = (b"OggS" + bytes([0, htype])
+               + struct.pack("<qII", granule, serial, seq)
+               + b"\x00\x00\x00\x00" + bytes([len(lacing)]))
+        raw = bytearray(hdr + bytes(lacing) + body)
+        raw[22:26] = struct.pack("<I", _ogg_crc(bytes(raw)))
+        return bytes(raw)
+
+    bos = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 0)
+           + struct.pack("<I", 48000) + b"\x00\x00\x00")
+    q, r = divmod(len(bos), 255)
+    stream = page(0x02, 0, 7, 0, b"\xff" * q + bytes([r]), bos)
+    big = bytes(range(256)) + bytes(44)  # 300 bytes
+    stream += page(0x00, -1, 7, 1, b"\xff", big[:255])  # no packet ends
+    stream += page(0x05, 960, 7, 2, bytes([45]), big[255:])  # cont.+EOS
+    p = probe_ogg(stream)
+    assert p["n_pages"] == 3 and p["n_packets"] == 2  # BOS + the big one
+    assert abs(p["duration_sec"] - 960 / 48000) < 1e-9
+
+    bad = bytearray(synthesize_ogg(4))
+    bad[60] ^= 0xFF
+    with pytest.raises(NotImplementedError):
+        probe_ogg(bytes(bad))
+    for b in (b"", b"RIFF\x00\x00\x00\x00WAVE", b"OggX0000"):
+        with pytest.raises(NotImplementedError):
+            probe_ogg(b)
+
+
+def test_mkv_probe_walks_ebml_and_gates():
+    """Matroska/WebM EBML walk: varint IDs/sizes incl. unknown-size
+    Segment, DocType, TimecodeScale + float Duration (with last-block
+    fallback), track metadata for video and audio, cluster/SimpleBlock
+    accounting, frame extraction through decode_video; lacing and
+    non-EBML payloads raise."""
+    from siteone_crawler_ray.stages.codec_mkv import (
+        decode_mkv, probe_mkv, synthesize_mkv)
+    from siteone_crawler_ray.stages.multimodal import decode_video
+
+    p = probe_mkv(synthesize_mkv(6, 4))
+    assert p["doctype"] == "webm" and p["n_clusters"] == 6
+    assert p["n_blocks"] == 24 and abs(p["duration_sec"] - 3.0) < 1e-9
+    assert p["tracks"][0] == {"type": "video", "codec": "V_VP8",
+                              "width": 64, "height": 48}
+
+    p = probe_mkv(synthesize_mkv(4, 2, with_audio=True,
+                                 duration_element=False,
+                                 unknown_segment_size=True))
+    assert len(p["tracks"]) == 2 and p["tracks"][1]["codec"] == "A_OPUS"
+    assert p["tracks"][1]["sample_rate"] == 48000.0
+    assert abs(p["duration_sec"] - 1.75) < 1e-9  # last-block fallback
+
+    # frame extraction contract, through the shared dispatch
+    frames = [bytes((k + j) % 256 for j in range(80)) for k in range(5)]
+    enc = synthesize_mkv(1, 5, cluster_ms=500, frames=frames)
+    d = decode_video(enc)
+    assert d["frames"] == frames and abs(d["duration_sec"] - 0.5) < 1e-9
+    assert d["timestamps"][:2] == [0.0, 0.1]
+
+    # a laced SimpleBlock gates frame extraction but not the probe
+    laced = bytearray(synthesize_mkv(1, 1, cluster_ms=100))
+    cluster_at = laced.find(bytes.fromhex("1F43B675"))
+    at = laced.find(b"\xa3", cluster_at)  # SimpleBlock id inside Cluster
+    # flags byte sits after id(1) + size-vint(4) + track-vint(1) + s16(2)
+    laced[at + 1 + 4 + 1 + 2] |= 0x02  # Xiph lacing
+    laced[at + 1 + 4 + 1 + 3] = 0  # frame count - 1
+    assert probe_mkv(bytes(laced))["has_lacing"]
+    with pytest.raises(NotImplementedError):
+        decode_mkv(bytes(laced))
+
+    for b in (b"", b"\x00\x00\x00\x00", b"RIFF\x00\x00\x00\x00AVI "):
+        with pytest.raises(NotImplementedError):
+            probe_mkv(b)
