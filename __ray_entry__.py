@@ -1565,10 +1565,14 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS (
               SELECT source, doc_id FROM documents
               WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100 < 37)
-            SELECT source, doc_id FROM (
+            SELECT source, doc_id, 'quota' AS method FROM (
               SELECT source, doc_id,
                      row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
               FROM s) WHERE rn <= 7
+            UNION ALL
+            SELECT source, doc_id, 'mixture' AS method FROM documents
+            WHERE (CAST(doc_id + 1009 AS HUGEINT) * 2654435761) % 4294967296 % 100
+                  < (7 * CAST(substr(source, 4) AS INT) + 10) % 90
         """,
         "ngram_topk": """
             WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),

@@ -22,17 +22,31 @@ from .relational import _collect, _read
 
 
 def corpus_sample(sf_dir: str, rate_pct: int = 37, k: int = 7) -> pa.Table:
-    """hash-sample → per-source quota composition (the two row-selection
-    curation operators in one pipeline): keep doc iff
-    ``(doc_id * 2654435761) mod 2^32 mod 100 < rate_pct``, then at most
-    ``k`` surviving docs per source (ordered by doc_id).
+    """The three row-selection curation operators in one pipeline, with
+    a ``method`` discriminator column:
 
-    Both stages are streaming filters over blocks; only the ≤k-per-group
-    partials leave their block (see cap_per_group's scale plan)."""
-    ds = hash_sample(_read(sf_dir, "documents", ["source", "doc_id"]),
-                     key_col="doc_id", rate_pct=rate_pct)
-    t = cap_per_group(ds, "source", "doc_id", k)
-    return t.select(["source", "doc_id"])
+    * ``quota``   — global hash-sample (keep iff ``(doc_id * 2654435761)
+      mod 2^32 mod 100 < rate_pct``) → at most ``k`` surviving docs per
+      source (ordered by doc_id);
+    * ``mixture`` — domain-mixture sampling (stages/sampling.py::
+      mixture_sample): per-source keep-rate ``(7*i + 10) mod 90`` for
+      ``src{i}``, salt 1009 to decorrelate from the global sample.
+
+    All stages are streaming filters over blocks; only the ≤k-per-group
+    quota partials leave their block (see cap_per_group's scale plan)."""
+    from ..stages.sampling import mixture_sample
+
+    docs = lambda: _read(sf_dir, "documents", ["source", "doc_id"])  # noqa: E731
+    ds = hash_sample(docs(), key_col="doc_id", rate_pct=rate_pct)
+    quota = cap_per_group(ds, "source", "doc_id", k).select(["source", "doc_id"])
+    # deterministic per-source rates keyed on the source index so the
+    # dict needs no corpus scan at any scale factor
+    rates = {f"src{i}": (7 * i + 10) % 90 for i in range(1024)}
+    mix = _collect(mixture_sample(docs(), rates, salt=1009)).select(
+        ["source", "doc_id"])
+    quota = quota.append_column("method", pa.array(["quota"] * quota.num_rows))
+    mix = mix.append_column("method", pa.array(["mixture"] * mix.num_rows))
+    return pa.concat_tables([quota, mix])
 
 
 def ngram_top50(sf_dir: str) -> pa.Table:

@@ -49,6 +49,15 @@ class FrontierShardState:
         self._skip_seen = ExactSeenSet()
         self._skip_parts: list[pa.Table] = []
 
+    def node_id(self) -> str:
+        """Ray node this shard lives on (scripts/multinode_sim.py)."""
+        try:
+            import ray
+
+            return ray.get_runtime_context().get_node_id()
+        except Exception:  # noqa: BLE001 — not inside a Ray worker
+            return "driver"
+
     # -- membership ---------------------------------------------------------
     def contains(self, keys: np.ndarray) -> np.ndarray:
         keys = np.asarray(keys, dtype=np.uint64)
@@ -327,7 +336,11 @@ def make_shard_actors(num_shards: int, filter_capacity: int = 1 << 20):
 
     cpus = ray.cluster_resources().get("CPU", 4)
     per_shard = min(0.25, (cpus / 4) / num_shards)
-    Actor = ray.remote(num_cpus=per_shard)(FrontierShardState)
+    # SPREAD across nodes: fractional-CPU shards otherwise all pack onto
+    # the head node (measured in scripts/multinode_sim.py), which on a
+    # real cluster funnels every offer/contains exchange through one
+    # node's NIC and loses the whole frontier if that node dies.
+    Actor = ray.remote(num_cpus=per_shard, scheduling_strategy="SPREAD")(FrontierShardState)
     return [Actor.remote(i, filter_capacity) for i in range(num_shards)]
 
 

@@ -65,6 +65,44 @@ def hash_sample(ds, key_col: str = "doc_id", rate_pct: int = 20):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def mixture_sample(ds, rates: dict[str, int], *, key_col: str = "doc_id",
+                   group_col: str = "source", default_pct: int = 0,
+                   salt: int = 0):
+    """Domain-mixture sampler: per-GROUP Bernoulli keep-rates (the
+    Pile/DoReMi-style mixture-reweighting step — upsample wiki, damp
+    common-crawl — applied as deterministic subsampling; rates are
+    integer percents).  Keep iff
+    ``((key + salt) * 2654435761) mod 2^32 mod 100 < rates[group]``.
+
+    Like ``hash_sample`` this is a pure streaming filter: no shuffle, no
+    RNG state, any worker keeps the same rows for the same keys, so the
+    sample is resumable and cluster-size-independent.  ``salt``
+    decorrelates composed samplers (a mixture pass after a global
+    ``hash_sample`` would otherwise select nested subsets).  Groups
+    absent from ``rates`` fall back to ``default_pct``.
+
+    The rates dict is ``ray.put`` once and read from the object store by
+    every task (a production mixture spec can carry thousands of domain
+    entries); the per-batch lookup is vectorized over the batch's unique
+    groups, not its rows."""
+    import ray
+
+    rates_ref = ray.put(dict(rates))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        r = ray.get(rates_ref)
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        groups = batch[group_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(groups, return_inverse=True)
+        rate_vec = np.array([r.get(g, default_pct) for g in uniq],
+                            dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h = ((keys + np.uint64(salt)) * _KNUTH) % _MOD32
+        return batch.filter(pa.array((h % np.uint64(100)) < rate_vec[inv]))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- quotas
 
 
@@ -502,24 +540,10 @@ def pack_sequences(ds, group_col: str = "source", order_col: str = "doc_id",
 
 def stratified_sample(ds, key_col: str = "doc_id", group_col: str = "source",
                       rates: dict | None = None, default_pct: int = 100):
-    """Per-group deterministic sampling — the corpus-mixture step
-    (down-weight one source, keep another whole) expressed as the same
-    multiplicative-hash rule as ``hash_sample`` with the rate looked up
-    per row from a broadcast dict.  Still a stateless streaming filter:
-    no shuffle, no RNG state, identical keep-set for any partitioning."""
-    import ray
-
-    rates_ref = ray.put(dict(rates or {}))
-
-    def keep(batch: pa.Table) -> pa.Table:
-        r = ray.get(rates_ref)
-        keys = batch[key_col].to_numpy(zero_copy_only=False)
-        groups = batch[group_col].to_numpy(zero_copy_only=False)
-        k = keys.view(np.uint64) if keys.dtype == np.int64 else keys.astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = (k * _KNUTH) % _MOD32 % np.uint64(100)
-        pct = np.fromiter((r.get(g, default_pct) for g in groups),
-                          dtype=np.uint64, count=len(groups))
-        return batch.filter(pa.array(h < pct))
-
-    return ds.map_batches(keep, batch_format="pyarrow")
+    """Per-group deterministic sampling — compatibility name for
+    ``mixture_sample`` with its original defaults (no salt, unknown
+    groups kept at ``default_pct=100``).  Keep-sets are unchanged: the
+    unsalted mixture hash is the exact rule this function always used."""
+    return mixture_sample(ds, rates or {}, key_col=key_col,
+                          group_col=group_col, default_pct=default_pct,
+                          salt=0)

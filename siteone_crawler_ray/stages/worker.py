@@ -68,6 +68,17 @@ class CrawlWorker:
         )
         self.gauntlet = CandidateGauntlet(**gauntlet_kwargs)
         self._last_full: pa.Table | None = None
+
+    def node_id(self) -> str:
+        """Ray node this instance lives on (placement evidence for the
+        multi-node simulation — scripts/multinode_sim.py); "driver"
+        when running unwrapped."""
+        try:
+            import ray
+
+            return ray.get_runtime_context().get_node_id()
+        except Exception:  # noqa: BLE001 — not inside a Ray worker
+            return "driver"
         # the hot path allocates heavily (per-href strings, memo-cache
         # tuples) but creates no reference cycles; default cyclic-GC
         # thresholds cost ~30% of extract time.  Freeze the long-lived

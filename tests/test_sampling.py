@@ -49,6 +49,37 @@ def test_hash_sample_is_partitioning_independent():
     assert sorted(one["doc_id"]) == sorted(many["doc_id"])
 
 
+def test_mixture_sample_per_group_rates():
+    """Domain-mixture sampler: each group honours ITS rate; groups
+    missing from the dict fall back to default_pct; salt decorrelates
+    from the unsalted global sampler."""
+    from siteone_crawler_ray.stages.sampling import (
+        hash_sample_mask,
+        mixture_sample,
+    )
+
+    rates = {"s0": 100, "s1": 0}  # s2 absent → default_pct=50
+    got = mixture_sample(_docs_ds(ROWS), rates, default_pct=50,
+                         salt=1009).to_pandas()
+    by_src = {s: sorted(g["doc_id"]) for s, g in got.groupby("source")}
+    # exact per-row expectation from the scalar arithmetic
+    keys = np.array([r[0] for r in ROWS], dtype=np.uint64)
+    salted = hash_sample_mask((keys + np.uint64(1009)).astype(np.int64), 50)
+    for i, (doc_id, src, _) in enumerate(ROWS):
+        rate = rates.get(src, 50)
+        kept = doc_id in by_src.get(src, [])
+        if rate == 100:
+            assert kept
+        elif rate == 0:
+            assert not kept
+        else:
+            assert kept == bool(salted[i])
+    # partition-independence (resumable / cluster-size-independent)
+    re = mixture_sample(_docs_ds(ROWS).repartition(7), rates,
+                        default_pct=50, salt=1009).to_pandas()
+    assert sorted(re["doc_id"]) == sorted(got["doc_id"])
+
+
 # ------------------------------------------------------------------ quotas
 
 
