@@ -104,6 +104,18 @@ def run_nodeloss() -> dict:
         died = type(e).__name__
     interrupted_sec = time.perf_counter() - t0
 
+    # release the dead run's pools (surviving actors still pin CPUs) and
+    # wait for cluster membership to converge on 3 nodes — an
+    # orchestrator restarts the driver on a steady node pool; resuming
+    # before Ray's health checker marks the node dead would place fresh
+    # actors on the corpse
+    crawler.shutdown()
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        if len([n for n in ray.nodes() if n["Alive"]]) <= 3:
+            break
+        time.sleep(2)
+
     # operational restart: fresh driver object, same workdir, remnant
     # cluster (worker pool re-sizes to the 24 surviving CPUs)
     t0 = time.perf_counter()

@@ -713,7 +713,14 @@ class EpochCrawler:
         manifest = {
             "epoch": e,
             "visited_count": self.visited_count,
-            "basename_counts": self.basename_counts,
+            # SNAPSHOT, not the live dict: the Ray-mode manifest write is
+            # deferred one epoch (_flush_pending), and by then the next
+            # epoch's non-200s have been added — a resume would then
+            # re-add them (double count), tripping the ≥max_non200
+            # basename blocklist early and silently dropping pages the
+            # uninterrupted run fetched (found by the node-loss drill in
+            # scripts/multinode_sim.py: 6 rows short at 135k pages).
+            "basename_counts": dict(self.basename_counts),
             "config": self.cfg.fingerprint(),
             "shards": None,
             "metrics": self.metrics["epochs"][-1],

@@ -103,6 +103,33 @@ def mixture_sample(ds, rates: dict[str, int], *, key_col: str = "doc_id",
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def temperature_rates(group_counts: dict[str, int], tau: float = 0.7,
+                      floor_pct: int = 1) -> dict[str, int]:
+    """Temperature-reweighted keep-rates for ``mixture_sample``: the
+    multilingual/multi-domain sampling rule (sample group g with
+    probability ∝ count_g^tau, i.e. keep-rate ∝ count_g^(tau-1)) used
+    to damp head domains and lift tail ones.  tau=1 keeps natural
+    proportions (all rates 100); tau→0 approaches uniform-per-group.
+
+    Returns integer percents normalized so the LARGEST rate is 100
+    (pure subsampling — no group is upsampled; rates never fall below
+    ``floor_pct`` so no group is silently dropped).  The counts dict is
+    one tiny groupby-count of the corpus; composition is
+    ``mixture_sample(ds, temperature_rates(counts, tau))``."""
+    if not group_counts:
+        return {}
+    if not 0.0 <= tau <= 1.0:
+        raise ValueError(f"tau must be in [0, 1], got {tau}")
+    weights = {g: float(c) ** (tau - 1.0) if c > 0 else 0.0
+               for g, c in group_counts.items()}
+    top = max(weights.values())
+    if top <= 0.0:
+        return {g: 0 for g in group_counts}
+    return {g: max(floor_pct, min(100, round(100.0 * w / top)))
+            if w > 0.0 else 0
+            for g, w in weights.items()}
+
+
 # ---------------------------------------------------------------- quotas
 
 

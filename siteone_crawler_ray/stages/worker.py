@@ -264,21 +264,40 @@ def make_crawl_workers(num_workers: int, num_shards: int = 8, **kwargs):
     return [Actor.remote(**kwargs) for _ in range(n)]
 
 
-def clamp_worker_count(num_workers: int, num_shards: int = 8) -> int:
-    """Largest worker count that can schedule alongside the driver and
-    the fractional-CPU frontier shards (0.25 CPU each, so ~num_shards/4
-    whole CPUs must stay free — same headroom as adaptive_worker_count;
-    without it, 7 workers + 8 shards pend forever on an 8-CPU box)."""
+def _worker_slots(num_shards: int) -> int:
+    """How many 1-CPU worker actors can schedule alongside the SPREAD
+    0.25-CPU frontier shards, reasoning PER NODE: integer workers pack
+    into each node's residual after its shard share, so a 4×8-CPU
+    cluster with 2 shards/node fits floor(8 − 0.5) = 7 workers per node
+    (28 total), NOT the 30 a cluster-total count suggests.  The
+    cluster-total clamp deadlocked exactly that way — 29 workers
+    requested, 28 schedulable, warm-up ray.get pending forever
+    (reproduced by scripts/multinode_sim.py).  One slot is subtracted
+    at the end as driver headroom.  On a single node this reduces to
+    the historical ``cpus − num_shards/4 − 1``."""
+    import math
+
     import ray
 
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    return max(1, min(num_workers, cpus - max(1, num_shards // 4) - 1))
+    node_cpus = [int(n["Resources"].get("CPU", 0))
+                 for n in ray.nodes() if n["Alive"]]
+    node_cpus = [c for c in node_cpus if c > 0] or [4]
+    # SPREAD round-robin worst case: ceil(num_shards / num_nodes) per node
+    per_node_shards = math.ceil(num_shards / len(node_cpus))
+    slots = sum(max(0, math.floor(c - 0.25 * per_node_shards))
+                for c in node_cpus)
+    return max(1, slots - 1)
+
+
+def clamp_worker_count(num_workers: int, num_shards: int = 8) -> int:
+    """Largest worker count that can actually schedule alongside the
+    driver and the fractional-CPU frontier shards (see _worker_slots;
+    without the clamp, 7 workers + 8 shards pend forever on an 8-CPU
+    box)."""
+    return max(1, min(num_workers, _worker_slots(num_shards)))
 
 
 def adaptive_worker_count(num_shards: int, cap: int = 64) -> int:
     """Size the pool to the cluster: leave headroom for the driver and
-    the (fractional-CPU) frontier shard actors."""
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    return max(1, min(cap, cpus - max(1, num_shards // 4) - 1))
+    the (fractional-CPU) frontier shard actors, node by node."""
+    return max(1, min(cap, _worker_slots(num_shards)))

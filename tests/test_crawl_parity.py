@@ -355,6 +355,36 @@ def test_resume_reproduces_uninterrupted_run(tmp_workdir):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_deferred_manifest_snapshots_basename_counts(tmp_workdir):
+    """``manifest['basename_counts']`` must be a COPY taken at
+    checkpoint time: the Ray path writes the manifest one epoch later,
+    by which point the live dict already holds the next epoch's non-200
+    counts — a resume would re-add them (double count) and trip the
+    ≥max_non200 basename blocklist early, silently dropping pages the
+    uninterrupted run fetched (caught by the node-loss drill in
+    scripts/multinode_sim.py: 6 rows short at 135k pages)."""
+    import json
+
+    tabs = make_graph_corpus(seed=42, hosts=4, total_pages=200, out_degree=5)
+    cp, seeds, robots = _setup(tmp_workdir, tabs)
+    cfg = CrawlConfig(use_ray=True, num_shards=4, fetch_concurrency=2,
+                      ray_wave_threshold=1)
+    wdir = os.path.join(tmp_workdir, "w")
+    c = EpochCrawler(cp, seeds, robots, wdir, cfg)
+    c.seed()
+    c.warmup()
+    c.run_epoch()  # defers manifest-epoch0
+    assert c._pending_ckpt is not None
+    c.basename_counts["sentinel"] = 99  # what the next epoch's non-200s do
+    c.run_epoch()  # flushes manifest-epoch0
+    c.shutdown()
+    with open(os.path.join(wdir, "manifest-epoch0.json")) as f:
+        m0 = json.load(f)
+    assert "sentinel" not in m0["basename_counts"], (
+        "deferred manifest captured post-checkpoint basename mutations")
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ray_async_checkpoint_crash_window_resume(tmp_workdir):
     """The Ray path defers each epoch's manifest write until the next
     epoch (fire-and-forget shard checkpoints).  A crash inside that

@@ -80,6 +80,30 @@ def test_mixture_sample_per_group_rates():
     assert sorted(re["doc_id"]) == sorted(got["doc_id"])
 
 
+def test_temperature_rates_rule():
+    """p ∝ count^(tau-1), largest group pinned to 100%, floor respected,
+    tau=1 → natural proportions, tau→0 → per-group-uniform ordering."""
+    from siteone_crawler_ray.stages.sampling import temperature_rates
+
+    counts = {"head": 100_000, "mid": 10_000, "tail": 100}
+    r = temperature_rates(counts, tau=0.7)
+    # smaller groups get HIGHER keep-rates; tail is the max → 100
+    assert r["tail"] == 100 and r["tail"] > r["mid"] > r["head"]
+    # exact rule: rate_g = 100 * (c_g/c_min)^(tau-1) for the subsampling
+    # normalization (max weight belongs to the smallest group)
+    assert r["mid"] == round(100 * (10_000 / 100) ** (0.7 - 1.0))
+    assert r["head"] == round(100 * (100_000 / 100) ** (0.7 - 1.0))
+    assert temperature_rates(counts, tau=1.0) == {g: 100 for g in counts}
+    # floor keeps extreme heads alive
+    assert temperature_rates({"a": 10**9, "b": 1}, tau=0.0,
+                             floor_pct=2)["a"] == 2
+    # zero-count and empty-dict edges
+    assert temperature_rates({"a": 0, "b": 5}, tau=0.5) == {"a": 0, "b": 100}
+    assert temperature_rates({}) == {}
+    with pytest.raises(ValueError):
+        temperature_rates(counts, tau=1.5)
+
+
 # ------------------------------------------------------------------ quotas
 
 
