@@ -564,24 +564,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id", "text"], override_num_blocks=32
                                ).map_batches(combined, batch_format="pyarrow")
 
+    def _page_link_edges(sf_dir: str):
+        """(src, dst) doc-id edges extracted by the REAL regex battery
+        from the rendered corpus HTML (the html_link_extract path):
+        <a href> rows (source_attr 10), absolute page URLs only (the
+        corpus' dead links are relative and drop out), both endpoints
+        inside the doc-id universe.  Returns (edges Dataset, n)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from siteone_crawler_ray.functions.html_extract import (
+            html_extract_batch,
+            spans_to_html,
+        )
+
+        docs = _tabs(sf_dir)["documents"]
+        n = docs.num_rows
+        rx = r"^https://site-(?P<h>\d{3})\.test/p/(?P<p>\d{5})(?:\?.*)?$"
+
+        def render(batch: pa.Table) -> pa.Table:
+            spans = batch["spans"].to_pylist()
+            return pa.table({
+                "url": batch["doc_id"],
+                "body": pa.array([spans_to_html(r) for r in spans], pa.string()),
+            })
+
+        def edges(batch: pa.Table) -> pa.Table:
+            t = html_extract_batch(batch)
+            t = t.filter(pc.equal(t["source_attr"], 10))
+            s = pc.extract_regex(t["source_url"], rx)
+            d_ = pc.extract_regex(t["href"], rx)
+            ok = pc.and_(pc.is_valid(s), pc.is_valid(d_))
+            s, d_ = s.filter(ok), d_.filter(ok)
+
+            def ids(struct):
+                h = pc.cast(pc.struct_field(struct, "h"), pa.int64())
+                p = pc.cast(pc.struct_field(struct, "p"), pa.int64())
+                return pc.add(pc.multiply(p, 8), h)
+
+            src, dst = ids(s), ids(d_)
+            inside = pc.and_(pc.less(src, n), pc.less(dst, n))
+            return pa.table({"src": src.filter(inside), "dst": dst.filter(inside)})
+
+        step = max(1, -(-docs.num_rows // 16))
+        ds = rd.from_arrow([docs.slice(i, step) for i in range(0, docs.num_rows, step)])
+        return (ds.map_batches(render, batch_format="pyarrow")
+                  .map_batches(edges, batch_format="pyarrow")), n
+
     def dup_clusters(sf_dir: str):
-        """Near-dup FAMILIES: MinHash pairs → connected components
+        """BOTH graph algorithms over one (method, node, value) table:
+        near-dup FAMILIES — MinHash pairs → connected components
         (alternating large-star/small-star rounds) → canonical survivor
-        per family (doc_id, component, keep)."""
+        ('component' + 'keep' rows) — and distributed PageRank over the
+        corpus link graph extracted by the live regex battery
+        ('pagerank_micro' rows, rank scaled 1e6 with half-up rounding so
+        the DuckDB unrolled-CTE oracle matches integer-exactly)."""
         import os as _os
 
+        import numpy as np
         import pyarrow as pa
         import ray.data as rd
 
         from siteone_crawler_ray.stages.dedup import near_dup_clusters
+        from siteone_crawler_ray.stages.graph import pagerank
 
         ds = rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"),
                              columns=["doc_id", "text"], override_num_blocks=32)
         t = near_dup_clusters(ds, threshold=0.5)
-        # keep as int64: the value-hash canon stringifies bools, ints
-        # compare bit-exactly on both sides
-        return t.set_column(t.schema.get_field_index("keep"), "keep",
-                            t["keep"].cast(pa.int64()))
+
+        def rows(method, node, value):
+            return pa.table({
+                "method": pa.array([method] * len(node), pa.string()),
+                "node": pa.array(node, pa.int64()),
+                "value": pa.array(value, pa.int64()),
+            })
+
+        comp = rows("component", t["doc_id"].to_pylist(), t["component"].to_pylist())
+        keep = rows("keep", t["doc_id"].to_pylist(),
+                    t["keep"].cast(pa.int64()).to_pylist())
+        edges_ds, n = _page_link_edges(sf_dir)
+        pr = pagerank(edges_ds, n, iters=10)
+        micro = np.floor(pr["rank"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        prt = rows("pagerank_micro", pr["node"].to_pylist(), micro)
+        return pa.concat_tables([comp, keep, prt])
 
     def ann_knn(sf_dir: str):
         """ANN machinery end-to-end, DuckDB-oracled: both scale paths
@@ -801,6 +868,20 @@ def _oracle_paths() -> tuple[str, str]:
     wd = _workdir_for(sf)
     return (os.path.join(wd, "visited", "*", "*.parquet"),
             os.path.join(wd, "shards", "*", "skips-*.parquet"))
+
+
+# 10-step unrolled PageRank CTE chain (dup_clusters oracle): DuckDB
+# forbids aggregates in a recursive term, so each iteration is its own
+# CTE — r_{k+1}(v) = (1-d)/N + d * sum over incoming edges of r_k/deg,
+# the exact rule stages/graph.py::pagerank computes distributed.
+_PAGERANK_ITERS = 10
+_PAGERANK_CHAIN = ",\n            ".join(
+    f"r{i + 1} AS (SELECT v.id, (1 - 0.85) / p.n + 0.85 * COALESCE(c.s, 0) AS r "
+    f"FROM r{i} v CROSS JOIN nd p LEFT JOIN ("
+    f"SELECT e.dst AS id, sum(rr.r / dg.deg) AS s FROM pedges e "
+    f"JOIN r{i} rr ON rr.id = e.src JOIN pdeg dg ON dg.src = e.src "
+    f"GROUP BY e.dst) c ON c.id = v.id)"
+    for i in range(_PAGERANK_ITERS))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1690,7 +1771,16 @@ def oracle_sql() -> dict[str, str]:
         # WITH RECURSIVE reachability from every node over symmetrized
         # edges; component = min reachable node (= min of the connected
         # component), keep = node is its component's min
-        "dup_clusters": """
+        # two graph algorithms in one (method, node, value) table: the
+        # recursive-CTE closure for the CC family rows, and a 10-step
+        # UNROLLED PageRank chain over the corpus' arithmetic link graph
+        # (same 6-link rule as crawl_cte; redirect docs emit no <a>
+        # hrefs, dead links are relative and drop out on the Ray side —
+        # the SQL edge rule therefore omits both).  rank*1e6 is rounded
+        # HALF-UP on both sides (floor(x + 0.5)) — np.round is
+        # half-to-even, DuckDB round() is half-away, floor(+0.5) is the
+        # one rule both engines compute identically.
+        "dup_clusters": f"""
             WITH RECURSIVE sh AS (
               SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
               FROM documents,
@@ -1713,10 +1803,25 @@ def oracle_sql() -> dict[str, str]:
               SELECT u, u FROM (SELECT DISTINCT u FROM edges)
               UNION
               SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.root
-            )
-            SELECT node AS doc_id, min(root) AS component,
-                   CAST(node = min(root) AS BIGINT) AS keep
-            FROM reach GROUP BY node ORDER BY doc_id
+            ),
+            nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+            pedges AS (
+              SELECT d.doc_id AS src, (d.doc_id * 31 + g.d * 97 + 1) % p.n AS dst
+              FROM documents d CROSS JOIN nd p CROSS JOIN range(6) g(d)
+              WHERE d.doc_id % 43 <> 11
+            ),
+            pdeg AS (SELECT src, count(*)::DOUBLE AS deg FROM pedges GROUP BY src),
+            r0 AS (SELECT doc_id AS id, 1.0 / p.n AS r FROM documents CROSS JOIN nd p),
+            {_PAGERANK_CHAIN}
+            SELECT 'component' AS method, node, min(root) AS value
+            FROM reach GROUP BY node
+            UNION ALL
+            SELECT 'keep', node, CAST(node = min(root) AS BIGINT)
+            FROM reach GROUP BY node
+            UNION ALL
+            SELECT 'pagerank_micro', id,
+                   CAST(floor(r * 1000000 + 0.5) AS BIGINT)
+            FROM r{_PAGERANK_ITERS}
         """,
         # real-codec multimodal decode: the media corpus is analytic in
         # the index i (synthesize_real_media_table), so every decoded

@@ -1,0 +1,62 @@
+"""Distributed PageRank (stages/graph.py): agreement with the scalar
+reference, partition-count independence, and edge-case handling."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _edges_ds(edges, blocks=5):
+    import ray.data as rd
+
+    t = pa.table({"src": pa.array(edges[:, 0], pa.int64()),
+                  "dst": pa.array(edges[:, 1], pa.int64())})
+    step = max(1, -(-t.num_rows // blocks))
+    return rd.from_arrow([t.slice(i, step) for i in range(0, t.num_rows, step)])
+
+
+def _random_graph(n=200, m=1200, seed=9):
+    rng = np.random.default_rng(seed)
+    e = rng.integers(0, n, size=(m, 2))
+    return e  # multi-edges, self-loops and dangling nodes all occur
+
+
+def test_matches_scalar_reference_and_partition_independence():
+    from siteone_crawler_ray.stages.graph import pagerank, pagerank_reference
+
+    n, edges = 200, _random_graph()
+    want = pagerank_reference(edges, n)
+    for P in (3, 8):
+        t = pagerank(_edges_ds(edges), n, num_partitions=P)
+        assert t["node"].to_pylist() == list(range(n))
+        got = np.asarray(t["rank"].to_pylist())
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+    # mass check: with danglers total <= 1, every rank >= (1-d)/N
+    assert (1 - 0.85) / n - 1e-15 <= got.min() and got.sum() <= 1 + 1e-9
+
+
+def test_star_graph_closed_form():
+    """K leaves all pointing at a hub, hub dangling: after any number of
+    iterations hub = (1-d)/N + d*K*leaf, leaf = (1-d)/N."""
+    from siteone_crawler_ray.stages.graph import pagerank
+
+    K = 7
+    n = K + 1
+    edges = np.array([[i, K] for i in range(K)])
+    t = pagerank(_edges_ds(edges, blocks=2), n, iters=10)
+    r = np.asarray(t["rank"].to_pylist())
+    leaf = 0.15 / n
+    np.testing.assert_allclose(r[:K], leaf, atol=1e-15)
+    np.testing.assert_allclose(r[K], leaf + 0.85 * K * leaf, atol=1e-15)
+
+
+def test_more_partitions_than_nodes_and_bad_edges():
+    from siteone_crawler_ray.stages.graph import pagerank
+
+    t = pagerank(_edges_ds(np.array([[0, 1], [1, 0]]), blocks=1), 2,
+                 num_partitions=8)
+    assert len(t) == 2
+    with pytest.raises(Exception, match="outside"):
+        pagerank(_edges_ds(np.array([[0, 5]]), blocks=1), 2, num_partitions=2)
