@@ -885,6 +885,8 @@ _PAGERANK_CHAIN = ",\n            ".join(
 
 
 def oracle_sql() -> dict[str, str]:
+    from siteone_crawler_ray.stages.sketch import hll_oracle_sql as _hll_oracle_sql
+
     visited_glob, skipped_glob = _oracle_paths()
     V = f"SELECT * FROM read_parquet('{visited_glob}', hive_partitioning=false)"
 
@@ -1494,12 +1496,18 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_extendedprice), 6) AS avg_price
             FROM lineitem GROUP BY l_returnflag
         """,
-        "global_stats": """
+        # approx_orders: the HyperLogLog register algebra (splitmix64
+        # hash, p=8, linear-counting branch) recomputed in SQL by
+        # stages/sketch.py::hll_oracle_sql — matches the engine's
+        # estimate float-exactly at 4 decimals
+        "global_stats": f"""
             SELECT count(*) AS n,
                    round(sum(l_quantity), 2) AS sum_qty,
                    round(min(l_extendedprice), 3) AS min_price,
                    round(max(l_extendedprice), 3) AS max_price,
-                   round(avg(l_extendedprice), 6) AS avg_price
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round({_hll_oracle_sql('l_orderkey', 'lineitem')}, 4)
+                       AS approx_orders
             FROM lineitem
         """,
         "user_type_stats": """

@@ -72,8 +72,11 @@ def pricing_summary(sf_dir: str) -> pa.Table:
 
 
 def global_stats(sf_dir: str) -> pa.Table:
-    """BasicStats shape: single-row totals/min/max/avg."""
+    """BasicStats shape: single-row totals/min/max/avg, plus the
+    HyperLogLog distinct-orderkey estimate (stages/sketch.py — register
+    algebra reproduced float-exactly by the DuckDB oracle)."""
     from ..functions.agg import global_agg
+    from ..stages.sketch import approx_distinct
 
     ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
     agg = global_agg(
@@ -86,6 +89,8 @@ def global_stats(sf_dir: str) -> pa.Table:
             ("avg_price", "l_extendedprice", "mean"),
         ],
     )
+    approx = approx_distinct(_read(sf_dir, "lineitem", ["l_orderkey"]),
+                             "l_orderkey", p=12)
     return pa.table(
         {
             "n": pa.array([int(agg["n"])], pa.int64()),
@@ -93,6 +98,7 @@ def global_stats(sf_dir: str) -> pa.Table:
             "min_price": pa.array(round_away([agg["min_price"]], 3)),
             "max_price": pa.array(round_away([agg["max_price"]], 3)),
             "avg_price": pa.array(round_away([agg["avg_price"]], 6)),
+            "approx_orders": pa.array([round(approx, 4)], pa.float64()),
         }
     )
 

@@ -1,0 +1,140 @@
+"""Mergeable cardinality sketch (HyperLogLog, Flajolet et al. 2007) —
+the classic 100-TB aggregation primitive: per-block register partials
+combine with an element-wise ``max``, so a distinct-count over any data
+size reduces to shipping one 2^p-byte array per block (tree-mergeable;
+no shuffle, no exact-distinct set ever materializes).
+
+The hash is splitmix64 (Steele et al. 2014, the JDK SplittableRandom
+finalizer) — a true avalanche mixer, because HLL register statistics
+need pseudorandom bits: the engine's usual multiplicative-hash rule is
+a low-discrepancy LATTICE on arithmetic-progression keys (sequential
+order ids!) and was measured 10× off.  splitmix64 is still fully
+SQL-expressible — xor via ``xor(UBIGINT)``, shifts via integer
+division, and each 64×64 wrap-multiply split into 32-bit halves so no
+intermediate exceeds 2^96 (signed INT128 overflows at a full 64×64
+product); ``hll_oracle_sql`` below emits exactly that expression and
+the DuckDB oracle matches the registers and estimate float-exactly.
+Rank uses ``floor(log2(rem))`` — safe cross-libm because log2 is exact
+on powers of two and non-powers sit ≥1e-7 from integer boundaries at
+≤24-bit values, far beyond 1-ulp differences.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_SM_GAMMA = 0x9E3779B97F4A7C15
+_SM_MUL1 = 0xBF58476D1CE4E5B9
+_SM_MUL2 = 0x94D049BB133111EB
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (uint64 in/out)."""
+    x = x.view(np.uint64) if x.dtype == np.int64 else x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(_SM_GAMMA)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(_SM_MUL1)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(_SM_MUL2)
+        return z ^ (z >> np.uint64(31))
+
+
+def _sql_wrapmul(z: str, c: int) -> str:
+    """SQL for ``(z * c) mod 2^64`` with 32-bit-split multiplies (no
+    INT128 overflow)."""
+    hi, lo = c >> 32, c & 0xFFFFFFFF
+    return (f"CAST(((CAST({z} AS HUGEINT) * {lo}) % 18446744073709551616 + "
+            f"((CAST({z} AS HUGEINT) * {hi}) % 4294967296) * 4294967296) "
+            f"% 18446744073709551616 AS UBIGINT)")
+
+
+def hll_oracle_sql(key_expr: str, table_expr: str, p: int = 12) -> str:
+    """DuckDB scalar subquery recomputing ``approx_distinct`` for
+    ``key_expr`` over ``table_expr`` — the exact register algebra of
+    ``hll_registers`` + ``hll_estimate``."""
+    m = 1 << p
+    nbits = 32 - p
+    alpha = f"0.7213 / (1 + 1.079 / {m})"
+    return f"""(
+        WITH sm0 AS (
+          SELECT CAST((CAST({key_expr} AS HUGEINT) + {_SM_GAMMA})
+                      % 18446744073709551616 AS UBIGINT) AS z
+          FROM {table_expr}
+        ),
+        sm1 AS (SELECT {_sql_wrapmul(f"xor(z, z // {1 << 30})", _SM_MUL1)} AS z FROM sm0),
+        sm2 AS (SELECT {_sql_wrapmul(f"xor(z, z // {1 << 27})", _SM_MUL2)} AS z FROM sm1),
+        smh AS (SELECT xor(z, z // {1 << 31}) // 4294967296 AS h32 FROM sm2),
+        mx AS (
+          SELECT h32 // {1 << nbits} AS bucket,
+                 max(CASE WHEN h32 % {1 << nbits} = 0 THEN {nbits + 1}
+                          ELSE {nbits} - CAST(floor(log2(h32 % {1 << nbits})) AS INT)
+                     END) AS mj
+          FROM smh GROUP BY 1
+        ),
+        reg AS (
+          SELECT COALESCE(mx.mj, 0) AS mj
+          FROM range({m}) t(i) LEFT JOIN mx ON mx.bucket = t.i
+        ),
+        hll AS (
+          SELECT {alpha} * {m * m} / sum(pow(2.0, -mj)) AS est,
+                 sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS zeros
+          FROM reg
+        )
+        SELECT CASE WHEN est <= {2.5 * m} AND zeros > 0
+                    THEN {m} * ln({m}.0 / zeros) ELSE est END
+        FROM hll
+    )"""
+
+
+def hll_registers(keys: np.ndarray, p: int = 12) -> np.ndarray:
+    """uint8 register array of size 2^p for one batch of int keys."""
+    nbits = 32 - p
+    h32 = splitmix64(keys) >> np.uint64(32)
+    bucket = (h32 >> np.uint64(nbits)).astype(np.int64)
+    rem = (h32 & np.uint64((1 << nbits) - 1)).astype(np.int64)
+    rank = np.where(
+        rem == 0, nbits + 1,
+        nbits - np.floor(np.log2(np.maximum(rem, 1).astype(np.float64))).astype(np.int64),
+    )
+    reg = np.zeros(1 << p, dtype=np.uint8)
+    np.maximum.at(reg, bucket, rank.astype(np.uint8))
+    return reg
+
+
+def hll_merge(*regs: np.ndarray) -> np.ndarray:
+    """Element-wise max — associative/commutative/idempotent, so block
+    partials can combine in any tree shape."""
+    return np.maximum.reduce(list(regs))
+
+
+def hll_estimate(reg: np.ndarray, p: int = 12) -> float:
+    """Bias-corrected estimate with the small-range linear-counting
+    branch (the original HLL paper's rules; no 64-bit large-range
+    correction needed at a 32-bit hash below ~10^8 distinct)."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / float(np.sum(np.power(2.0, -reg.astype(np.float64))))
+    zeros = int(np.count_nonzero(reg == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * float(np.log(m / zeros))
+    return float(est)
+
+
+def approx_distinct(ds, key_col: str, p: int = 12) -> float:
+    """Distributed distinct-count estimate: one register row per block,
+    driver merges by max.  Partials are 2^p bytes each — at extreme
+    block counts chain one intermediate max-merge stage; registers are
+    order/partition-independent so the estimate is too."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        reg = hll_registers(batch[key_col].to_numpy(zero_copy_only=False), p)
+        return pa.table({"reg": pa.array([reg], pa.list_(pa.uint8()))})
+
+    from ..functions.agg import collect_blocks
+
+    parts = collect_blocks(ds.map_batches(partial, batch_format="pyarrow"))
+    regs = [np.asarray(row, dtype=np.uint8)
+            for t in parts for row in t["reg"].to_pylist()]
+    if not regs:
+        return 0.0
+    return hll_estimate(hll_merge(*regs), p)
