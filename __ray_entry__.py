@@ -885,7 +885,10 @@ _PAGERANK_CHAIN = ",\n            ".join(
 
 
 def oracle_sql() -> dict[str, str]:
-    from siteone_crawler_ray.stages.sketch import hll_oracle_sql as _hll_oracle_sql
+    from siteone_crawler_ray.stages.sketch import (
+        cms_oracle_join_sql as _cms_bucket,
+        hll_oracle_sql as _hll_oracle_sql,
+    )
 
     visited_glob, skipped_glob = _oracle_paths()
     V = f"SELECT * FROM read_parquet('{visited_glob}', hive_partitioning=false)"
@@ -1518,9 +1521,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, lang, count(*) AS n, round(avg(n_chars), 6) AS avg_chars
             FROM documents GROUP BY source, lang
         """,
-        "returned_by_supplier": """
-            SELECT l_suppkey, count(*) AS n FROM lineitem
-            WHERE l_returnflag = 'R' GROUP BY l_suppkey
+        # approx_n: the Count-Min table rebuilt in SQL (stages/sketch.py
+        # ::cms_oracle_join_sql — splitmix64(key*4 + j) % 1024 buckets,
+        # min over the 4 rows) next to the exact count it approximates
+        "returned_by_supplier": f"""
+            WITH r_rows AS (
+              SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+            ), cms AS (
+              SELECT j, {_cms_bucket('l_suppkey')} AS b, count(*) AS c
+              FROM r_rows CROSS JOIN range(4) t(j) GROUP BY 1, 2
+            )
+            SELECT e.l_suppkey, e.n,
+                   (SELECT min(c.c) FROM range(4) t(j) JOIN cms c
+                     ON c.j = t.j AND c.b = {_cms_bucket('e.l_suppkey')}
+                   ) AS approx_n
+            FROM (SELECT l_suppkey, count(*) AS n FROM r_rows
+                  GROUP BY l_suppkey) e
         """,
         "bucket_counts": """
             SELECT 'label' AS section, CAST(label AS VARCHAR) AS k, count(*) AS n

@@ -131,15 +131,23 @@ def source_stats(sf_dir: str) -> pa.Table:
 
 def returned_by_supplier(sf_dir: str) -> pa.Table:
     """404-table shape: filter + groupby (combiner; ~10k supplier groups
-    still partial-aggregates well below block size)."""
+    still partial-aggregates well below block size), paired with the
+    Count-Min point estimate per supplier (stages/sketch.py) so the
+    sketch is oracled against the exact counts it approximates."""
     from ..functions.agg import grouped_agg
+    from ..stages.sketch import approx_group_counts
+
+    def keep_r(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["l_returnflag"], "R")).select(["l_suppkey"])
 
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_suppkey"])
-    ds = ds.map_batches(
-        lambda b: b.filter(pc.equal(b["l_returnflag"], "R")).select(["l_suppkey"]),
-        batch_format="pyarrow",
-    )
-    return grouped_agg(ds, ["l_suppkey"], [("n", None, "count")])
+    t = grouped_agg(ds.map_batches(keep_r, batch_format="pyarrow"),
+                    ["l_suppkey"], [("n", None, "count")])
+    keys = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ds2 = _read(sf_dir, "lineitem", ["l_returnflag", "l_suppkey"])
+    approx = approx_group_counts(ds2.map_batches(keep_r, batch_format="pyarrow"),
+                                 "l_suppkey", keys)
+    return t.append_column("approx_n", pa.array(approx, pa.int64()))
 
 
 def label_counts(sf_dir: str) -> pa.Table:

@@ -86,6 +86,82 @@ def hll_oracle_sql(key_expr: str, table_expr: str, p: int = 12) -> str:
     )"""
 
 
+def sql_splitmix64(expr: str) -> str:
+    """Single-expression SQL splitmix64 (UBIGINT result) for uses that
+    can't afford a CTE chain (e.g. join conditions).  Each xor stage
+    duplicates its operand, so the final string holds 8 copies of
+    ``expr`` — fine for short column expressions."""
+    z = (f"CAST((CAST({expr} AS HUGEINT) + {_SM_GAMMA})"
+         f" % 18446744073709551616 AS UBIGINT)")
+    z = _sql_wrapmul(f"xor({z}, {z} // {1 << 30})", _SM_MUL1)
+    z = _sql_wrapmul(f"xor({z}, {z} // {1 << 27})", _SM_MUL2)
+    return f"xor({z}, {z} // {1 << 31})"
+
+
+# ------------------------------------------------------------- Count-Min
+
+CMS_D = 4
+CMS_W = 1024
+
+
+def cms_counts(keys: np.ndarray, d: int = CMS_D, w: int = CMS_W) -> np.ndarray:
+    """(d, w) int64 Count-Min table for one batch (Cormode & Muthukrishnan
+    2005).  Mergeable by element-wise ADD — the heavy-hitter companion
+    to the HLL max-merge.  Row hashes are splitmix64(key*d + j): the
+    ``*d + j`` packing keeps (key, row) inputs injective so rows are
+    decorrelated without a second hash family."""
+    k = keys.view(np.uint64) if keys.dtype == np.int64 else keys.astype(np.uint64)
+    counts = np.zeros((d, w), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        base = k * np.uint64(d)
+        for j in range(d):
+            b = (splitmix64(base + np.uint64(j)) % np.uint64(w)).astype(np.int64)
+            counts[j] = np.bincount(b, minlength=w)
+    return counts
+
+
+def cms_estimate(counts: np.ndarray, keys: np.ndarray,
+                 d: int = CMS_D, w: int = CMS_W) -> np.ndarray:
+    """Point estimates (int64) for ``keys``: min over rows — never
+    under-counts, over-counts by at most ~2N/w with prob 1-2^-d."""
+    k = keys.view(np.uint64) if keys.dtype == np.int64 else keys.astype(np.uint64)
+    est = np.full(len(k), np.iinfo(np.int64).max)
+    with np.errstate(over="ignore"):
+        base = k * np.uint64(d)
+        for j in range(d):
+            b = (splitmix64(base + np.uint64(j)) % np.uint64(w)).astype(np.int64)
+            est = np.minimum(est, counts[j][b])
+    return est
+
+
+def approx_group_counts(ds, key_col: str, query_keys: np.ndarray,
+                        d: int = CMS_D, w: int = CMS_W) -> np.ndarray:
+    """Distributed CMS: per-block (d, w) partials (d·w·8 bytes each),
+    driver merges by ADD, then answers the query keys.  Like
+    approx_distinct, partials are tiny and tree-mergeable."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = cms_counts(batch[key_col].to_numpy(zero_copy_only=False), d, w)
+        return pa.table({"cnt": pa.array([c.ravel()], pa.list_(pa.int64()))})
+
+    from ..functions.agg import collect_blocks
+
+    parts = collect_blocks(ds.map_batches(partial, batch_format="pyarrow"))
+    total = np.zeros(d * w, dtype=np.int64)
+    for t in parts:
+        for row in t["cnt"].to_pylist():
+            total += np.asarray(row, dtype=np.int64)
+    return cms_estimate(total.reshape(d, w), query_keys, d, w)
+
+
+def cms_oracle_join_sql(key_expr: str, j_expr: str = "t.j",
+                        d: int = CMS_D, w: int = CMS_W) -> str:
+    """SQL bucket expression for CMS row ``j_expr``:
+    splitmix64(key*d + j) % w — for rebuilding the CMS table and the
+    min-estimate in DuckDB."""
+    return f"{sql_splitmix64(f'{d} * ({key_expr}) + {j_expr}')} % {w}"
+
+
 def hll_registers(keys: np.ndarray, p: int = 12) -> np.ndarray:
     """uint8 register array of size 2^p for one batch of int keys."""
     nbits = 32 - p

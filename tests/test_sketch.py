@@ -69,6 +69,63 @@ def test_estimate_accuracy_and_small_range():
     assert abs(est - 30) < 5
 
 
+def test_cms_never_undercounts_and_is_tight_on_heavy_hitters():
+    from siteone_crawler_ray.stages.sketch import cms_counts, cms_estimate
+
+    rng = np.random.default_rng(3)
+    # zipf-ish: a few heavy keys + a long tail
+    keys = np.concatenate([
+        np.repeat(np.arange(5, dtype=np.int64), 2_000),
+        rng.integers(100, 10_000, size=20_000),
+    ])
+    c = cms_counts(keys)
+    uniq, true = np.unique(keys, return_counts=True)
+    est = cms_estimate(c, uniq)
+    assert (est >= true).all()  # CMS only over-counts
+    # error bound: ~2N/w with high probability
+    assert (est - true).max() <= 2 * len(keys) / 1024 * 3
+    # heavy hitters essentially exact
+    np.testing.assert_array_equal(est[:5] - true[:5] <= len(keys) // 512,
+                                  [True] * 5)
+
+
+def test_cms_merge_by_add_and_scalar_rule():
+    from siteone_crawler_ray.stages.sketch import (
+        cms_counts,
+        cms_estimate,
+        splitmix64,
+    )
+
+    keys = np.arange(4_000, dtype=np.int64) % 97
+    whole = cms_counts(keys)
+    parts = sum(cms_counts(chunk) for chunk in np.array_split(keys, 5))
+    np.testing.assert_array_equal(parts, whole)
+    # scalar rule: bucket_j(k) = splitmix64(4k + j) % 1024
+    k = np.int64(42)
+    for j in range(4):
+        b = int(splitmix64(np.array([4 * k + j])) % np.uint64(1024))
+        assert whole[j][b] >= np.count_nonzero(keys == k)
+    assert cms_estimate(whole, np.array([42], dtype=np.int64))[0] >= \
+        np.count_nonzero(keys == 42)
+
+
+def test_cms_distributed_matches_local():
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.sketch import (
+        approx_group_counts,
+        cms_counts,
+        cms_estimate,
+    )
+
+    keys = (np.arange(9_000, dtype=np.int64) % 131) * 7
+    t = pa.table({"k": pa.array(keys)})
+    ds = rd.from_arrow([t.slice(i, 1_000) for i in range(0, len(keys), 1_000)])
+    q = np.unique(keys)
+    np.testing.assert_array_equal(
+        approx_group_counts(ds, "k", q), cms_estimate(cms_counts(keys), q))
+
+
 def test_distributed_matches_local():
     import ray.data as rd
 
