@@ -41,12 +41,19 @@ def _part_size(p: int, N: int, P: int) -> int:
 
 def pagerank(edges_ds, num_nodes: int, iters: int = 10, d: float = 0.85,
              src_col: str = "src", dst_col: str = "dst",
-             num_partitions: int | None = None) -> pa.Table:
+             num_partitions: int | None = None,
+             personalization: np.ndarray | None = None) -> pa.Table:
     """→ (node:int64, rank:float64) for nodes ``0..num_nodes-1``.
 
     ``edges_ds``: Dataset (or pyarrow Table) of int edge rows with both
     endpoints in ``[0, num_nodes)`` — callers filter dangling TARGETS
-    beforehand if they want them excluded from the universe."""
+    beforehand if they want them excluded from the universe.
+
+    ``personalization``: optional length-N teleport distribution
+    (normalized internally) — personalized PageRank, the seed-biased
+    variant a crawl uses to weight pages by closeness to trusted seeds:
+    ``r_{k+1}(v) = (1-d)·t(v) + d·Σ r_k(u)/outdeg(u)``.  None keeps the
+    uniform ``t = 1/N``."""
     import ray
 
     N = int(num_nodes)
@@ -97,8 +104,9 @@ def pagerank(edges_ds, num_nodes: int, iters: int = 10, d: float = 0.85,
         return tuple(out)
 
     @ray.remote
-    def reduce_part(q: int, *partials) -> np.ndarray:
-        r = np.full(_part_size(q, N, P), (1.0 - d) / N)
+    def reduce_part(q: int, t_part, *partials) -> np.ndarray:
+        r = ((1.0 - d) * t_part if t_part is not None
+             else np.full(_part_size(q, N, P), (1.0 - d) / N))
         for uq, s in partials:
             if len(uq):
                 np.add.at(r, uq, d * s)
@@ -112,11 +120,20 @@ def pagerank(edges_ds, num_nodes: int, iters: int = 10, d: float = 0.85,
     splits = [split.options(num_returns=P).remote(b) for b in blocks]
     edge_parts = [build.remote(p, *[s[p] for s in splits]) for p in range(P)]
 
-    ranks = [ray.put(np.full(_part_size(p, N, P), 1.0 / N)) for p in range(P)]
+    if personalization is not None:
+        t_full = np.asarray(personalization, dtype=np.float64)
+        if t_full.shape != (N,):
+            raise ValueError("personalization must have length num_nodes")
+        t_full = t_full / t_full.sum()
+        t_parts = [ray.put(t_full[np.arange(q, N, P)]) for q in range(P)]
+        ranks = list(t_parts)  # r_0 = t
+    else:
+        t_parts = [None] * P
+        ranks = [ray.put(np.full(_part_size(p, N, P), 1.0 / N)) for p in range(P)]
     contribs_r = contribs.options(num_returns=P)
     for _ in range(int(iters)):
         cons = [contribs_r.remote(edge_parts[p], ranks[p]) for p in range(P)]
-        ranks = [reduce_part.remote(q, *[cons[p][q] for p in range(P)])
+        ranks = [reduce_part.remote(q, t_parts[q], *[cons[p][q] for p in range(P)])
                  for q in range(P)]
 
     parts = ray.get(ranks)
@@ -127,14 +144,20 @@ def pagerank(edges_ds, num_nodes: int, iters: int = 10, d: float = 0.85,
 
 
 def pagerank_reference(edges: np.ndarray, num_nodes: int, iters: int = 10,
-                       d: float = 0.85) -> np.ndarray:
+                       d: float = 0.85,
+                       personalization: np.ndarray | None = None) -> np.ndarray:
     """Single-machine scalar reference (tests): same rule, dense numpy."""
     src, dst = edges[:, 0], edges[:, 1]
     deg = np.bincount(src, minlength=num_nodes).astype(np.float64)
-    r = np.full(num_nodes, 1.0 / num_nodes)
+    if personalization is not None:
+        t = np.asarray(personalization, dtype=np.float64)
+        t = t / t.sum()
+    else:
+        t = np.full(num_nodes, 1.0 / num_nodes)
+    r = t.copy()
     for _ in range(iters):
         w = r[src] / deg[src]
-        nxt = np.full(num_nodes, (1.0 - d) / num_nodes)
+        nxt = (1.0 - d) * t
         np.add.at(nxt, dst, d * w)
         r = nxt
     return r

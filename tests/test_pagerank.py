@@ -52,6 +52,29 @@ def test_star_graph_closed_form():
     np.testing.assert_allclose(r[K], leaf + 0.85 * K * leaf, atol=1e-15)
 
 
+def test_personalized_teleport_matches_reference_and_biases_seeds():
+    from siteone_crawler_ray.stages.graph import pagerank, pagerank_reference
+
+    n, edges = 200, _random_graph()
+    t = np.zeros(n)
+    t[:4] = 1.0  # all teleport mass on the four "seed" nodes
+    want = pagerank_reference(edges, n, personalization=t)
+    got = np.asarray(
+        pagerank(_edges_ds(edges), n, personalization=t,
+                 num_partitions=5)["rank"].to_pylist())
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+    # seeds dominate the uniform variant's seed ranks
+    uniform = pagerank_reference(edges, n)
+    assert got[:4].min() > uniform[:4].max()
+    # unnormalized input is normalized internally
+    got2 = np.asarray(
+        pagerank(_edges_ds(edges), n, personalization=t * 7,
+                 num_partitions=5)["rank"].to_pylist())
+    np.testing.assert_allclose(got2, got, atol=1e-15)
+    with pytest.raises(ValueError, match="length"):
+        pagerank(_edges_ds(edges), n, personalization=np.ones(3))
+
+
 def test_more_partitions_than_nodes_and_bad_edges():
     from siteone_crawler_ray.stages.graph import pagerank
 
