@@ -888,6 +888,7 @@ def oracle_sql() -> dict[str, str]:
     from siteone_crawler_ray.stages.sketch import (
         cms_oracle_join_sql as _cms_bucket,
         hll_oracle_sql as _hll_oracle_sql,
+        sql_splitmix64 as _sm64,
     )
 
     visited_glob, skipped_glob = _oracle_paths()
@@ -1666,7 +1667,7 @@ def oracle_sql() -> dict[str, str]:
         # corpus curation: deterministic multiplicative-hash sample →
         # per-source quota; exact bigram top-k; context-window chunking
         # (all parameter-locked to pipelines/curation.py)
-        "corpus_sample": """
+        "corpus_sample": f"""
             WITH s AS (
               SELECT source, doc_id FROM documents
               WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100 < 37)
@@ -1678,6 +1679,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id, 'mixture' AS method FROM documents
             WHERE (CAST(doc_id + 1009 AS HUGEINT) * 2654435761) % 4294967296 % 100
                   < (7 * CAST(substr(source, 4) AS INT) + 10) % 90
+            UNION ALL
+            SELECT source, doc_id, 'weighted' AS method FROM (
+              SELECT source, doc_id FROM documents
+              ORDER BY -ln((CAST({_sm64('doc_id + 77')} // 2048 AS DOUBLE) + 1)
+                           / 9007199254740993.0) / n_chars,
+                       doc_id
+              LIMIT 50)
         """,
         "ngram_topk": """
             WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),

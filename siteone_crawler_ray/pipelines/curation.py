@@ -44,9 +44,17 @@ def corpus_sample(sf_dir: str, rate_pct: int = 37, k: int = 7) -> pa.Table:
     rates = {f"src{i}": (7 * i + 10) % 90 for i in range(1024)}
     mix = _collect(mixture_sample(docs(), rates, salt=1009)).select(
         ["source", "doc_id"])
+    # weighted sampling without replacement: 50 docs with inclusion
+    # probability ∝ n_chars (Efraimidis–Spirakis keys, salt 77)
+    from ..stages.sampling import weighted_sample
+
+    wdocs = _read(sf_dir, "documents", ["source", "doc_id", "n_chars"])
+    wtd = weighted_sample(wdocs, 50, "n_chars", salt=77).select(
+        ["source", "doc_id"])
     quota = quota.append_column("method", pa.array(["quota"] * quota.num_rows))
     mix = mix.append_column("method", pa.array(["mixture"] * mix.num_rows))
-    return pa.concat_tables([quota, mix])
+    wtd = wtd.append_column("method", pa.array(["weighted"] * wtd.num_rows))
+    return pa.concat_tables([quota, mix, wtd])
 
 
 def ngram_top50(sf_dir: str) -> pa.Table:

@@ -103,6 +103,47 @@ def mixture_sample(ds, rates: dict[str, int], *, key_col: str = "doc_id",
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def weighted_sample(ds, n: int, weight_col: str, key_col: str = "doc_id",
+                    salt: int = 0) -> pa.Table:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, algorithm A-ES), fully deterministic: each row draws
+    ``u = uniform(splitmix64(key + salt))`` and the ``n`` smallest
+    ``-ln(u) / weight`` win — inclusion probability proportional to
+    weight, no RNG state, identical sample for any partitioning.
+
+    Scale shape: per-block partial top-n (every block keeps only its n
+    best sort keys) → tiny driver merge, the ``partial_topk`` idiom —
+    no shuffle.  The DuckDB oracle replicates the double arithmetic
+    term for term (u from the top 53 hash bits, natural log); a rank
+    flip would need two sort keys within ~1 ulp, which the continuous
+    key distribution makes measure-zero."""
+    from .sketch import splitmix64
+
+    def skeys(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = splitmix64(k.astype(np.uint64) + np.uint64(salt))
+        u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) / 9007199254740993.0
+        return k, -np.log(u) / w
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k, s = skeys(batch)
+        keep = np.lexsort((k, s))[:n]
+        return batch.take(pa.array(np.sort(keep))).append_column(
+            "_skey", pa.array(s[np.sort(keep)]))
+
+    from ..functions.agg import collect_blocks
+
+    parts = collect_blocks(ds.map_batches(partial, batch_format="pyarrow"))
+    if not parts:
+        raise ValueError("weighted_sample over an empty dataset")
+    t = pa.concat_tables(parts)
+    k = t[key_col].to_numpy(zero_copy_only=False)
+    s = t["_skey"].to_numpy(zero_copy_only=False)
+    keep = np.lexsort((k, s))[:n]
+    return t.take(pa.array(np.sort(keep))).drop_columns(["_skey"])
+
+
 def temperature_rates(group_counts: dict[str, int], tau: float = 0.7,
                       floor_pct: int = 1) -> dict[str, int]:
     """Temperature-reweighted keep-rates for ``mixture_sample``: the

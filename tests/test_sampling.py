@@ -80,6 +80,39 @@ def test_mixture_sample_per_group_rates():
     assert sorted(re["doc_id"]) == sorted(got["doc_id"])
 
 
+def test_weighted_sample_without_replacement():
+    """Efraimidis–Spirakis A-ES: deterministic, partition-independent,
+    no replacement, and inclusion probability rises with weight."""
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.sampling import weighted_sample
+
+    n_rows = 400
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n_rows), pa.int64()),
+        # second half gets 20x the weight of the first half
+        "w": pa.array(np.where(np.arange(n_rows) < 200, 1.0, 20.0)),
+    })
+
+    def ds(blocks):
+        step = max(1, -(-n_rows // blocks))
+        return rd.from_arrow([t.slice(i, step) for i in range(0, n_rows, step)])
+
+    got = weighted_sample(ds(4), 100, "w", salt=5)
+    ids = got["doc_id"].to_pylist()
+    assert len(ids) == len(set(ids)) == 100  # without replacement
+    # partition independence
+    again = weighted_sample(ds(13), 100, "w", salt=5)
+    assert again["doc_id"].to_pylist() == ids
+    # heavy rows dominate: >=80 of 100 picks from the 20x half
+    assert sum(1 for i in ids if i >= 200) >= 80
+    # different salt -> different sample (decorrelation)
+    other = weighted_sample(ds(4), 100, "w", salt=6)
+    assert other["doc_id"].to_pylist() != ids
+    # n larger than the data returns everything
+    assert len(weighted_sample(ds(4), 1000, "w", salt=5)) == n_rows
+
+
 def test_temperature_rates_rule():
     """p ∝ count^(tau-1), largest group pinned to 100%, floor respected,
     tau=1 → natural proportions, tau→0 → per-group-uniform ordering."""
