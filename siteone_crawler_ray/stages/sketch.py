@@ -17,6 +17,10 @@ the DuckDB oracle matches the registers and estimate float-exactly.
 Rank uses ``floor(log2(rem))`` — safe cross-libm because log2 is exact
 on powers of two and non-powers sit ≥1e-7 from integer boundaries at
 ≤24-bit values, far beyond 1-ulp differences.
+
+Reference scope note: the reference engine (janreges/siteone-crawler)
+has no sketch surface; these extend the engine per SURVEY.md §2.11
+(LLM-data additions) and reuse its combiner-partial idiom.
 """
 
 from __future__ import annotations
