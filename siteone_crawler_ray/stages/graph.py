@@ -42,7 +42,8 @@ def _part_size(p: int, N: int, P: int) -> int:
 def pagerank(edges_ds, num_nodes: int, iters: int = 10, d: float = 0.85,
              src_col: str = "src", dst_col: str = "dst",
              num_partitions: int | None = None,
-             personalization: np.ndarray | None = None) -> pa.Table:
+             personalization: np.ndarray | None = None,
+             materialize: bool = True):
     """→ (node:int64, rank:float64) for nodes ``0..num_nodes-1``.
 
     ``edges_ds``: Dataset (or pyarrow Table) of int edge rows with both
@@ -136,11 +137,24 @@ def pagerank(edges_ds, num_nodes: int, iters: int = 10, d: float = 0.85,
         ranks = [reduce_part.remote(q, t_parts[q], *[cons[p][q] for p in range(P)])
                  for q in range(P)]
 
+    if not materialize:
+        # the coded 10^10-node route: ranks stay as P object-store refs
+        # (partition q owns nodes q, q+P, q+2P, … — pagerank_partition_
+        # nodes reconstructs the id axis); consumers write parquet per
+        # partition or feed the refs into the next exchange without the
+        # rank vector ever landing on the driver
+        return {"num_partitions": P, "num_nodes": N, "rank_refs": ranks}
+
     parts = ray.get(ranks)
     node = np.concatenate([np.arange(p, N, P, dtype=np.int64) for p in range(P)])
     rank = np.concatenate(parts) if parts else np.empty(0)
     t = pa.table({"node": pa.array(node), "rank": pa.array(rank)})
     return t.take(pc.sort_indices(t, [("node", "ascending")]))
+
+
+def pagerank_partition_nodes(q: int, num_nodes: int, num_partitions: int) -> np.ndarray:
+    """Node ids owned by rank partition ``q`` (the mod-P layout)."""
+    return np.arange(q, num_nodes, num_partitions, dtype=np.int64)
 
 
 def pagerank_reference(edges: np.ndarray, num_nodes: int, iters: int = 10,

@@ -141,20 +141,22 @@ def cms_estimate(counts: np.ndarray, keys: np.ndarray,
 def approx_group_counts(ds, key_col: str, query_keys: np.ndarray,
                         d: int = CMS_D, w: int = CMS_W) -> np.ndarray:
     """Distributed CMS: per-block (d, w) partials (d·w·8 bytes each),
-    driver merges by ADD, then answers the query keys.  Like
-    approx_distinct, partials are tiny and tree-mergeable."""
+    merged by ADD — through the same remote tree as approx_distinct
+    above _TREE_THRESHOLD blocks — then the query keys are answered."""
 
     def partial(batch: pa.Table) -> pa.Table:
         c = cms_counts(batch[key_col].to_numpy(zero_copy_only=False), d, w)
         return pa.table({"cnt": pa.array([c.ravel()], pa.list_(pa.int64()))})
 
-    from ..functions.agg import collect_blocks
+    from ..functions.agg import block_refs
 
-    parts = collect_blocks(ds.map_batches(partial, batch_format="pyarrow"))
-    total = np.zeros(d * w, dtype=np.int64)
-    for t in parts:
-        for row in t["cnt"].to_pylist():
-            total += np.asarray(row, dtype=np.int64)
+    refs = block_refs(ds.map_batches(partial, batch_format="pyarrow"))
+    if not refs:
+        return np.zeros(len(query_keys), dtype=np.int64)
+    total = _tree_reduce(
+        refs,
+        lambda arrs: np.sum([a.astype(np.int64) for a in arrs], axis=0),
+        "cnt")
     return cms_estimate(total.reshape(d, w), query_keys, d, w)
 
 
@@ -200,21 +202,57 @@ def hll_estimate(reg: np.ndarray, p: int = 12) -> float:
     return float(est)
 
 
+# above this many block partials the driver combine switches to a
+# remote tree reduction: each level merges _TREE_FANIN refs per task,
+# so a 10^6-block input reaches the driver as ~fanin arrays after two
+# levels and the partials never all materialize in driver heap
+_TREE_THRESHOLD = 64
+_TREE_FANIN = 32
+
+
+def _tree_reduce(refs: list, combine, column: str):
+    """Remote tree reduction over refs of 1-row list-column tables (the
+    sketch-partial block shape): returns the combined numpy array.
+    Below the threshold this is a plain driver loop — same result,
+    pytest-pinned (`test_sketch.py::test_tree_merge_paths_agree`)."""
+    import ray
+
+    def _arrays(objs):
+        out = []
+        for o in objs:
+            if isinstance(o, np.ndarray):
+                out.append(o)
+            else:  # pyarrow block table
+                out.extend(np.asarray(r) for r in o[column].to_pylist())
+        return out
+
+    @ray.remote
+    def level(*objs):
+        return combine(_arrays(objs))
+
+    while len(refs) > _TREE_THRESHOLD:
+        refs = [level.remote(*refs[i:i + _TREE_FANIN])
+                for i in range(0, len(refs), _TREE_FANIN)]
+    return combine(_arrays(ray.get(refs)))
+
+
 def approx_distinct(ds, key_col: str, p: int = 12) -> float:
-    """Distributed distinct-count estimate: one register row per block,
-    driver merges by max.  Partials are 2^p bytes each — at extreme
-    block counts chain one intermediate max-merge stage; registers are
-    order/partition-independent so the estimate is too."""
+    """Distributed distinct-count estimate: one register row per block
+    (2^p bytes), merged by max — through the remote tree above
+    _TREE_THRESHOLD blocks, so extreme block counts never pile up on
+    the driver; registers are order/partition-independent so the
+    estimate is too."""
 
     def partial(batch: pa.Table) -> pa.Table:
         reg = hll_registers(batch[key_col].to_numpy(zero_copy_only=False), p)
         return pa.table({"reg": pa.array([reg], pa.list_(pa.uint8()))})
 
-    from ..functions.agg import collect_blocks
+    from ..functions.agg import block_refs
 
-    parts = collect_blocks(ds.map_batches(partial, batch_format="pyarrow"))
-    regs = [np.asarray(row, dtype=np.uint8)
-            for t in parts for row in t["reg"].to_pylist()]
-    if not regs:
+    refs = block_refs(ds.map_batches(partial, batch_format="pyarrow"))
+    if not refs:
         return 0.0
-    return hll_estimate(hll_merge(*regs), p)
+    merged = _tree_reduce(
+        refs, lambda arrs: np.maximum.reduce([a.astype(np.uint8) for a in arrs]),
+        "reg")
+    return hll_estimate(merged, p)

@@ -75,6 +75,26 @@ def test_personalized_teleport_matches_reference_and_biases_seeds():
         pagerank(_edges_ds(edges), n, personalization=np.ones(3))
 
 
+def test_refs_output_reconstructs_table():
+    """materialize=False keeps ranks as per-partition object refs (the
+    10^10-node route); reassembling them equals the materialized path."""
+    import ray
+
+    from siteone_crawler_ray.stages.graph import (
+        pagerank,
+        pagerank_partition_nodes,
+    )
+
+    n, edges = 200, _random_graph()
+    want = pagerank(_edges_ds(edges), n, num_partitions=4)
+    out = pagerank(_edges_ds(edges), n, num_partitions=4, materialize=False)
+    assert out["num_partitions"] == 4 and len(out["rank_refs"]) == 4
+    got = np.empty(n)
+    for q, ref in enumerate(out["rank_refs"]):
+        got[pagerank_partition_nodes(q, n, 4)] = ray.get(ref)
+    np.testing.assert_array_equal(got, np.asarray(want["rank"].to_pylist()))
+
+
 def test_more_partitions_than_nodes_and_bad_edges():
     from siteone_crawler_ray.stages.graph import pagerank
 

@@ -140,3 +140,24 @@ def test_distributed_matches_local():
     step = 1_111
     ds = rd.from_arrow([t.slice(i, step) for i in range(0, t.num_rows, step)])
     assert approx_distinct(ds, "k") == hll_estimate(hll_registers(keys))
+
+
+def test_tree_merge_paths_agree(monkeypatch):
+    """Force the remote tree reduction (threshold 4, fanin 3) over many
+    blocks: HLL and CMS results must be identical to the driver-loop
+    path — the coded scale route for extreme block counts."""
+    import ray.data as rd
+
+    import siteone_crawler_ray.stages.sketch as sk
+
+    keys = (np.arange(6_000, dtype=np.int64) % 997) * 13
+    t = pa.table({"k": pa.array(keys)})
+    ds = lambda: rd.from_arrow(  # noqa: E731 — 30 blocks
+        [t.slice(i, 200) for i in range(0, len(keys), 200)])
+    q = np.unique(keys)
+    plain_hll = sk.approx_distinct(ds(), "k")
+    plain_cms = sk.approx_group_counts(ds(), "k", q)
+    monkeypatch.setattr(sk, "_TREE_THRESHOLD", 4)
+    monkeypatch.setattr(sk, "_TREE_FANIN", 3)
+    assert sk.approx_distinct(ds(), "k") == plain_hll
+    np.testing.assert_array_equal(sk.approx_group_counts(ds(), "k", q), plain_cms)
