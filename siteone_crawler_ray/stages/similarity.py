@@ -112,6 +112,104 @@ def quantized_cosine(qa: np.ndarray, sa: float, qb: np.ndarray, sb: float) -> fl
     return dot / max(na * nb, 1e-12)
 
 
+def pq_train(mat: np.ndarray, m: int = 8, ksub: int = 16, iters: int = 8,
+             seed: int = 3) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    dim into ``m`` subspaces and k-means each to ``ksub`` centroids →
+    (m, ksub, dim/m) float64.  Deterministic: subspace k-means reuses
+    the content-derived seeding of ``kmeans_centroids``."""
+    n, dim = mat.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack([
+        kmeans_centroids(np.ascontiguousarray(mat[:, j * dsub:(j + 1) * dsub]),
+                         ksub, iters=iters, seed=seed + j)
+        for j in range(m)
+    ])
+
+
+def pq_encode(mat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, dim) → (n, m) uint8 codes: per-subspace nearest centroid.
+    16× memory cut at m=8/ksub=16 over float32·64-dim (8 B vs 256 B)."""
+    m, ksub, dsub = codebooks.shape
+    codes = np.empty((mat.shape[0], m), dtype=np.uint8)
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        # ||x - c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+        d = -2.0 * sub @ codebooks[j].T + (codebooks[j] ** 2).sum(axis=1)
+        codes[:, j] = np.argmin(d, axis=1)
+    return codes
+
+
+def pq_adc_table(query: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Asymmetric-distance lookup table: (m, ksub) of squared L2 between
+    the query's subvectors and every centroid — one table per query,
+    then each database vector scores as m uint8-indexed lookups."""
+    m, ksub, dsub = codebooks.shape
+    return np.stack([
+        ((codebooks[j] - query[j * dsub:(j + 1) * dsub]) ** 2).sum(axis=1)
+        for j in range(m)
+    ])
+
+
+def knn_pq(ds, query_vecs: np.ndarray, k: int = 10, *, m: int = 16,
+           ksub: int = 256, train_n: int = 4096, seed: int = 3,
+           id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """PQ brute-force top-k: vectors L2-normalized (so squared L2 is
+    rank-equivalent to cosine), codebooks trained on a distributed
+    content-derived sample and broadcast once (``ray.put``); each block
+    encodes to (n, m) uint8 and scores queries through the ADC tables —
+    the 16-64× memory path for an exhaustive scan at 100 TB.  Per-block
+    partial top-k → tiny driver merge, same shape as knn_bruteforce.
+    → (query_idx, vec_id, adc, rank); recall vs exact is pytest-pinned."""
+    import ray
+
+    sample = _normalize(sample_vectors(ds, vec_col=vec_col, n=train_n, seed=seed))
+    # fix the row ORDER before k-means: the sample SET is partition-
+    # independent but its order is not, and float centroid sums would
+    # otherwise differ at the ulp level and flip code assignments
+    sample = sample[np.lexsort(sample.T[::-1])]
+    codebooks = pq_train(sample, m=m, ksub=ksub, seed=seed)
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    luts = np.stack([pq_adc_table(qi, codebooks) for qi in q])  # (nq, m, ksub)
+    cb_ref, lut_ref = ray.put(codebooks), ray.put(luts)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cb, lt = ray.get(cb_ref), ray.get(lut_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        codes = pq_encode(_normalize(_as_matrix(batch[vec_col])), cb)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(lt.shape[0]):
+            # ADC score: sum of per-subspace LUT entries at the codes
+            s = lt[qi][np.arange(codes.shape[1]), codes].sum(axis=1)
+            kk = min(k, len(ids))
+            idx = np.argpartition(s, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int32))
+            out_id.append(ids[idx])
+            out_s.append(s[idx])
+        return pa.table({
+            "query_idx": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id)),
+            "adc": pa.array(np.concatenate(out_s)),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    t = pa.concat_tables(_collect_blocks(parts))
+    qs = t["query_idx"].to_numpy(zero_copy_only=False)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    s = t["adc"].to_numpy(zero_copy_only=False)
+    rows = {"query_idx": [], id_col: [], "adc": [], "rank": []}
+    for qi in np.unique(qs):
+        sel = qs == qi
+        order = np.lexsort((ids[sel], s[sel]))[:k]
+        rows["query_idx"].append(np.full(len(order), qi, dtype=np.int32))
+        rows[id_col].append(ids[sel][order])
+        rows["adc"].append(np.round(s[sel][order], 6))
+        rows["rank"].append(np.arange(1, len(order) + 1, dtype=np.int32))
+    return pa.table({c: pa.array(np.concatenate(v)) for c, v in rows.items()})
+
+
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 

@@ -53,6 +53,59 @@ def test_codes_match_scalar_rule_dtype_and_error_bound():
     assert all(v == [0] * 8 for v in tz["q"].to_pylist())
 
 
+def test_pq_recall_and_partition_independence():
+    """Product quantization (knn_pq): recall@10 >= 0.5 vs exact on
+    clustered data at 16x compression (m=16, ksub=256 over 64-dim),
+    deterministic and partition-independent (sample rows are re-ordered
+    before k-means so float centroid sums are layout-invariant)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.similarity import knn_bruteforce, knn_pq
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(8, 64))
+    mat = centers[rng.integers(0, 8, 600)] + 0.08 * rng.normal(size=(600, 64))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(600), pa.int64()),
+        "embedding": pa.array(list(mat.astype(np.float64)),
+                              pa.list_(pa.float64())),
+    })
+
+    def ds(step):
+        return rd.from_arrow([t.slice(i, step) for i in range(0, 600, step)])
+
+    qv = mat[:5]
+    exact = knn_bruteforce(ds(97), qv, k=10)
+    approx = knn_pq(ds(97), qv, k=10)
+    recalls = []
+    for qi in range(5):
+        e = set(exact.filter(pc.equal(exact["query_idx"], qi))["vec_id"].to_pylist())
+        a = set(approx.filter(pc.equal(approx["query_idx"], qi))["vec_id"].to_pylist())
+        recalls.append(len(e & a) / 10)
+    assert np.mean(recalls) >= 0.5, recalls
+    # the query vector itself always lands at rank 1 with ADC ~ 0
+    r1 = approx.filter(pc.equal(approx["rank"], 1))
+    assert r1["vec_id"].to_pylist() == [0, 1, 2, 3, 4]
+    # layout invariance
+    assert approx.equals(knn_pq(ds(251), qv, k=10))
+
+
+def test_pq_encode_exact_per_subspace_argmin():
+    from siteone_crawler_ray.stages.similarity import pq_encode, pq_train
+
+    rng = np.random.default_rng(1)
+    mat = rng.normal(size=(300, 32))
+    cb = pq_train(mat, m=4, ksub=8, seed=2)
+    assert cb.shape == (4, 8, 8)
+    codes = pq_encode(mat, cb)
+    assert codes.shape == (300, 4) and codes.dtype == np.uint8
+    for i in (0, 150, 299):  # scalar argmin spot-check
+        for j in range(4):
+            d = ((cb[j] - mat[i, j * 8:(j + 1) * 8]) ** 2).sum(axis=1)
+            assert codes[i, j] == int(np.argmin(d))
+
+
 def test_quantized_cosine_preserves_topk():
     from siteone_crawler_ray.stages.similarity import (
         dequantize_matrix,
