@@ -210,6 +210,80 @@ def knn_pq(ds, query_vecs: np.ndarray, k: int = 10, *, m: int = 16,
     return pa.table({c: pa.array(np.concatenate(v)) for c, v in rows.items()})
 
 
+def knn_ivf_pq(ds, query_vecs: np.ndarray, k: int = 10, *, nlist: int = 16,
+               nprobe: int = 4, m: int = 16, ksub: int = 256,
+               train_n: int = 4096, seed: int = 3,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """IVF-PQ with RESIDUAL encoding (Jégou et al. 2011 §IV) — the
+    composition the big ANN systems deploy: coarse centroids define
+    cells, each vector stores only the uint8 PQ codes of its residual
+    ``x − c(cell)``, and a query probes ``nprobe`` cells scoring
+    ``‖(q − c) − r̂‖²`` through per-(query, cell) ADC tables.  Residual
+    encoding restores the within-cell discrimination plain PQ loses
+    (the cell centroid absorbs the coarse offset), at the same 16×
+    memory cut.  Same distributed shape as knn_pq: one broadcast of
+    (centroids, codebooks, LUTs), per-block encode + partial top-k,
+    tiny driver merge."""
+    import ray
+
+    sample = _normalize(sample_vectors(ds, vec_col=vec_col, n=train_n, seed=seed))
+    sample = sample[np.lexsort(sample.T[::-1])]  # layout-invariant k-means
+    cent = kmeans_centroids(sample, nlist, seed=seed)
+    res = sample - cent[np.argmax(sample @ cent.T, axis=1)]
+    codebooks = pq_train(res, m=m, ksub=ksub, seed=seed)
+
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    luts = np.stack([
+        np.stack([pq_adc_table(q[qi] - cent[c], codebooks)
+                  for c in probes[qi]])
+        for qi in range(len(q))
+    ])  # (nq, nprobe, m, ksub)
+    bref = ray.put((cent, codebooks, probes, luts))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents, cb, prb, lt = ray.get(bref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mat = _normalize(_as_matrix(batch[vec_col]))
+        assign = np.argmax(mat @ cents.T, axis=1)
+        codes = pq_encode(mat - cents[assign], cb)
+        nsub = codes.shape[1]
+        out_q, out_id, out_s = [], [], []
+        for qi in range(lt.shape[0]):
+            for j, cell in enumerate(prb[qi]):
+                mask = assign == cell
+                if not mask.any():
+                    continue
+                s = lt[qi, j][np.arange(nsub), codes[mask]].sum(axis=1)
+                kk = min(k, len(s))
+                idx = np.argpartition(s, kk - 1)[:kk]
+                out_q.append(np.full(kk, qi, dtype=np.int32))
+                out_id.append(ids[mask][idx])
+                out_s.append(s[idx])
+        if not out_q:
+            return pa.table({"query_idx": pa.array([], pa.int32()),
+                             id_col: pa.array([], pa.int64()),
+                             "adc": pa.array([], pa.float64())})
+        return pa.table({"query_idx": pa.array(np.concatenate(out_q)),
+                         id_col: pa.array(np.concatenate(out_id)),
+                         "adc": pa.array(np.concatenate(out_s))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    t = pa.concat_tables(_collect_blocks(parts))
+    qs = t["query_idx"].to_numpy(zero_copy_only=False)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    s = t["adc"].to_numpy(zero_copy_only=False)
+    rows = {"query_idx": [], id_col: [], "adc": [], "rank": []}
+    for qi in np.unique(qs):
+        sel = qs == qi
+        order = np.lexsort((ids[sel], s[sel]))[:k]
+        rows["query_idx"].append(np.full(len(order), qi, dtype=np.int32))
+        rows[id_col].append(ids[sel][order])
+        rows["adc"].append(np.round(s[sel][order], 6))
+        rows["rank"].append(np.arange(1, len(order) + 1, dtype=np.int32))
+    return pa.table({c: pa.array(np.concatenate(v)) for c, v in rows.items()})
+
+
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
