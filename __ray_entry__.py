@@ -1642,7 +1642,19 @@ def oracle_sql() -> dict[str, str]:
             windup AS (SELECT w64 FROM win GROUP BY w64 HAVING count(DISTINCT doc_id) >= 2),
             ww AS (
               SELECT win.doc_id, count(*) AS n_win, count(windup.w64) AS n_dup_win
-              FROM win LEFT JOIN windup USING (w64) GROUP BY win.doc_id)
+              FROM win LEFT JOIN windup USING (w64) GROUP BY win.doc_id),
+            -- unigram LM (top-65536 vocab, OOV floor 0.5/total — locked
+            -- to stages/textstats.unigram_model/log_perplexity)
+            toks AS (SELECT doc_id, unnest(w) AS tok FROM tw),
+            tot AS (SELECT count(*)::DOUBLE AS n FROM toks),
+            voc AS (SELECT tok, count(*) AS c FROM toks
+                    GROUP BY tok ORDER BY c DESC, tok LIMIT 65536),
+            lpt AS (SELECT tok, ln(c / t.n) AS lp FROM voc CROSS JOIN tot t),
+            dppl AS (
+              SELECT toks.doc_id,
+                     round(-avg(COALESCE(lpt.lp, (SELECT ln(0.5 / n) FROM tot))), 6)
+                       AS log_ppl
+              FROM toks LEFT JOIN lpt ON lpt.tok = toks.tok GROUP BY toks.doc_id)
             SELECT d.doc_id, len(string_split(text, ' ')) AS n_tokens,
                    round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_tok_len,
                    round(CAST(length(text)
@@ -1660,9 +1672,11 @@ def oracle_sql() -> dict[str, str]:
                        '\+?[0-9][0-9()\- ]{7,}[0-9]', '[PHONE]', 'g'),
                      '\b(customer|supplier)\b', '[TERM]', 'g') AS scrubbed,
                    coalesce(ww.n_win, 0) AS n_win,
-                   coalesce(ww.n_dup_win, 0) AS n_dup_win
+                   coalesce(ww.n_dup_win, 0) AS n_dup_win,
+                   dppl.log_ppl AS log_ppl
             FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
                  LEFT JOIN ww ON d.doc_id = ww.doc_id
+                 LEFT JOIN dppl ON d.doc_id = dppl.doc_id
         """,
         # corpus curation: deterministic multiplicative-hash sample →
         # per-source quota; exact bigram top-k; context-window chunking

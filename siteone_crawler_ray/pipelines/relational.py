@@ -702,6 +702,9 @@ def bucket_counts(sf_dir: str) -> pa.Table:
     )
 
 
+_LM_CACHE: dict = {}
+
+
 def text_metrics(sf_dir: str) -> pa.Table:
     """token_counts + quality_scores + repetition metrics + pattern
     scrubbing (PII-redaction shape) in ONE pass over documents (doc_id,
@@ -711,16 +714,33 @@ def text_metrics(sf_dir: str) -> pa.Table:
     preset = emails + phones + the demo lexicon (customer/supplier —
     the corpus-exercised family); repetition = Gopher-style
     duplicate-trigram fraction."""
+    import ray
+
     from ..stages.scrub import PII_EMAIL, PII_PHONE, lexicon_pattern, scrub_kernel
-    from ..stages.textstats import quality_scores, repetition_metrics, token_counts
+    from ..stages.textstats import (
+        log_perplexity,
+        quality_scores,
+        repetition_metrics,
+        token_counts,
+        unigram_model,
+    )
 
     patterns = [PII_EMAIL, PII_PHONE, lexicon_pattern(["customer", "supplier"])]
+    # unigram LM over the corpus itself (CCNet-style quality scoring):
+    # bounded top-V broadcast, OOV floor — stages/textstats.unigram_model;
+    # trained once per (process, sf_dir): the model is corpus-derived
+    # state, so repeated queries reuse it like _TABS_CACHE
+    if sf_dir not in _LM_CACHE:
+        th, tl, oov = unigram_model(_read(sf_dir, "documents", ["text"]))
+        _LM_CACHE[sf_dir] = (ray.put(th), ray.put(tl), oov)
+    th_ref, tl_ref, oov_logp = _LM_CACHE[sf_dir]
 
     def both(batch: pa.Table) -> pa.Table:
         tc = token_counts(batch)
         q = quality_scores(batch)
         rep = repetition_metrics(batch)
         sc = scrub_kernel(batch.select(["doc_id", "text"]), patterns)
+        lp = log_perplexity(batch, ray.get(th_ref), ray.get(tl_ref), oov_logp)
         return pa.table(
             {
                 "doc_id": tc["doc_id"],
@@ -731,6 +751,7 @@ def text_metrics(sf_dir: str) -> pa.Table:
                 "dup_tri_ratio": rep["dup_tri_ratio"],
                 "n_matches": sc["n_matches"],
                 "scrubbed": sc["scrubbed"],
+                "log_ppl": lp["log_ppl"],
             }
         )
 

@@ -42,6 +42,73 @@ def bpe_ish_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return pa.table({"doc_id": batch["doc_id"], "n_bpe_tokens": pa.array(counts)})
 
 
+def unigram_model(ds, text_col: str = "text",
+                  vocab_cap: int = 65536) -> tuple[dict, float]:
+    """Top-V unigram language model trained distributed — the CCNet-
+    style quality-filter scorer, with the corpus itself as the LM
+    training set.  Token counts come from the exact n-gram machinery
+    (``ngram_topk`` with n=1: per-block value_counts partials, scatter-
+    exchange fallback, (count desc, token asc) tie-break), so the
+    broadcast model is BOUNDED at ``vocab_cap`` entries at any corpus
+    size; tokens beyond the cap score at an OOV floor of ``0.5/total``.
+    Returns ``(logp dict, oov_logp)`` with natural-log probabilities."""
+    from .sampling import ngram_topk
+
+    top = ngram_topk(ds, n=1, k=vocab_cap, text_col=text_col)
+    counts = top["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    if top.num_rows >= vocab_cap:
+        # truncated vocabulary: the denominator needs the UNTRUNCATED
+        # total, one tiny count pass
+        from ..functions.agg import collect_blocks
+
+        def cnt(batch: pa.Table) -> pa.Table:
+            n = pc.sum(pc.add(pc.count_substring(batch[text_col], " "), 1))
+            return pa.table({"n": pa.array([int(n.as_py() or 0)], pa.int64())})
+
+        parts = collect_blocks(ds.map_batches(cnt, batch_format="pyarrow"))
+        total = float(sum(int(v) for t in parts for v in t["n"].to_pylist()))
+    else:
+        total = float(counts.sum())
+    # the broadcast model is HASH-keyed (xxh64 of the token) so batch
+    # scoring is two numpy ops instead of a unicode np.unique — numpy
+    # unicode arrays pad every element to the longest string, the
+    # measured 5× kernel trap of this box
+    toks = pa.array(top["ngram"].to_pylist(), pa.string())
+    h = xxh64_strings(toks)
+    order = np.argsort(h, kind="stable")
+    logps = np.log(counts / total)
+    return (h[order], logps[order], float(np.log(0.5 / total)))
+
+
+def log_perplexity(batch: pa.Table, tok_hashes: np.ndarray,
+                   tok_logps: np.ndarray, oov_logp: float,
+                   text_col: str = "text") -> pa.Table:
+    """Per-doc mean negative log-likelihood (nats/token) under the
+    unigram model — the standard LM-quality score (log of perplexity;
+    exposed in log space so the cross-engine float agreement stays at
+    the 1e-13 level instead of being exp-amplified).  Vectorized: one
+    split per batch, hashed searchsorted model lookup, segment sums via
+    ``np.add.reduceat``."""
+    col = pc.split_pattern(batch[text_col], " ").combine_chunks()
+    flat = col.values
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(flat):
+        h = xxh64_strings(flat)
+        pos = np.searchsorted(tok_hashes, h)
+        pos[pos == len(tok_hashes)] = max(len(tok_hashes) - 1, 0)
+        found = tok_hashes[pos] == h if len(tok_hashes) else np.zeros(len(h), bool)
+        tok = np.where(found, tok_logps[pos] if len(tok_hashes) else 0.0, oov_logp)
+        off = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=off[1:])
+        sums = np.add.reduceat(tok, np.minimum(off, len(tok) - 1))
+        sums[lens == 0] = 0.0
+    else:
+        sums = np.zeros(len(lens))
+    nll = -(sums / np.maximum(lens, 1))
+    return pa.table({"doc_id": batch["doc_id"],
+                     "log_ppl": pa.array(np.round(nll, 6))})
+
+
 def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality heuristics (length / punctuation / stopword ratios),
     all Arrow/numpy kernels.  round(·,6) so a DuckDB oracle can match

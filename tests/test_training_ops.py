@@ -110,6 +110,45 @@ def test_textstats():
     assert sorted(out["n_tokens"]) == [5, 5]
 
 
+def test_unigram_lm_log_perplexity():
+    """Unigram-LM quality scoring: scalar-math parity, OOV floor, and
+    the vocab-cap truncation branch (exact total from its own pass)."""
+    import math
+
+    from siteone_crawler_ray.stages.textstats import (
+        log_perplexity,
+        unigram_model,
+    )
+
+    rows = [(0, "a a a b"), (1, "a b c"), (2, "c c d")]
+    ds = _docs_ds(rows)
+    th, tl, oov = unigram_model(ds, vocab_cap=100)
+    total = 10  # tokens overall
+    counts = {"a": 4, "b": 2, "c": 3, "d": 1}
+    assert oov == pytest.approx(math.log(0.5 / total))
+    batch = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                      "text": pa.array(["a a a b", "a b c", "c c d", "zz a"])})
+    got = dict(zip(log_perplexity(batch, th, tl, oov)["doc_id"].to_pylist(),
+                   log_perplexity(batch, th, tl, oov)["log_ppl"].to_pylist()))
+
+    def nll(toks):
+        lps = [math.log(counts[t] / total) if t in counts else oov for t in toks]
+        return round(-sum(lps) / len(lps), 6)
+
+    assert got[0] == pytest.approx(nll("a a a b".split()), abs=1e-9)
+    assert got[1] == pytest.approx(nll("a b c".split()), abs=1e-9)
+    assert got[3] == pytest.approx(nll(["zz", "a"]), abs=1e-9)  # OOV token
+    # a repetitive doc scores BETTER (lower nll) than a rare-token doc
+    assert got[0] < got[2] < got[3]
+    # vocab-cap truncation: cap=2 keeps only a (4) and c (3); b/d go OOV,
+    # and the total still counts ALL 10 tokens via the dedicated pass
+    th2, tl2, oov2 = unigram_model(ds, vocab_cap=2)
+    assert len(th2) == 2 and oov2 == pytest.approx(math.log(0.5 / total))
+    got2 = log_perplexity(batch.slice(0, 1), th2, tl2, oov2)["log_ppl"][0].as_py()
+    want2 = round(-(3 * math.log(4 / total) + oov2) / 4, 6)
+    assert got2 == pytest.approx(want2, abs=1e-9)
+
+
 def test_repetition_metrics():
     from siteone_crawler_ray.stages.textstats import repetition_metrics
 
