@@ -836,7 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus curation (SURVEY §2.7b: sampling / quota / n-gram /
         # chunking / decontamination; scrubbing rides text_metrics)
         "corpus_sample": C.corpus_sample,
-        "ngram_topk": C.ngram_top50,
+        "ngram_topk": C.ngram_and_bm25,
         "doc_chunks": C.doc_chunk_table,
         "decontaminate": C.decontaminate_table,
         "packed_sequences": C.packed_sequences,
@@ -1701,12 +1701,51 @@ def oracle_sql() -> dict[str, str]:
                        doc_id
               LIMIT 50)
         """,
+        # BM25 rows locked to stages/retrieval.py (K1=1.2, B=0.75,
+        # Lucene idf ln(1+(N-df+.5)/(df+.5)), micro-int scores) and
+        # pipelines/curation.BM25_QUERIES
         "ngram_topk": """
             WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
             bi AS (SELECT w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS ngram
-                   FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) t)
-            SELECT ngram, count(*) AS n FROM bi GROUP BY ngram
-            ORDER BY n DESC, ngram LIMIT 50
+                   FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+            top50 AS (
+              SELECT ngram, count(*) AS n FROM bi GROUP BY ngram
+              ORDER BY n DESC, ngram LIMIT 50),
+            tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            stats AS (SELECT count(*) AS nd, avg(len(w)) AS avgdl FROM tw),
+            q(query, term) AS (VALUES
+              ('spark merge sort', 'spark'), ('spark merge sort', 'merge'),
+              ('spark merge sort', 'sort'),
+              ('hash table scan', 'hash'), ('hash table scan', 'table'),
+              ('hash table scan', 'scan'),
+              ('window batch', 'window'), ('window batch', 'batch')),
+            tf AS (
+              SELECT tw.doc_id, q.query, q.term, len(tw.w) AS dl,
+                     len(list_filter(tw.w, x -> x = q.term)) AS tf
+              FROM tw CROSS JOIN q),
+            df AS (
+              SELECT term, count(DISTINCT doc_id) AS df
+              FROM tf WHERE tf > 0 GROUP BY term),
+            sc AS (
+              SELECT tf.query, tf.doc_id,
+                     CAST(round(sum(
+                       ln(1 + (s.nd - df.df + 0.5) / (df.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+                     ) * 1e6, 0) AS BIGINT) AS score_micro
+              FROM tf JOIN df USING (term) CROSS JOIN stats s
+              GROUP BY tf.query, tf.doc_id),
+            bm25 AS (
+              SELECT query, doc_id, score_micro FROM (
+                SELECT query, doc_id, score_micro, row_number() OVER (
+                  PARTITION BY query
+                  ORDER BY score_micro DESC, doc_id) AS rn
+                FROM sc WHERE score_micro > 0) WHERE rn <= 20)
+            SELECT 'top50' AS method, ngram AS key,
+                   CAST(-1 AS BIGINT) AS doc_id, n FROM top50
+            UNION ALL
+            SELECT 'bm25' AS method, query AS key, doc_id, score_micro AS n
+            FROM bm25
         """,
         "doc_chunks": """
             WITH d AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -62,6 +62,43 @@ def ngram_top50(sf_dir: str) -> pa.Table:
     return ngram_topk(_read(sf_dir, "documents", ["text"]), n=2, k=50)
 
 
+# query set for the BM25 retrieval rows of the ngram_topk slot — drawn
+# from the synthetic corpus vocabulary, locked to the oracle SQL
+BM25_QUERIES = ["spark merge sort", "hash table scan", "window batch"]
+
+
+def ngram_and_bm25(sf_dir: str, k: int = 20) -> pa.Table:
+    """The ngram_topk slot, widened with BM25 retrieval rows.
+
+    Schema ``(method, key, doc_id, n)``:
+
+    * ``method='top50'`` — the exact global top-50 bigrams (key=bigram,
+      doc_id=-1, n=count), unchanged semantics;
+    * ``method='bm25'``  — exact BM25 top-``k`` docs per query in
+      :data:`BM25_QUERIES` (key=query, n=score_micro), via
+      stages/retrieval.bm25_topk's two-pass broadcast-stats shape.
+    """
+    from ..stages.retrieval import bm25_topk
+
+    top = ngram_top50(sf_dir)
+    nt = top.num_rows
+    a = pa.table({
+        "method": pa.array(["top50"] * nt, pa.string()),
+        "key": top["ngram"],
+        "doc_id": pa.array([-1] * nt, pa.int64()),
+        "n": top["n"],
+    })
+    bm = bm25_topk(lambda: _read(sf_dir, "documents", ["doc_id", "text"]),
+                   BM25_QUERIES, k=k)
+    b = pa.table({
+        "method": pa.array(["bm25"] * bm.num_rows, pa.string()),
+        "key": bm["query"],
+        "doc_id": bm["doc_id"],
+        "n": bm["score_micro"],
+    })
+    return pa.concat_tables([a, b])
+
+
 def doc_chunk_table(sf_dir: str, chunk_size: int = 32, overlap: int = 8) -> pa.Table:
     """Context-window chunk explosion on a deterministic doc subset
     (doc_id % 7 == 0 keeps the oracle result small while exercising

@@ -1436,3 +1436,54 @@ def test_mkv_probe_walks_ebml_and_gates():
     for b in (b"", b"\x00\x00\x00\x00", b"RIFF\x00\x00\x00\x00AVI "):
         with pytest.raises(NotImplementedError):
             probe_mkv(b)
+
+
+def test_bm25_topk_matches_scalar_reference():
+    """bm25_topk vs an independent per-doc scalar BM25 (Lucene idf)."""
+    import math
+
+    from siteone_crawler_ray.stages.retrieval import B, K1, bm25_topk
+
+    rows = [
+        (1, "spark sort merge join hash"),
+        (2, "sort sort sort table scan"),
+        (3, "completely unrelated words here"),
+        (4, "spark spark merge"),
+        (5, "hash table table table scan scan"),
+        (6, "merge"),
+    ]
+    queries = ["spark merge", "table scan"]
+    out = bm25_topk(lambda: _docs_ds(rows), queries, k=3)
+
+    # scalar reference: plain dict/loop implementation, no shared code
+    docs = {i: t.split(" ") for i, t in rows}
+    n = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / n
+    expect = {}
+    for q in queries:
+        scores = []
+        for d, toks in docs.items():
+            s = 0.0
+            for t in q.split(" "):
+                tf = toks.count(t)
+                df = sum(1 for v in docs.values() if t in v)
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                s += idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * len(toks) / avgdl))
+            micro = int(math.floor(abs(s) * 1e6 + 0.5))
+            if micro > 0:
+                scores.append((-micro, d))
+        expect[q] = [(d, -m) for m, d in sorted(scores)[:3]]
+    got = {q: [] for q in queries}
+    for q, d, m in zip(out["query"].to_pylist(), out["doc_id"].to_pylist(),
+                       out["score_micro"].to_pylist()):
+        got[q].append((d, m))
+    assert got == expect
+
+
+def test_bm25_topk_empty_and_absent_terms():
+    from siteone_crawler_ray.stages.retrieval import bm25_topk
+
+    out = bm25_topk(lambda: _docs_ds([(1, "a b c"), (2, "d e")]),
+                    ["zz yy"], k=5)
+    assert out.num_rows == 0
+    assert out.column_names == ["query", "doc_id", "score_micro"]
