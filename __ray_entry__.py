@@ -1700,6 +1700,36 @@ def oracle_sql() -> dict[str, str]:
                            / 9007199254740993.0) / n_chars,
                        doc_id
               LIMIT 50)
+            UNION ALL
+            -- DSIR importance resampling: target split doc_id%5=0,
+            -- bounded top-65536 unigram models with OOV floor 0.5/total
+            -- (locked to pipelines/curation.dsir_select)
+            SELECT source, doc_id, 'dsir' AS method FROM (
+              WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w
+                          FROM documents),
+              toks AS (SELECT doc_id, unnest(w) AS tok FROM tw),
+              tt AS (SELECT tok FROM toks WHERE doc_id % 5 = 0),
+              tot_t AS (SELECT count(*)::DOUBLE AS n FROM tt),
+              voc_t AS (SELECT tok, count(*) AS c FROM tt
+                        GROUP BY tok ORDER BY c DESC, tok LIMIT 65536),
+              lp_t AS (SELECT tok, ln(c / t.n) AS lp
+                       FROM voc_t CROSS JOIN tot_t t),
+              tot_r AS (SELECT count(*)::DOUBLE AS n FROM toks),
+              voc_r AS (SELECT tok, count(*) AS c FROM toks
+                        GROUP BY tok ORDER BY c DESC, tok LIMIT 65536),
+              lp_r AS (SELECT tok, ln(c / t.n) AS lp
+                       FROM voc_r CROSS JOIN tot_r t),
+              iw AS (SELECT toks.doc_id,
+                            round(sum(
+                              COALESCE(lt.lp, (SELECT ln(0.5 / n) FROM tot_t))
+                            - COALESCE(lr.lp, (SELECT ln(0.5 / n) FROM tot_r))
+                            ), 6) AS iw
+                     FROM toks LEFT JOIN lp_t lt ON lt.tok = toks.tok
+                               LEFT JOIN lp_r lr ON lr.tok = toks.tok
+                     GROUP BY toks.doc_id)
+              SELECT d.source, iw.doc_id
+              FROM iw JOIN documents d ON d.doc_id = iw.doc_id
+              ORDER BY iw.iw DESC, iw.doc_id LIMIT 50)
         """,
         # BM25 rows locked to stages/retrieval.py (K1=1.2, B=0.75,
         # Lucene idf ln(1+(N-df+.5)/(df+.5)), micro-int scores) and

@@ -54,7 +54,45 @@ def corpus_sample(sf_dir: str, rate_pct: int = 37, k: int = 7) -> pa.Table:
     quota = quota.append_column("method", pa.array(["quota"] * quota.num_rows))
     mix = mix.append_column("method", pa.array(["mixture"] * mix.num_rows))
     wtd = wtd.append_column("method", pa.array(["weighted"] * wtd.num_rows))
-    return pa.concat_tables([quota, mix, wtd])
+    dsir = dsir_select(sf_dir)
+    dsir = dsir.append_column("method", pa.array(["dsir"] * dsir.num_rows))
+    return pa.concat_tables([quota, mix, wtd, dsir])
+
+
+def dsir_select(sf_dir: str, n_select: int = 50, target_mod: int = 5) -> pa.Table:
+    """DSIR-shape importance resampling (Xie et al. 2023): train two
+    bounded unigram models — target = the ``doc_id % target_mod == 0``
+    split (stand-in for a curated target domain), raw = the whole
+    corpus — then select the ``n_select`` docs with the highest
+    bag-of-words log-ratio weight ``Σ_tok (log p_t − log p_r)``.
+
+    Scale shape: both models come from the exact n-gram machinery
+    (bounded top-V broadcast at any corpus size); the weight pass is
+    one vectorized ``map_batches`` with per-block top-k partials
+    (functions/agg.partial_topk) — no shuffle, no driver
+    materialization.  Ordering: (iw_micro desc, doc_id asc)."""
+    import numpy as np
+
+    from ..functions.agg import partial_topk
+    from ..stages.textstats import importance_weights, unigram_model
+
+    def target_split(batch: pa.Table) -> pa.Table:
+        keep = batch["doc_id"].to_numpy(zero_copy_only=False) % target_mod == 0
+        return batch.filter(pa.array(keep))
+
+    docs = lambda: _read(sf_dir, "documents", ["doc_id", "text", "source"])  # noqa: E731
+    t_model = unigram_model(docs().map_batches(target_split, batch_format="pyarrow"))
+    r_model = unigram_model(docs())
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        w = importance_weights(batch, t_model, r_model)
+        micro = np.rint(w["iw"].to_numpy(zero_copy_only=False) * 1e6).astype(np.int64)
+        return pa.table({"source": batch["source"], "doc_id": batch["doc_id"],
+                         "iw_micro": pa.array(micro)})
+
+    top = partial_topk(docs().map_batches(weigh, batch_format="pyarrow"),
+                       n_select, ["iw_micro", "doc_id"], [True, False])
+    return top.select(["source", "doc_id"])
 
 
 def ngram_top50(sf_dir: str) -> pa.Table:

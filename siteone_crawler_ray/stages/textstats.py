@@ -80,6 +80,18 @@ def unigram_model(ds, text_col: str = "text",
     return (h[order], logps[order], float(np.log(0.5 / total)))
 
 
+def _lookup_logps(h: np.ndarray, tok_hashes: np.ndarray,
+                  tok_logps: np.ndarray, oov_logp: float) -> np.ndarray:
+    """Per-token log-prob under a hashed unigram model (searchsorted on
+    the sorted hash index; misses score the OOV floor)."""
+    if not len(tok_hashes):
+        return np.full(len(h), oov_logp)
+    pos = np.searchsorted(tok_hashes, h)
+    pos[pos == len(tok_hashes)] = len(tok_hashes) - 1
+    found = tok_hashes[pos] == h
+    return np.where(found, tok_logps[pos], oov_logp)
+
+
 def log_perplexity(batch: pa.Table, tok_hashes: np.ndarray,
                    tok_logps: np.ndarray, oov_logp: float,
                    text_col: str = "text") -> pa.Table:
@@ -93,11 +105,7 @@ def log_perplexity(batch: pa.Table, tok_hashes: np.ndarray,
     flat = col.values
     lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
     if len(flat):
-        h = xxh64_strings(flat)
-        pos = np.searchsorted(tok_hashes, h)
-        pos[pos == len(tok_hashes)] = max(len(tok_hashes) - 1, 0)
-        found = tok_hashes[pos] == h if len(tok_hashes) else np.zeros(len(h), bool)
-        tok = np.where(found, tok_logps[pos] if len(tok_hashes) else 0.0, oov_logp)
+        tok = _lookup_logps(xxh64_strings(flat), tok_hashes, tok_logps, oov_logp)
         off = np.zeros(len(lens), dtype=np.int64)
         np.cumsum(lens[:-1], out=off[1:])
         sums = np.add.reduceat(tok, np.minimum(off, len(tok) - 1))
@@ -107,6 +115,33 @@ def log_perplexity(batch: pa.Table, tok_hashes: np.ndarray,
     nll = -(sums / np.maximum(lens, 1))
     return pa.table({"doc_id": batch["doc_id"],
                      "log_ppl": pa.array(np.round(nll, 6))})
+
+
+def importance_weights(batch: pa.Table, target_model, raw_model,
+                       text_col: str = "text") -> pa.Table:
+    """DSIR-shape importance weight per doc: ``w(d) = Σ_tok (log
+    p_target(tok) − log p_raw(tok))`` under two bounded unigram models
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling" — the n-gram bag importance estimator, here
+    over the top-V vocabulary instead of hashed buckets so a DuckDB
+    oracle can recompute it exactly).  Each model is the
+    :func:`unigram_model` triple ``(hashes, logps, oov_logp)``; OOV
+    tokens score the model's own floor.  One tokenize pass feeds both
+    lookups; ``round(·,6)`` pins cross-engine agreement."""
+    col = pc.split_pattern(batch[text_col], " ").combine_chunks()
+    flat = col.values
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(flat):
+        h = xxh64_strings(flat)
+        diff = (_lookup_logps(h, *target_model) - _lookup_logps(h, *raw_model))
+        off = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=off[1:])
+        sums = np.add.reduceat(diff, np.minimum(off, len(diff) - 1))
+        sums[lens == 0] = 0.0
+    else:
+        sums = np.zeros(len(lens))
+    return pa.table({"doc_id": batch["doc_id"],
+                     "iw": pa.array(np.round(sums, 6))})
 
 
 def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:

@@ -1487,3 +1487,57 @@ def test_bm25_topk_empty_and_absent_terms():
                     ["zz yy"], k=5)
     assert out.num_rows == 0
     assert out.column_names == ["query", "doc_id", "score_micro"]
+
+
+def test_importance_weights_scalar_reference():
+    """importance_weights vs a plain dict/loop DSIR estimator."""
+    import math
+
+    from siteone_crawler_ray.stages.textstats import importance_weights, unigram_model
+
+    rows = [(0, "aa bb aa"), (1, "cc dd"), (2, "aa aa"), (5, "bb cc"),
+            (10, "aa bb cc dd ee")]
+    target_rows = [r for r in rows if r[0] % 5 == 0]
+    t_model = unigram_model(_docs_ds(target_rows))
+    r_model = unigram_model(_docs_ds(rows))
+
+    # scalar reference built independently
+    def model(rs):
+        toks = [t for _, s in rs for t in s.split(" ")]
+        n = len(toks)
+        cnt = {}
+        for t in toks:
+            cnt[t] = cnt.get(t, 0) + 1
+        return ({t: math.log(c / n) for t, c in cnt.items()}, math.log(0.5 / n))
+
+    (lp_t, oov_t), (lp_r, oov_r) = model(target_rows), model(rows)
+    tab = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string())})
+    got = dict(zip(importance_weights(tab, t_model, r_model)["doc_id"].to_pylist(),
+                   importance_weights(tab, t_model, r_model)["iw"].to_pylist()))
+    for d, s in rows:
+        w = sum(lp_t.get(t, oov_t) - lp_r.get(t, oov_r) for t in s.split(" "))
+        assert abs(got[d] - round(w, 6)) < 2e-6, (d, got[d], w)
+
+
+def test_dsir_select_prefers_target_like_docs(tmp_path):
+    """Docs made of target-split vocabulary outrank off-distribution docs."""
+    import pyarrow.parquet as pq
+
+    from siteone_crawler_ray.pipelines.curation import dsir_select
+
+    # target split = doc_id % 5 == 0 speaks only 'aa bb'; others 'zz yy'
+    rows = []
+    for i in range(40):
+        txt = "aa bb aa bb" if i % 5 == 0 else "zz yy zz yy"
+        rows.append((i, txt, "src0", len(txt)))
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string()),
+                  "lang": pa.array(["en"] * len(rows), pa.string()),
+                  "source": pa.array([r[2] for r in rows], pa.string()),
+                  "n_chars": pa.array([r[3] for r in rows], pa.int64())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = dsir_select(str(tmp_path), n_select=8)
+    # all 8 selected docs are the target-vocabulary ones
+    assert all(d % 5 == 0 for d in out["doc_id"].to_pylist())
+    assert out.num_rows == 8
