@@ -1541,3 +1541,42 @@ def test_dsir_select_prefers_target_like_docs(tmp_path):
     # all 8 selected docs are the target-vocabulary ones
     assert all(d % 5 == 0 for d in out["doc_id"].to_pylist())
     assert out.num_rows == 8
+
+
+def test_bpe_training_matches_paper_example():
+    """Sennrich et al. 2016 fig.1 corpus: first merges pick the most
+    frequent pairs with deterministic tie-breaks."""
+    from siteone_crawler_ray.stages.tokenize import EOW, train_bpe
+
+    wf = pa.table({"word": pa.array(["low", "lower", "newest", "widest"]),
+                   "n": pa.array([5, 2, 6, 3], pa.int64())})
+    merges = train_bpe(wf, 4)
+    # 'es' appears 9x (newest+widest) — the unambiguous first merge;
+    # then ('es','t') 9x, then ('est', EOW) 9x, then ('l','o') 7x
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", EOW)
+    assert merges[3] == ("l", "o")
+
+
+def test_bpe_encode_round_trip_and_counts():
+    from siteone_crawler_ray.stages.tokenize import (
+        EOW, encode_word, train_and_count, train_bpe, word_frequencies)
+
+    rows = [(0, "low low low low low lower lower"),
+            (1, "newest newest newest newest newest newest"),
+            (2, "widest widest widest")]
+    merges, counts = train_and_count(lambda: _docs_ds(rows), num_merges=10)
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = dict(zip(counts["doc_id"].to_pylist(), counts["n_bpe_tokens"].to_pylist()))
+    for d, text in rows:
+        # scalar recount: sum of per-word encode lengths
+        expect = sum(len(encode_word(w, ranks)) for w in text.split(" "))
+        assert got[d] == expect
+        # round-trip: concatenated tokens reconstruct word+EOW exactly
+        for w in text.split(" "):
+            assert "".join(encode_word(w, ranks)) == w + EOW
+
+    # determinism: retraining from the same distributed word count
+    wf = word_frequencies(_docs_ds(rows))
+    assert train_bpe(wf, 10) == merges
