@@ -1580,3 +1580,20 @@ def test_bpe_encode_round_trip_and_counts():
     # determinism: retraining from the same distributed word count
     wf = word_frequencies(_docs_ds(rows))
     assert train_bpe(wf, 10) == merges
+
+
+def test_bm25_block_partials_match_single_block():
+    """Per-block top-k partial merge == single-block answer."""
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.retrieval import bm25_topk
+
+    rows = [(i, ("spark " * (i % 4) + "merge " * (i % 3) + "filler word") .strip())
+            for i in range(60)]
+    tab = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string())})
+    one = bm25_topk(lambda: rd.from_arrow(tab), ["spark merge"], k=10)
+    many = bm25_topk(
+        lambda: rd.from_arrow([tab.slice(i * 12, 12) for i in range(5)]),
+        ["spark merge"], k=10)
+    assert one.to_pydict() == many.to_pydict()
