@@ -313,9 +313,50 @@ def p90_by_type(sf_dir: str) -> pa.Table:
 # -- join / lookup shapes ----------------------------------------------------
 
 
+# customer-side row count above which segment_join abandons the
+# broadcast lookup for the two-sided hash-partitioned shuffle join
+# (stages/join.hash_join) — at 100 TB neither side fits a broadcast.
+# Tests monkeypatch this to force the shuffle path
+# (test_hash_join_matches_broadcast_path).
+_BROADCAST_JOIN_ROWS = 4_000_000
+
+
+def _segment_join_shuffled(sf_dir: str) -> pa.Table:
+    """segment_join's big×big scale path: orders ⋈ customer co-scattered
+    on custkey, the per-segment (n, total) partials computed INSIDE each
+    join partition task, P tiny partials combined on the driver."""
+    from ..functions.agg import combine_partials, make_partial_fn
+    from ..stages.join import hash_join
+
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow")
+    orders_ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    specs = [("n", None, "count"), ("total", "o_totalprice", "sum")]
+    pfn = make_partial_fn(["c_mktsegment"], specs)
+
+    def post(joined: pa.Table) -> pa.Table:
+        if "c_mktsegment" in joined.column_names:
+            seg = pc.fill_null(joined["c_mktsegment"], "")
+        else:  # partition had no customer rows at all
+            seg = pa.array([""] * joined.num_rows, pa.string())
+        return pfn(pa.table({"c_mktsegment": seg,
+                             "o_totalprice": joined["o_totalprice"]}))
+
+    parts = hash_join(orders_ds, cust_ds, "o_custkey", how="left", post=post)
+    merged = pa.concat_tables(parts, promote_options="permissive")
+    t = combine_partials(merged, ["c_mktsegment"], specs)
+    return pa.table(
+        {"c_mktsegment": t["c_mktsegment"], "n": t["n"],
+         "total": pa.array(round_away(t["total"].to_numpy(), 2))}
+    )
+
+
 def segment_join(sf_dir: str) -> pa.Table:
     """source-join shape: broadcast small side (customer) into map_batches,
-    then groupby — no shuffle join (SURVEY.md §2.4)."""
+    then groupby — no shuffle join (SURVEY.md §2.4).  Above
+    ``_BROADCAST_JOIN_ROWS`` customers the broadcast is no longer small
+    and the coded scale path is the two-sided shuffle join."""
     import ray
 
     import pyarrow.parquet as pq
@@ -323,6 +364,8 @@ def segment_join(sf_dir: str) -> pa.Table:
     from ..functions.agg import grouped_agg
 
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"])
+    if cust.num_rows > _BROADCAST_JOIN_ROWS:
+        return _segment_join_shuffled(sf_dir)
     lut_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
 
     def attach(batch: pa.Table) -> pa.Table:

@@ -59,3 +59,45 @@ def test_range_count_matches_plain_join(ray_session):
     n = t["n_before"].to_numpy(zero_copy_only=False)
     a = t["asof_date_us"].to_numpy(zero_copy_only=False)
     assert ((n == 0) == (a == -1)).all()  # no-match sentinel consistency
+
+
+def test_hash_join_semantics(ray_session):
+    """stages/join.hash_join == pa.Table.join for every supported kind,
+    across a multi-block scatter."""
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.join import hash_join_table
+
+    left = pa.table({"k": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+                     "lv": pa.array(list("abcdefgh"))})
+    right = pa.table({"k": pa.array([2, 4, 4, 6, 9], pa.int64()),
+                      "rv": pa.array(["X", "Y", "Z", "W", "Q"])})
+
+    def ds(t, nblocks):
+        import numpy as np
+
+        step = -(-t.num_rows // nblocks)
+        return rd.from_arrow([t.slice(i * step, step) for i in range(nblocks)])
+
+    for how, arrow_kind in [("inner", "inner"), ("left", "left outer"),
+                            ("semi", "left semi"), ("anti", "left anti")]:
+        got = hash_join_table(ds(left, 3), ds(right, 2), "k", how=how,
+                              num_partitions=4)
+        want = left.join(right, keys="k", join_type=arrow_kind,
+                         right_suffix="_r", use_threads=False)
+        gs = got.to_pandas().sort_values(sorted(got.column_names)).reset_index(drop=True)
+        ws = want.to_pandas().sort_values(sorted(want.column_names)).reset_index(drop=True)
+        assert gs[sorted(gs.columns)].equals(ws[sorted(ws.columns)]), how
+
+
+def test_hash_join_matches_broadcast_path(ray_session, monkeypatch):
+    """segment_join's shuffle scale path is value-identical to the
+    broadcast path the oracle verifies."""
+    import siteone_crawler_ray.pipelines.relational as rel
+
+    base = rel.segment_join(SF)
+    monkeypatch.setattr(rel, "_BROADCAST_JOIN_ROWS", 0)
+    forced = rel.segment_join(SF)
+    b = base.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
+    f = forced.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
+    assert b.equals(f)
