@@ -508,13 +508,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (doc_id, simhash, fingerprint, winnow_min, lang_pred) — three
         signature kernels share one queries() slot.
 
-        SELF-CHECKING (the driver records rows-only because these hash
-        kernels are not SQL-expressible): every batch re-derives a
-        deterministic row sample (doc_id % 97 == 0, ≤4 rows/batch)
-        through the independent scalar reference kernels
-        (functions/reference_kernels.py — pure-int Python over the
-        scalar xxh64, no numpy) and raises on any mismatch, so a wrong
-        vectorized kernel fails the slot instead of passing unverified."""
+        ORACLED: this slot runs the kernels with the md5_u64 hash
+        backend (functions/hashing.md5_u64_strings — first 8 bytes of
+        MD5, big-endian), which DuckDB reproduces bit-for-bit as
+        CAST(CONCAT('0x', SUBSTR(md5(s),1,16)) AS UBIGINT), so the
+        whole row (simhash bit-votes, full-text fingerprint, winnowed
+        shingle min, stopword-argmax language) is SQL-recomputable.
+        The production scale path keeps vectorized xxh64 (same code,
+        default hasher; pytest pins both backends).  Belt-and-braces:
+        every batch ALSO re-derives a deterministic row sample
+        (doc_id % 97 == 0, ≤4 rows/batch) through the independent
+        scalar reference kernels (functions/reference_kernels.py) and
+        raises on any mismatch."""
         import os as _os
 
         import numpy as np
@@ -522,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data as rd
 
         from siteone_crawler_ray.functions import reference_kernels as RK
+        from siteone_crawler_ray.functions.hashing import md5_u64, md5_u64_strings
         from siteone_crawler_ray.stages.dedup import simhash_batch
         from siteone_crawler_ray.stages.textstats import fingerprints, langid
 
@@ -531,16 +537,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             texts = b["text"].take(pa.array(sel)).to_pylist()
             for j, t in zip(sel, texts):
                 got = (int(sim_u64[j]), int(fp_u64[j]), int(win_u64[j]), lang[j])
-                want = (RK.simhash_ref(t), RK.fingerprint_ref(t),
-                        RK.winnow_min_ref(t), RK.langid_ref(t))
+                want = (RK.simhash_ref(t, hasher=md5_u64),
+                        RK.fingerprint_ref(t, hasher=md5_u64),
+                        RK.winnow_min_ref(t, hasher=md5_u64), RK.langid_ref(t))
                 if got != want:
                     raise AssertionError(
                         f"content_signatures self-check failed for doc_id="
                         f"{ids[j]}: vectorized={got} reference={want}")
 
         def combined(b: pa.Table) -> pa.Table:
-            sim = simhash_batch(b)
-            fp = fingerprints(b)
+            sim = simhash_batch(b, hasher=md5_u64_strings)
+            fp = fingerprints(b, hasher=md5_u64_strings)
             lg = langid(b)
             _selfcheck(
                 b,
@@ -956,9 +963,92 @@ def oracle_sql() -> dict[str, str]:
         SELECT url, depth, status_code, content_type FROM asset_rows
     """
 
+    # content_signatures: the slot runs its kernels with the md5_u64
+    # backend (first 8 bytes of MD5, big-endian) precisely so DuckDB can
+    # recompute every column: simhash = per-bit ±1 votes over
+    # whitespace-regex tokens, fingerprint = full-text md5_u64,
+    # winnow_min = min over stride-1 8-char shingle hashes, lang_pred =
+    # stopword-argmax (ties → lexicographically greatest language,
+    # matching Python max() over (score, lang) tuples).  Hash columns
+    # are emitted as int64 two's-complement views on both sides.
+    from siteone_crawler_ray.stages.textstats import STOPWORDS as _SW
+
+    _sw_values = ", ".join(
+        f"('{lg}', '{w}')" for lg in sorted(_SW) for w in sorted(_SW[lg])
+    )
+    content_sig_sql = r"""
+        WITH docs AS (SELECT doc_id, text FROM documents),
+        th AS (
+          SELECT doc_id, CAST(CONCAT('0x', SUBSTR(md5(w), 1, 16)) AS UBIGINT) AS h
+          FROM (SELECT doc_id,
+                       unnest(list_filter(string_split_regex(text, '\s+'),
+                                          x -> x <> '')) AS w
+                FROM docs)
+        ),
+        bits AS (
+          SELECT doc_id, bb.b,
+                 SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM th, (SELECT unnest(generate_series(0, 63)) AS b) bb
+          GROUP BY doc_id, bb.b
+        ),
+        sim AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN s > 0 THEN (CAST(1 AS HUGEINT) << b)
+                          ELSE CAST(0 AS HUGEINT) END) AS v
+          FROM bits GROUP BY doc_id
+        ),
+        fp AS (
+          SELECT doc_id,
+                 CAST(CAST(CONCAT('0x', SUBSTR(md5(text), 1, 16)) AS UBIGINT)
+                      AS HUGEINT) AS v
+          FROM docs
+        ),
+        sh AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, GREATEST(LENGTH(text) - 7, 1))) AS j,
+                 text
+          FROM docs
+        ),
+        win AS (
+          SELECT doc_id,
+                 CAST(MIN(CAST(CONCAT('0x', SUBSTR(md5(SUBSTR(text, j, 8)), 1, 16))
+                               AS UBIGINT)) AS HUGEINT) AS v
+          FROM sh GROUP BY doc_id
+        ),
+        ltok AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM docs
+        ),
+        sw(lg, w) AS (VALUES __SW_VALUES__),
+        hits AS (
+          SELECT t.doc_id, s.lg, COUNT(DISTINCT t.w) AS sc
+          FROM ltok t JOIN sw s ON s.w = t.w GROUP BY t.doc_id, s.lg
+        ),
+        pick AS (
+          SELECT doc_id, lg,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY sc DESC, lg DESC) AS rn
+          FROM hits
+        )
+        SELECT d.doc_id AS doc_id,
+               CAST(COALESCE(sim.v, 0)
+                    - CASE WHEN COALESCE(sim.v, 0) >= 9223372036854775808
+                           THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS simhash,
+               CAST(fp.v - CASE WHEN fp.v >= 9223372036854775808
+                                THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS fingerprint,
+               CAST(win.v - CASE WHEN win.v >= 9223372036854775808
+                                 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS winnow_min,
+               COALESCE(p.lg, 'und') AS lang_pred
+        FROM docs d
+        LEFT JOIN sim ON sim.doc_id = d.doc_id
+        JOIN fp ON fp.doc_id = d.doc_id
+        JOIN win ON win.doc_id = d.doc_id
+        LEFT JOIN pick p ON p.doc_id = d.doc_id AND p.rn = 1
+    """.replace("__SW_VALUES__", _sw_values)
+
     return {
         # ---- crawl family ------------------------------------------------
         "crawl_visited_set": crawl_cte,
+        "content_signatures": content_sig_sql,
         "flat_visit_stats": """
             SELECT CASE WHEN doc_id % 43 = 11 THEN 301 ELSE 200 END AS status_code,
                    CASE WHEN doc_id % 43 = 11 THEN 9 ELSE 1 END AS content_type,

@@ -314,3 +314,32 @@ def uq_ids(urls) -> np.ndarray:
     """MD5[:8] per URL. Only computed on visited rows (output parity),
     never used as a partition key — xxh64_strings is the hot key path."""
     return np.array([hashlib.md5(u.encode("utf-8")).hexdigest()[:8] for u in urls], dtype=object)
+
+
+def md5_u64(data: bytes | str) -> int:
+    """First 8 bytes of MD5 as a big-endian uint64.
+
+    SQL-expressible twin of :func:`xxh64`: DuckDB reproduces it as
+    ``CAST(CONCAT('0x', SUBSTR(md5(s), 1, 16)) AS UBIGINT)``, so any
+    signature kernel parametrized with this hasher gets a real DuckDB
+    oracle.  xxh64 stays the production/partition-key hash (faster,
+    vectorized); this backend exists for driver-verifiable runs."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return int.from_bytes(hashlib.md5(data).digest()[:8], "big")
+
+
+def md5_u64_strings(strings) -> np.ndarray:
+    """md5_u64 over a sequence / Arrow column of strings → uint64 array.
+
+    hashlib.md5 is a C call per string (~0.7 µs); this path is only
+    used by oracle-verified slots, never as the scale partition hash."""
+    try:  # Arrow column → python list
+        strings = strings.to_pylist()
+    except AttributeError:
+        pass
+    md5 = hashlib.md5
+    return np.fromiter(
+        (int.from_bytes(md5(s.encode("utf-8")).digest()[:8], "big") for s in strings),
+        dtype=np.uint64, count=len(strings),
+    )

@@ -469,15 +469,23 @@ def minhash_dedup_pairs(ds, *, id_col="doc_id", text_col="text", num_perm=64,
     return out.take(pc.sort_indices(out, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))
 
 
-def simhash_batch(batch: pa.Table, *, id_col="doc_id", text_col="text") -> pa.Table:
+def simhash_batch(batch: pa.Table, *, id_col="doc_id", text_col="text",
+                  hasher=None) -> pa.Table:
     """64-bit SimHash over whitespace tokens, vectorized with bit-count
-    accumulation via reduceat."""
+    accumulation via reduceat.
+
+    ``hasher`` (strings → uint64 ndarray) defaults to the vectorized
+    xxh64 — the scale path.  Passing
+    :func:`..functions.hashing.md5_u64_strings` yields the
+    SQL-expressible variant the `content_signatures` DuckDB oracle
+    recomputes bit-for-bit."""
+    hasher = hasher or xxh64_strings
     texts = batch[text_col].to_numpy(zero_copy_only=False)
     tok_hashes, counts = [], np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
         toks = (t if isinstance(t, str) else str(t)).split()
         counts[i] = max(1, len(toks))
-        tok_hashes.append(xxh64_strings(toks) if toks else np.array([0], np.uint64))
+        tok_hashes.append(hasher(toks) if toks else np.array([0], np.uint64))
     flat = np.concatenate(tok_hashes)
     offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]
     bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)

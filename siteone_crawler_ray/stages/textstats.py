@@ -230,16 +230,20 @@ def langid(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return pa.table({"doc_id": batch["doc_id"], "lang_pred": pa.array(out, pa.string())})
 
 
-def fingerprints(batch: pa.Table, text_col: str = "text", window: int = 8) -> pa.Table:
-    """Document fingerprint: xxh64 of the full text plus a winnowed
+def fingerprints(batch: pa.Table, text_col: str = "text", window: int = 8,
+                 hasher=None) -> pa.Table:
+    """Document fingerprint: hash of the full text plus a winnowed
     rolling-hash sketch (min of window-shingle hashes — robust to small
-    edits).  Not SQL-expressible (rows-only correctness check)."""
+    edits).  ``hasher`` defaults to vectorized xxh64 (scale path);
+    md5_u64_strings makes the output SQL-expressible so the
+    `content_signatures` slot gets a DuckDB oracle."""
+    hasher = hasher or xxh64_strings
     texts = batch[text_col].to_numpy(zero_copy_only=False)
-    full = xxh64_strings(batch[text_col])
+    full = hasher(batch[text_col])
     mins = np.empty(len(texts), dtype=np.uint64)
     for i, s in enumerate(texts):
         n = max(1, len(s) - window + 1)
-        sh = xxh64_strings([s[j : j + window] for j in range(0, n, 1)])
+        sh = hasher([s[j : j + window] for j in range(0, n, 1)])
         mins[i] = sh.min() if len(sh) else 0
     return pa.table(
         {

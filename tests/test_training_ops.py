@@ -580,6 +580,44 @@ def test_reference_kernels_match_vectorized_signatures():
         assert lang[i] == RK.langid_ref(t), t
 
 
+def test_signature_md5_backend_matches_duckdb_oracle():
+    """The md5_u64 hash backend is the SQL-expressible twin of xxh64:
+    the content_signatures slot runs with it so the driver gets a real
+    DuckDB oracle.  Pin (a) vectorized-vs-scalar parity for the md5
+    backend and (b) the full oracle SQL bit-for-bit on sf0.001."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+    from siteone_crawler_ray.functions import reference_kernels as RK
+    from siteone_crawler_ray.functions.hashing import md5_u64, md5_u64_strings
+    from siteone_crawler_ray.stages.dedup import simhash_batch
+    from siteone_crawler_ray.stages.textstats import fingerprints
+
+    texts = ["the quick brown fox", "", "wörds with ünïcode", "x y\tz\nmix  gap"]
+    b = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    sim = simhash_batch(b, hasher=md5_u64_strings)["simhash"].to_pylist()
+    fp = fingerprints(b, hasher=md5_u64_strings)
+    for i, t in enumerate(texts):
+        assert sim[i] == RK.simhash_ref(t, hasher=md5_u64), t
+        assert fp["fingerprint"][i].as_py() == RK.fingerprint_ref(t, hasher=md5_u64), t
+        assert fp["winnow_min"][i].as_py() == RK.winnow_min_ref(t, hasher=md5_u64), t
+
+    sf = "/root/testdata/sf0.001"
+    mine = (entry.queries()["content_signatures"](sf)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    oracle = (con.execute(entry.oracle_sql()["content_signatures"]).df()
+              .sort_values("doc_id").reset_index(drop=True))
+    assert len(mine) == len(oracle) > 0
+    for c in ("doc_id", "simhash", "fingerprint", "winnow_min", "lang_pred"):
+        assert (mine[c].to_numpy() == oracle[c].to_numpy()).all(), c
+
+
 def test_duplicated_window_counts_semantics():
     """Windowed exact-substring dup detection (Lee et al. 2022 shape):
     identical docs share every window; unique docs share none; short
