@@ -424,20 +424,32 @@ def run_scaling(sf_dir: str, levels=(2, 8, 16, 32)) -> dict:
     return report
 
 
-def run_headline_with_retries(sf_dir: str, max_attempts: int = 3,
+def run_headline_with_retries(sf_dir: str, max_attempts: int = 5,
                               steal_limit: float = 5.0,
+                              membw_limit: float = 0.08,
                               wall_budget_sec: float = 900.0) -> dict:
-    """Fresh-process headline attempts, retried while the RECORDED
-    steal over the run window exceeds ``steal_limit``.
+    """Fresh-process headline attempts, retried while the run window
+    was NOISY: recorded steal above ``steal_limit`` OR the
+    memory-bandwidth probe above ``membw_limit``.
 
     The pre-run quiet-window gate (wait_for_quiet_window, inside each
     child) only proves the window was quiet when the run STARTED; the
     hypervisor can still steal 10-25% of ticks mid-run (observed:
     probe 0.7% → run-window 24.6%), which inflates the artifact with
-    machine noise, not engine time.  Retrying on the post-hoc number
-    keeps BENCH artifacts comparable round over round; every attempt's
-    (value, steal_pct) is recorded in the emitted JSON so nothing is
-    hidden."""
+    machine noise, not engine time.  Steal alone is NOT sufficient: the
+    post-reboot host (BASELINE.md 2026-08-19 A/B) collapses page-supply
+    /memory bandwidth with 0.0% recorded steal — the in-place membw
+    probe (quiet ~0.055 s) reads 0.09+ in those phases, so attempts
+    where either the before- or after-probe exceeds ``membw_limit``
+    retry too.  Retrying on post-hoc numbers keeps BENCH artifacts
+    comparable round over round; every attempt's (value, steal_pct,
+    membw) is recorded in the emitted JSON so nothing is hidden."""
+
+    def _noisy(r: dict) -> bool:
+        membw = max(r.get("ambient_membw_sec", 0.0),
+                    r.get("ambient_membw_after_sec", 0.0))
+        return r["steal_pct"] > steal_limit or membw > membw_limit
+
     attempts = []
     t0 = time.monotonic()
     for _ in range(max_attempts):
@@ -448,13 +460,16 @@ def run_headline_with_retries(sf_dir: str, max_attempts: int = 3,
         )
         rep = json.loads(out.stdout.strip().splitlines()[-1])
         attempts.append(rep)
-        if rep["steal_pct"] <= steal_limit:
+        if not _noisy(rep):
             break
         if time.monotonic() - t0 > wall_budget_sec:
             break
-    best = min(attempts, key=lambda r: (r["steal_pct"] > steal_limit, r["value"]))
+    best = min(attempts, key=lambda r: (_noisy(r), r["value"]))
     best["attempts"] = [
-        {"value": r["value"], "steal_pct": r["steal_pct"]} for r in attempts
+        {"value": r["value"], "steal_pct": r["steal_pct"],
+         "membw": max(r.get("ambient_membw_sec", 0.0),
+                      r.get("ambient_membw_after_sec", 0.0))}
+        for r in attempts
     ]
     return best
 
