@@ -1934,6 +1934,12 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(text, ' ' ORDER BY doc_id) AS packed
             FROM p GROUP BY source, bin
         """,
+        # decontaminate slot = contam rows (shared eval trigrams) UNION
+        # cut rows (exact duplicate-substring REMOVAL, k=64 STRIDE 1 —
+        # locked to stages/dedup.dedup_cut, the rewrite step of Lee et
+        # al. 2022 ExactSubstr: every non-first occurrence of a
+        # corpus-duplicated 64-char window is removed, overlapping
+        # removals merge via per-character marking, s = md5(cleaned))
         "decontaminate": """
             WITH tri AS (
               SELECT doc_id,
@@ -1941,10 +1947,44 @@ def oracle_sql() -> dict[str, str]:
                        || ' ' || w[CAST(i AS INT) + 2] AS g
               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
                    LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) t),
-            bench AS (SELECT DISTINCT g FROM tri WHERE doc_id % 97 = 3)
-            SELECT doc_id, count(DISTINCT g) AS n_hits FROM tri
+            bench AS (SELECT DISTINCT g FROM tri WHERE doc_id % 97 = 3),
+            cw AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS p,
+                     substr(text, CAST(i AS INT) + 1, 64) AS w64
+              FROM documents,
+                   LATERAL (SELECT unnest(range(0, greatest(length(text) - 63, 0))) AS i) t
+              WHERE length(text) >= 64),
+            crem AS (
+              SELECT doc_id, p FROM (
+                SELECT doc_id, p, count(*) OVER (PARTITION BY w64) AS c,
+                       row_number() OVER (PARTITION BY w64 ORDER BY doc_id, p) AS rn
+                FROM cw) WHERE c >= 2 AND rn > 1),
+            chars AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS i, text
+              FROM documents,
+                   LATERAL (SELECT unnest(range(0, length(text))) AS i) t),
+            cutpos AS (
+              SELECT DISTINCT c.doc_id, c.i
+              FROM chars c JOIN crem m
+                   ON m.doc_id = c.doc_id AND c.i BETWEEN m.p AND m.p + 63),
+            cleaned AS (
+              SELECT c.doc_id,
+                     coalesce(string_agg(
+                       CASE WHEN cp.i IS NULL
+                            THEN substr(c.text, CAST(c.i AS INT) + 1, 1) END,
+                       '' ORDER BY c.i), '') AS cleaned,
+                     count(cp.i) AS n_cut
+              FROM chars c LEFT JOIN cutpos cp
+                   ON cp.doc_id = c.doc_id AND cp.i = c.i
+              GROUP BY c.doc_id)
+            SELECT 'contam' AS section, doc_id, count(DISTINCT g) AS n, '' AS s
+            FROM tri
             WHERE doc_id % 97 <> 3 AND g IN (SELECT g FROM bench)
             GROUP BY doc_id
+            UNION ALL
+            SELECT 'cut' AS section, d.doc_id, coalesce(cl.n_cut, 0) AS n,
+                   md5(coalesce(cl.cleaned, d.text)) AS s
+            FROM documents d LEFT JOIN cleaned cl ON d.doc_id = cl.doc_id
         """,
         # MinHash+LSH near-dup: the engine's VERIFY stage computes exact
         # char-5-shingle Jaccard for every banding candidate, and on the

