@@ -101,3 +101,66 @@ def test_hash_join_matches_broadcast_path(ray_session, monkeypatch):
     b = base.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
     f = forced.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
     assert b.equals(f)
+
+
+def test_bloom_runtime_filter_kernel():
+    """No false negatives ever; false positives rare at the default
+    sizing; a saturated bitmap is detected by the fill guard."""
+    import numpy as np
+
+    from siteone_crawler_ray.stages.join import (
+        _bloom_build, _bloom_contains, _bloom_fill)
+
+    rng = np.random.default_rng(7)
+    present = rng.choice(1 << 40, size=50_000, replace=False).astype(np.uint64)
+    absent = (rng.choice(1 << 40, size=50_000, replace=False).astype(np.uint64)
+              + np.uint64(1 << 41))
+    words = _bloom_build(present, 1 << 20)
+    assert _bloom_contains(words, present).all()          # zero false negatives
+    fp = _bloom_contains(words, absent).mean()
+    assert fp < 0.05, fp                                  # ~2% expected
+    assert _bloom_fill(words) < 0.5
+    # 1024-bit bitmap over 50k keys saturates -> guard must fire
+    assert _bloom_fill(_bloom_build(present, 1 << 10)) > 0.5
+
+
+def test_hash_join_bloom_filter_parity(ray_session):
+    """runtime_filter on/off is bit-identical for every join type, on
+    key sets engineered so the bloom actually prunes (mostly-disjoint)
+    AND on a saturated bitmap (guard path: filter disabled, still
+    exact)."""
+    import numpy as np
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.join import hash_join_table
+
+    rng = np.random.default_rng(11)
+    lk = rng.integers(0, 4_000, size=6_000, dtype=np.int64)
+    rk = rng.integers(3_000, 9_000, size=6_000, dtype=np.int64)  # ~1/6 overlap
+    left = pa.table({"k": pa.array(lk), "lv": pa.array(np.arange(len(lk)))})
+    right = pa.table({"k": pa.array(rk), "rv": pa.array(np.arange(len(rk)))})
+
+    def ds(t, nblocks):
+        step = -(-t.num_rows // nblocks)
+        return rd.from_arrow([t.slice(i * step, step) for i in range(nblocks)])
+
+    def canon(t):
+        df = t.to_pandas()
+        return df[sorted(df.columns)].sort_values(sorted(df.columns)).reset_index(drop=True)
+
+    for how in ("inner", "left", "semi", "anti"):
+        plain = hash_join_table(ds(left, 5), ds(right, 4), "k", how=how,
+                                num_partitions=6, runtime_filter=False)
+        bloom = hash_join_table(ds(left, 5), ds(right, 4), "k", how=how,
+                                num_partitions=6, runtime_filter=True)
+        assert canon(bloom).equals(canon(plain)), how
+        # saturated bitmap (64 bits for 6k keys) -> guard disables the
+        # filter; output must still be exact
+        from siteone_crawler_ray.stages import join as j
+        tiny = hash_join_table(ds(left, 5), ds(right, 4), "k", how=how,
+                               num_partitions=6, runtime_filter=True)
+        got = j.hash_join(ds(left, 5), ds(right, 4), "k", how=how,
+                          num_partitions=6, runtime_filter=True, bloom_bits=64)
+        got = pa.concat_tables([t for t in got], promote_options="permissive")
+        assert canon(got).equals(canon(plain)), f"saturated {how}"
+        assert canon(tiny).equals(canon(plain))
