@@ -706,3 +706,126 @@ def ivf_query_index(index_path: str, query_vecs: np.ndarray, k: int = 10, *,
                          "cosine": pa.array([], pa.float64()), "rank": pa.array([], pa.int32())})
     sub = rd.read_parquet(paths, columns=[id_col, vec_col])
     return knn_bruteforce(sub, query_vecs, k, id_col=id_col, vec_col=vec_col)
+
+
+# ---- full-corpus distributed k-means (Lloyd) --------------------------------
+#
+# kmeans_centroids trains on a uniform SAMPLE (the standard IVF recipe);
+# this is the scale path when the clustering itself is the product
+# (SemDeDup cluster maps, corpus topic bucketing): every Lloyd
+# iteration streams the WHOLE corpus once — per block, assign rows to
+# the broadcast centroids and emit (k, dim) partial sums + (k,) counts;
+# partials tree-merge with fan-in 8 and the driver renormalizes.
+# Per-iteration communication is O(k·dim · blocks/8), independent of
+# corpus rows — the same data-parallel shape as stages/classifier.py.
+
+
+def _kmeans_partial(mat: np.ndarray, cent: np.ndarray):
+    """(sums[k,dim], counts[k], sim_sum) for one normalized block."""
+    sims = mat @ cent.T
+    assign = np.argmax(sims, axis=1)
+    k, dim = cent.shape
+    sums = np.zeros((k, dim), dtype=np.float64)
+    np.add.at(sums, assign, mat)
+    counts = np.bincount(assign, minlength=k).astype(np.int64)
+    return sums, counts, float(sims[np.arange(len(mat)), assign].sum())
+
+
+def _kmeans_update(cent: np.ndarray, sums: np.ndarray,
+                   counts: np.ndarray) -> np.ndarray:
+    """Spherical update; empty clusters keep their previous centroid
+    (same rule as kmeans_centroids)."""
+    out = cent.copy()
+    norms = np.linalg.norm(sums, axis=1)
+    live = (counts > 0) & (norms > 1e-12)
+    out[live] = sums[live] / norms[live, None]
+    return out
+
+
+def kmeans_distributed(ds, k: int, iters: int = 10,
+                       vec_col: str = "embedding", seed: int = 3,
+                       init_sample: int = 4096):
+    """Full-corpus spherical Lloyd's over a Dataset of vectors.
+
+    Returns (centroids[k,dim], objective-per-row history).  Init is the
+    same seeded choice as :func:`kmeans_centroids` over a distributed
+    uniform sample, so small-data results line up with the sample path.
+    Vector blocks are normalized ONCE and pinned in the object store;
+    each iteration ships only the (k, dim) centroid matrix."""
+    import ray
+
+    from ..functions.agg import block_refs
+
+    smat = _normalize(sample_vectors(ds, vec_col, n=init_sample, seed=seed))
+    rng = np.random.default_rng(seed)
+    init = rng.choice(len(smat), size=min(k, len(smat)), replace=False)
+    cent = smat[np.sort(init)].copy()
+
+    @ray.remote
+    def featurize(block):
+        if block is None or block.num_rows == 0:
+            return None
+        return _normalize(_as_matrix(block[vec_col]))
+
+    @ray.remote
+    def partial(mat, c):
+        if mat is None:
+            return None
+        return _kmeans_partial(mat, c)
+
+    @ray.remote
+    def merge(*parts):
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return None
+        s, n, o = parts[0]
+        s = s.copy()
+        n = n.copy()
+        for ss, nn, oo in parts[1:]:
+            s += ss
+            n += nn
+            o += oo
+        return s, n, o
+
+    mats = [featurize.remote(r) for r in block_refs(ds)]
+    history: list[float] = []
+    for _ in range(iters):
+        c_ref = ray.put(cent)
+        level = [partial.remote(m, c_ref) for m in mats]
+        while len(level) > 1:
+            level = [merge.remote(*level[i:i + 8]) for i in range(0, len(level), 8)]
+        got = ray.get(level[0])
+        if got is None:
+            break
+        sums, counts, obj = got
+        history.append(obj / max(int(counts.sum()), 1))
+        cent = _kmeans_update(cent, sums, counts)
+    return cent, history
+
+
+def kmeans_distributed_local(tables, k: int, iters: int = 10,
+                             vec_col: str = "embedding", seed: int = 3,
+                             init_sample: int = 4096):
+    """Single-process twin of :func:`kmeans_distributed` — identical
+    per-block partial math summed in a plain loop (pytest pin)."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(tables)
+    smat = _normalize(sample_vectors(ds, vec_col, n=init_sample, seed=seed))
+    rng = np.random.default_rng(seed)
+    init = rng.choice(len(smat), size=min(k, len(smat)), replace=False)
+    cent = smat[np.sort(init)].copy()
+    mats = [_normalize(_as_matrix(t[vec_col])) for t in tables if t.num_rows]
+    history: list[float] = []
+    for _ in range(iters):
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        obj = 0.0
+        for mat in mats:
+            s, n, o = _kmeans_partial(mat, cent)
+            sums += s
+            counts += n
+            obj += o
+        history.append(obj / max(int(counts.sum()), 1))
+        cent = _kmeans_update(cent, sums, counts)
+    return cent, history

@@ -1706,3 +1706,52 @@ def test_bm25_block_partials_match_single_block():
         lambda: rd.from_arrow([tab.slice(i * 12, 12) for i in range(5)]),
         ["spark merge"], k=10)
     assert one.to_pydict() == many.to_pydict()
+
+
+def test_kmeans_distributed_matches_local_twin(ray_session):
+    """Full-corpus Lloyd's: distributed tree-merged partials == the
+    single-process twin, objective is non-decreasing, and the
+    centroids stay unit-norm."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.similarity import (
+        kmeans_distributed, kmeans_distributed_local)
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    nb = 6
+    step = -(-t.num_rows // nb)
+    blocks = [t.slice(i * step, step) for i in range(nb)]
+    ds = rd.from_arrow(blocks)
+
+    cent_d, hist_d = kmeans_distributed(ds, k=8, iters=6)
+    cent_l, hist_l = kmeans_distributed_local(blocks, k=8, iters=6)
+    np.testing.assert_allclose(cent_d, cent_l, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(hist_d, hist_l, rtol=0, atol=1e-9)
+    assert len(hist_d) == 6
+    # spherical k-means objective (mean best-cosine) must not decrease
+    assert all(b >= a - 1e-12 for a, b in zip(hist_d, hist_d[1:]))
+    np.testing.assert_allclose(np.linalg.norm(cent_d, axis=1), 1.0, atol=1e-9)
+
+
+def test_kmeans_distributed_keeps_empty_clusters(ray_session):
+    """k > distinct directions: surplus centroids keep their init value
+    instead of collapsing to NaN."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.similarity import kmeans_distributed
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(2, 16))
+    vecs = np.repeat(base, 40, axis=0) + rng.normal(scale=1e-3, size=(80, 16))
+    t = pa.table({"vec_id": pa.array(np.arange(80)),
+                  "embedding": pa.array(list(vecs.astype(np.float32)),
+                                        pa.list_(pa.float32()))})
+    cent, hist = kmeans_distributed(rd.from_arrow(t), k=8, iters=4,
+                                    init_sample=64)
+    assert np.isfinite(cent).all()
+    np.testing.assert_allclose(np.linalg.norm(cent, axis=1), 1.0, atol=1e-9)
