@@ -647,7 +647,8 @@ def embedding_dup_pairs(ds, *, id_col="vec_id", vec_col="embedding", threshold=0
 
 def semantic_dedup(ds, *, id_col="vec_id", vec_col="embedding",
                    centroid_mod: int = 37, threshold: float = 0.45,
-                   num_partitions: int | None = None) -> pa.Table:
+                   num_partitions: int | None = None,
+                   centroids: np.ndarray | None = None) -> pa.Table:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
     2303.09540 — public literature): cluster embeddings, then mark as
     duplicates the docs that are near-identical in embedding space to
@@ -659,11 +660,14 @@ def semantic_dedup(ds, *, id_col="vec_id", vec_col="embedding",
 
     Two deliberate deviations from the paper, for determinism:
 
-    - centroids are the docs with ``id % centroid_mod == 0`` and
-      assignment is ONE cosine-argmax pass (the k-means E-step with
-      fixed seeds; ties broken toward the smallest centroid id).  A
-      production run would plug k-means|| centroids into the same
-      broadcast — the assignment pass is unchanged;
+    - by default centroids are the docs with ``id % centroid_mod == 0``
+      and assignment is ONE cosine-argmax pass (the k-means E-step with
+      fixed seeds; ties broken toward the smallest centroid id).  Pass
+      ``centroids`` (a (k, dim) matrix — e.g.
+      ``similarity.kmeans_distributed``'s full-corpus Lloyd output) to
+      run the paper's learned-centroid form instead: cluster ids become
+      centroid indices 0..k-1, every other stage is unchanged
+      (``test_semantic_dedup_with_kmeans_centroids``);
     - within a cluster the paper keeps the doc farthest from the
       centroid; here first-id-wins (matching ``exact_dedup``) so the
       result is partition- and order-independent.
@@ -686,19 +690,25 @@ def semantic_dedup(ds, *, id_col="vec_id", vec_col="embedding",
 
     src = ds.select_columns([id_col, vec_col])
 
-    # centroid set: tiny by construction (every centroid_mod-th id) —
-    # collected once, normalized, broadcast
-    def centroid_rows(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(ids % centroid_mod == 0))
+    if centroids is not None:
+        cm = np.asarray(centroids, dtype=np.float64)
+        cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+        cent_ids = np.arange(len(cm), dtype=np.int64)
+        cent_ref = ray.put(cm)
+    else:
+        # centroid set: tiny by construction (every centroid_mod-th id)
+        # — collected once, normalized, broadcast
+        def centroid_rows(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % centroid_mod == 0))
 
-    cent = pa.concat_tables(
-        [t for t in ray.get(_brefs(src.map_batches(centroid_rows, batch_format="pyarrow")))
-         if t.num_rows]
-    )
-    cent = cent.take(pc.sort_indices(cent, sort_keys=[(id_col, "ascending")]))
-    cent_ids = cent[id_col].to_numpy(zero_copy_only=False).copy()
-    cent_ref = ray.put(_norm_rows(cent))
+        cent = pa.concat_tables(
+            [t for t in ray.get(_brefs(src.map_batches(centroid_rows, batch_format="pyarrow")))
+             if t.num_rows]
+        )
+        cent = cent.take(pc.sort_indices(cent, sort_keys=[(id_col, "ascending")]))
+        cent_ids = cent[id_col].to_numpy(zero_copy_only=False).copy()
+        cent_ref = ray.put(_norm_rows(cent))
 
     def assign(batch: pa.Table) -> pa.Table:
         cm = ray.get(cent_ref)

@@ -1755,3 +1755,43 @@ def test_kmeans_distributed_keeps_empty_clusters(ray_session):
                                     init_sample=64)
     assert np.isfinite(cent).all()
     np.testing.assert_allclose(np.linalg.norm(cent, axis=1), 1.0, atol=1e-9)
+
+
+def test_semantic_dedup_with_kmeans_centroids(ray_session):
+    """The paper's learned-centroid form: kmeans_distributed centroids
+    plug into semantic_dedup; output matches an all-local numpy
+    reference (argmax assign -> per-cluster lower-triangular count)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.dedup import semantic_dedup
+    from siteone_crawler_ray.stages.similarity import kmeans_distributed
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    nb = 5
+    step = -(-t.num_rows // nb)
+    blocks = [t.slice(i * step, step) for i in range(nb)]
+    ds = rd.from_arrow(blocks)
+
+    cent, _ = kmeans_distributed(ds, k=6, iters=4)
+    out = semantic_dedup(rd.from_arrow(blocks), threshold=0.8,
+                         centroids=cent, num_partitions=3)
+
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    m = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    cl = np.argmax(m @ cent.T, axis=1)
+    n_sim = np.zeros(len(ids), np.int64)
+    for c in np.unique(cl):
+        sel = np.nonzero(cl == c)[0]  # ids sorted -> earlier id = lower row
+        cos = m[sel] @ m[sel].T
+        n_sim[sel] = np.tril(cos >= 0.8, k=-1).sum(axis=1)
+
+    assert out["vec_id"].to_pylist() == ids.tolist()
+    assert out["cluster"].to_pylist() == cl.tolist()
+    assert out["n_sim_earlier"].to_pylist() == n_sim.tolist()
+    assert set(out["cluster"].to_pylist()) <= set(range(6))
