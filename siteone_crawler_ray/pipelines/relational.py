@@ -383,6 +383,35 @@ def segment_join(sf_dir: str) -> pa.Table:
     )
 
 
+_ASOF_BROADCAST_ROWS = 5_000_000  # orders above this hash-partition on key
+
+
+def _asof_index(ck: np.ndarray, od: np.ndarray):
+    """(custkey, orderdate_us) → the composite-rank merge index:
+    (fused sorted axis, key-sorted times, sorted time domain, base)."""
+    order = np.lexsort((od, ck))
+    ck, od = ck[order], od[order]
+    n = len(od)
+    sorted_times = np.sort(od)  # rank domain (duplicates keep rank stable)
+    rank = np.searchsorted(sorted_times, od, side="right").astype(np.int64)
+    fused = ck.astype(np.int64) * (n + 1) + rank
+    return fused, od, sorted_times, np.int64(n + 1)
+
+
+def _asof_answer(index, uid: np.ndarray, ts: np.ndarray):
+    """Answer (uid, ts) queries against an ``_asof_index``: returns
+    (range count, as-of time or -1) — two searchsorted calls total."""
+    fkey, times, st_all, base = index
+    r_t = np.searchsorted(st_all, ts, side="right").astype(np.int64)
+    pos = np.searchsorted(fkey, uid * base + r_t, side="right")
+    seg = np.searchsorted(fkey, uid * base, side="left")
+    n = (pos - seg).astype(np.int64)
+    asof = np.full(len(uid), -1, dtype=np.int64)
+    hit = n > 0
+    asof[hit] = times[pos[hit] - 1]
+    return n, asof
+
+
 def range_join_count(sf_dir: str) -> pa.Table:
     """Range join + AS-OF join in one pass: per event, the count of
     this user's orders with orderdate ≤ ts (range) AND the most recent
@@ -394,36 +423,27 @@ def range_join_count(sf_dir: str) -> pa.Table:
     ``key·(N+1)+rank`` into one sorted int64 axis, and answer every
     event with two ``np.searchsorted`` calls.  ``pos_right − seg_start``
     is the range count; ``times[pos_right − 1]`` is the as-of value.
-    The small side broadcasts once via ``ray.put``; at 100-TB both
-    sides hash-partition on the key (the pipelines/dedup.py
-    ``_scatter_exchange`` pattern) and the identical kernel runs per
-    partition with partition-local N, which also keeps the fused key
-    inside int64."""
+    The small side broadcasts once via ``ray.put``; above
+    ``_ASOF_BROADCAST_ROWS`` orders, :func:`_range_join_scatter` runs
+    instead — both sides hash-partition on the key (the
+    ``stages/join.hash_join`` scatter shape, rows move once) and the
+    IDENTICAL kernel runs per partition with partition-local N, which
+    also keeps the fused key inside int64
+    (``test_range_join_scatter_path_matches``)."""
     import ray
     import pyarrow.parquet as pq
 
     orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderdate"])
+    if orders.num_rows > _ASOF_BROADCAST_ROWS:
+        return _range_join_scatter(sf_dir)
     ck = orders["o_custkey"].to_numpy(zero_copy_only=False)
     od = orders["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
-    order = np.lexsort((od, ck))
-    ck, od = ck[order], od[order]
-    n_orders = len(od)
-    sorted_times = np.sort(od)  # rank domain (duplicates keep rank stable)
-    rank = np.searchsorted(sorted_times, od, side="right").astype(np.int64)
-    fused = ck.astype(np.int64) * (n_orders + 1) + rank
-    ref = ray.put((fused, od, sorted_times, np.int64(n_orders + 1)))
+    ref = ray.put(_asof_index(ck, od))
 
     def asof_and_count(batch: pa.Table) -> pa.Table:
-        fkey, times, st_all, base = ray.get(ref)
         uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
-        r_t = np.searchsorted(st_all, ts, side="right").astype(np.int64)
-        pos = np.searchsorted(fkey, uid * base + r_t, side="right")
-        seg = np.searchsorted(fkey, uid * base, side="left")
-        n = (pos - seg).astype(np.int64)
-        asof = np.full(len(uid), -1, dtype=np.int64)
-        hit = n > 0
-        asof[hit] = times[pos[hit] - 1]
+        n, asof = _asof_answer(ray.get(ref), uid, ts)
         return pa.table({
             "event_id": batch["event_id"],
             "n_before": pa.array(n),
@@ -434,6 +454,73 @@ def range_join_count(sf_dir: str) -> pa.Table:
         _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
             asof_and_count, batch_format="pyarrow")
     )
+
+
+def _range_join_scatter(sf_dir: str, num_partitions: int | None = None) -> pa.Table:
+    """The coded big×big scale path: orders scatter on custkey%P,
+    events on user_id%P (each row crosses the wire once), partition
+    ``p`` builds its local composite-rank index and answers its local
+    events — identical results for any P because a key lives in
+    exactly one partition."""
+    import ray
+
+    from ..functions.agg import block_refs
+    from ..stages.dedup import _auto_partitions, _key_mod
+
+    P = num_partitions if num_partitions is not None else _auto_partitions()
+    orefs = block_refs(_read(sf_dir, "orders", ["o_custkey", "o_orderdate"]))
+    erefs = block_refs(_read(sf_dir, "events", ["event_id", "user_id", "ts"]))
+
+    @ray.remote
+    def scatter(block: pa.Table, key_col: str):
+        if block is None or block.num_rows == 0:
+            return (None,) * P if P > 1 else None
+        if P == 1:
+            return block
+        part = _key_mod(block, key_col, P)
+        return tuple(block.filter(pa.array(part == p)) for p in range(P))
+
+    @ray.remote
+    def answer(n_ord: int, *parts) -> pa.Table:
+        ot = [t for t in parts[:n_ord] if t is not None and t.num_rows]
+        et = [t for t in parts[n_ord:] if t is not None and t.num_rows]
+        if not et:
+            return None
+        ev = pa.concat_tables(et)
+        uid = ev["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = ev["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        if not ot:
+            n = np.zeros(len(uid), dtype=np.int64)
+            asof = np.full(len(uid), -1, dtype=np.int64)
+        else:
+            orders = pa.concat_tables(ot)
+            ck = orders["o_custkey"].to_numpy(zero_copy_only=False)
+            od = orders["o_orderdate"].to_numpy(zero_copy_only=False) \
+                .astype("datetime64[us]").astype(np.int64)
+            n, asof = _asof_answer(_asof_index(ck, od), uid, ts)
+        return pa.table({
+            "event_id": ev["event_id"],
+            "n_before": pa.array(n),
+            "asof_date_us": pa.array(asof),
+        })
+
+    def split(refs, key_col):
+        cols = [scatter.options(num_returns=P).remote(r, key_col) for r in refs]
+        return [[c] for c in cols] if P == 1 else cols
+
+    ocols, ecols = split(orefs, "o_custkey"), split(erefs, "user_id")
+    out = ray.get([
+        answer.remote(len(orefs),
+                      *[ocols[i][p] for i in range(len(orefs))],
+                      *[ecols[i][p] for i in range(len(erefs))])
+        for p in range(P)
+    ])
+    out = [t for t in out if t is not None and t.num_rows]
+    if not out:
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "n_before": pa.array([], pa.int64()),
+                         "asof_date_us": pa.array([], pa.int64())})
+    return pa.concat_tables(out)
 
 
 # -- distinct / windowed / parsing shapes ------------------------------------

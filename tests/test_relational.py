@@ -164,3 +164,19 @@ def test_hash_join_bloom_filter_parity(ray_session):
         got = pa.concat_tables([t for t in got], promote_options="permissive")
         assert canon(got).equals(canon(plain)), f"saturated {how}"
         assert canon(tiny).equals(canon(plain))
+
+
+def test_range_join_scatter_path_matches(ray_session):
+    """The big-by-big scatter path (_range_join_scatter) returns the
+    exact broadcast-path answer for several partition counts — a key
+    lives in exactly one partition, so the composite-rank kernel sees
+    its full order history partition-locally."""
+    from siteone_crawler_ray.pipelines.relational import (
+        _range_join_scatter,
+        range_join_count,
+    )
+
+    want = range_join_count(SF).sort_by("event_id")
+    for p in (1, 3, 7):
+        got = _range_join_scatter(SF, num_partitions=p).sort_by("event_id")
+        assert got.equals(want.cast(got.schema)), f"P={p} mismatch"
