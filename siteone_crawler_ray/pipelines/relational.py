@@ -584,42 +584,34 @@ def hourly_window(sf_dir: str) -> pa.Table:
     )
 
 
-def session_windows(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
-    """Session-window shape (gap-based sessionization): per-user event
-    sessions split at >gap inactivity; returns per-session event count
-    and duration.  Exchange: hash-partition events by user (each block's
-    users are disjoint after the partition step) → per-partition
-    vectorized gap-split.  At sf scale a driver-side pass over the
-    pruned 3 columns is cheapest; the partitioned path is the same code
-    per partition."""
-    t = _collect(_read(sf_dir, "events", ["user_id", "ts"]))
-    uid = t["user_id"].to_numpy(zero_copy_only=False)
-    ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+_SESSION_DRIVER_ROWS = 5_000_000  # events above this hash-partition on user
+
+
+def _session_kernel(uid: np.ndarray, ts: np.ndarray, gap_us: int) -> pa.Table:
+    """Gap sessionization over raw (user_id, ts_us) arrays — fully
+    vectorized (the per-user session_no is a maximum.accumulate reset
+    trick, no Python loop).  Correct on any row subset that contains
+    ALL of each included user's events, so the identical kernel runs
+    driver-side at small sf and per-partition after a user_id hash
+    exchange at scale."""
     order = np.lexsort((ts, uid))
     uid, ts = uid[order], ts[order]
-    gap_us = gap_minutes * 60 * 1_000_000
     new_user = np.ones(len(uid), dtype=bool)
     new_user[1:] = uid[1:] != uid[:-1]
     gap_break = np.ones(len(uid), dtype=bool)
     gap_break[1:] = (ts[1:] - ts[:-1]) > gap_us
     session_start = new_user | gap_break
-    sess_id = np.cumsum(session_start) - 1
     starts = np.nonzero(session_start)[0]
     ends = np.append(starts[1:], len(uid))
     n_events = (ends - starts).astype(np.int64)
     dur = (ts[ends - 1] - ts[starts]) / 1_000_000.0
-    # session index within user (1-based, like row_number)
-    user_first = np.nonzero(new_user)[0]
+    # session index within user (1-based, like row_number): subtract
+    # each session's position from its user's first-session position
     user_of_session = uid[starts]
-    sess_in_user = np.ones(len(starts), dtype=np.int64)
-    k = 0
-    prev = None
-    for i in range(len(starts)):
-        u = user_of_session[i]
-        if u != prev:
-            prev, k = u, 0
-        k += 1
-        sess_in_user[i] = k
+    idx = np.arange(len(starts), dtype=np.int64)
+    first_of_user = np.ones(len(starts), dtype=bool)
+    first_of_user[1:] = user_of_session[1:] != user_of_session[:-1]
+    sess_in_user = idx - np.maximum.accumulate(np.where(first_of_user, idx, 0)) + 1
     return pa.table(
         {
             "user_id": pa.array(user_of_session),
@@ -628,6 +620,68 @@ def session_windows(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
             "duration_sec": pa.array(round_away(dur, 3)),
         }
     )
+
+
+def session_windows(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """Session-window shape (gap-based sessionization): per-user event
+    sessions split at >gap inactivity; returns per-session event count
+    and duration.  At sf scale a driver-side pass over the pruned 2
+    columns is cheapest; above ``_SESSION_DRIVER_ROWS`` the events
+    hash-partition on user_id (rows cross the wire once, a user lives
+    in exactly one partition) and :func:`_session_kernel` runs
+    unchanged per partition (``test_session_scatter_path_matches``)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    if ds.count() > _SESSION_DRIVER_ROWS:
+        return _session_scatter(sf_dir, gap_us)
+    t = _collect(ds)
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+    return _session_kernel(uid, ts, gap_us)
+
+
+def _session_scatter(sf_dir: str, gap_us: int, num_partitions: int | None = None) -> pa.Table:
+    """The coded scale path: events scatter on user_id%P, partition p
+    sessionizes its own users with the identical kernel."""
+    import ray
+
+    from ..functions.agg import block_refs
+    from ..stages.dedup import _auto_partitions, _key_mod
+
+    P = num_partitions if num_partitions is not None else _auto_partitions()
+    refs = block_refs(_read(sf_dir, "events", ["user_id", "ts"]))
+
+    @ray.remote
+    def scatter(block: pa.Table):
+        if block is None or block.num_rows == 0:
+            return (None,) * P if P > 1 else None
+        if P == 1:
+            return block
+        part = _key_mod(block, "user_id", P)
+        return tuple(block.filter(pa.array(part == p)) for p in range(P))
+
+    @ray.remote
+    def sessionize(*parts) -> pa.Table:
+        tabs = [t for t in parts if t is not None and t.num_rows]
+        if not tabs:
+            return None
+        t = pa.concat_tables(tabs)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        return _session_kernel(uid, ts, gap_us)
+
+    cols = [scatter.options(num_returns=P).remote(r) for r in refs]
+    if P == 1:
+        cols = [[c] for c in cols]
+    out = ray.get([sessionize.remote(*[cols[i][p] for i in range(len(refs))])
+                   for p in range(P)])
+    out = [t for t in out if t is not None and t.num_rows]
+    if not out:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "session_no": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64()),
+                         "duration_sec": pa.array([], pa.float64())})
+    return pa.concat_tables(out)
 
 
 def props_bucket(sf_dir: str) -> pa.Table:

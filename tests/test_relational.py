@@ -180,3 +180,20 @@ def test_range_join_scatter_path_matches(ray_session):
     for p in (1, 3, 7):
         got = _range_join_scatter(SF, num_partitions=p).sort_by("event_id")
         assert got.equals(want.cast(got.schema)), f"P={p} mismatch"
+
+
+def test_session_scatter_path_matches(ray_session):
+    """Sessionization's coded scale path (_session_scatter) equals the
+    driver-side kernel for several partition counts — a user's whole
+    event history lands in one partition, so gap-splitting is local."""
+    from siteone_crawler_ray.pipelines.relational import (
+        _session_scatter,
+        session_windows,
+    )
+
+    want = session_windows(SF).sort_by([("user_id", "ascending"),
+                                        ("session_no", "ascending")])
+    for p in (1, 4):
+        got = _session_scatter(SF, 30 * 60 * 1_000_000, num_partitions=p) \
+            .sort_by([("user_id", "ascending"), ("session_no", "ascending")])
+        assert got.equals(want.cast(got.schema)), f"P={p} mismatch"
