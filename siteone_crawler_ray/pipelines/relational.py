@@ -284,18 +284,14 @@ def supplier_part_stats(sf_dir: str) -> pa.Table:
                      "sum_qty": pa.array(round_away(t["sum_qty"].to_numpy(), 2))})
 
 
-def p90_by_type(sf_dir: str) -> pa.Table:
-    """reference nearest-rank p90 per group (basic_stats.rs:14-21).
+_P90_DRIVER_ROWS = 5_000_000  # events above this hash-partition on type
 
-    Exact percentiles need every value of a group together; with a
-    handful of groups the cheapest exchange is collecting the two
-    pruned columns and a numpy grouped sort on the driver.  Scale path
-    (values no longer driver-sized): ds.sort(["event_type","value"])
-    + per-partition rank selection, or a t-digest sketch when approx
-    is acceptable."""
+
+def _grouped_p90(t: pa.Table) -> pa.Table:
+    """Exact nearest-rank p90 per event_type over one table — the
+    kernel shared by the driver path and every exchange partition."""
     from .reports import reference_percentile
 
-    t = _collect(_read(sf_dir, "events", ["event_type", "value"]))
     et = t["event_type"].to_numpy(zero_copy_only=False).astype(str)
     val = t["value"].to_numpy(zero_copy_only=False)
     order = np.lexsort((val, et))
@@ -308,6 +304,46 @@ def p90_by_type(sf_dir: str) -> pa.Table:
             "p90": pa.array([reference_percentile(val[s:e], 90) for s, e in zip(starts, ends)]),
         }
     )
+
+
+def p90_by_type(sf_dir: str) -> pa.Table:
+    """reference nearest-rank p90 per group (basic_stats.rs:14-21).
+
+    Exact percentiles need every value of a group together; with a
+    handful of groups the cheapest exchange is collecting the two
+    pruned columns and a numpy grouped sort on the driver.  Above
+    ``_P90_DRIVER_ROWS`` the coded scale path (:func:`_p90_scatter`)
+    hash-partitions rows on xxh64(event_type) — a group lives whole in
+    one partition, so the identical kernel is exact per partition
+    (``test_p90_scatter_path_matches``).  When approximate is enough,
+    ``stages/sketch.kll_quantiles`` is the no-co-location alternative."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    if ds.count() > _P90_DRIVER_ROWS:
+        return _p90_scatter(sf_dir)
+    return _grouped_p90(_collect(ds))
+
+
+def _p90_scatter(sf_dir: str, num_partitions: int | None = None) -> pa.Table:
+    """Coded scale path for exact grouped percentiles: derive a uint64
+    type key, exchange rows once on key%P, run the grouped-sort kernel
+    per partition.  Skew note: exact per-group rank inherently
+    co-locates each group; a hot group bounds one partition's size
+    (the sketch path trades exactness for skew-freedom)."""
+    from ..functions.hashing import xxh64_strings
+    from ..stages.dedup import _auto_partitions, _partitioned_exchange
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "type_key", pa.array(xxh64_strings(batch["event_type"]), pa.uint64()))
+
+    ds = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        add_key, batch_format="pyarrow")
+    P = num_partitions if num_partitions is not None else _auto_partitions()
+    out = _partitioned_exchange(ds, "type_key", _grouped_p90, num_partitions=P)
+    if not out:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "p90": pa.array([], pa.float64())})
+    return pa.concat_tables(out)
 
 
 # -- join / lookup shapes ----------------------------------------------------
@@ -544,8 +580,13 @@ def distinct_users_by_type(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "events", ["event_type", "user_id"]).map_batches(pair_dedup, batch_format="pyarrow")
     # per-block dedup shrinks each block to its distinct pairs; the
     # residue (bounded by global pair cardinality) combines on the
-    # driver.  Scale path: hash-partition by user_id so each partition
-    # dedups and counts independently, then sum per type.
+    # driver below _DISTINCT_DRIVER_ROWS, else the coded scale path
+    # hash-partitions the residue on user_id — a (type, user) pair
+    # lands in exactly one partition, so per-partition dedup + count
+    # is exact and the driver only sums #types×P tiny partials
+    # (test_distinct_users_scatter_path_matches).
+    if ds.count() > _DISTINCT_DRIVER_ROWS:
+        return _distinct_users_scatter(ds)
     t = _collect(ds)
     et = t["event_type"].to_numpy(zero_copy_only=False).astype(str)
     uid = t["user_id"].to_numpy(zero_copy_only=False)
@@ -553,6 +594,37 @@ def distinct_users_by_type(sf_dir: str) -> pa.Table:
     _, idx = np.unique(key, return_index=True)
     types, counts = np.unique(et[idx], return_counts=True)
     return pa.table({"event_type": pa.array(types, pa.string()), "n_users": pa.array(counts.astype(np.int64))})
+
+
+_DISTINCT_DRIVER_ROWS = 5_000_000  # deduped pairs above this hash-partition
+
+
+def _distinct_users_scatter(pairs_ds, num_partitions: int | None = None) -> pa.Table:
+    """Coded scale path for count-distinct-per-key: exchange the
+    block-deduped (event_type, user_id) pairs once on user_id%P,
+    dedup + count per partition, sum the #types×P partials."""
+    from ..stages.dedup import _auto_partitions, _partitioned_exchange
+
+    def count_part(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False).astype(str)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(et, "\x00"), uid.astype(str))
+        _, idx = np.unique(key, return_index=True)
+        types, counts = np.unique(et[idx], return_counts=True)
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "n_users": pa.array(counts.astype(np.int64))})
+
+    P = num_partitions if num_partitions is not None else _auto_partitions()
+    out = _partitioned_exchange(pairs_ds, "user_id", count_part, num_partitions=P)
+    if not out:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_users": pa.array([], pa.int64())})
+    merged = pa.concat_tables(out)
+    types, inv = np.unique(
+        merged["event_type"].to_numpy(zero_copy_only=False).astype(str), return_inverse=True)
+    sums = np.bincount(inv, weights=merged["n_users"].to_numpy(zero_copy_only=False),
+                       minlength=len(types)).astype(np.int64)
+    return pa.table({"event_type": pa.array(types, pa.string()), "n_users": pa.array(sums)})
 
 
 def hourly_window(sf_dir: str) -> pa.Table:

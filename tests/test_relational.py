@@ -197,3 +197,30 @@ def test_session_scatter_path_matches(ray_session):
         got = _session_scatter(SF, 30 * 60 * 1_000_000, num_partitions=p) \
             .sort_by([("user_id", "ascending"), ("session_no", "ascending")])
         assert got.equals(want.cast(got.schema)), f"P={p} mismatch"
+
+
+def test_p90_scatter_path_matches(ray_session):
+    """Exact grouped p90's coded scale path equals the driver kernel —
+    a group's rows all share one xxh64(type) partition."""
+    from siteone_crawler_ray.pipelines.relational import _p90_scatter, p90_by_type
+
+    want = p90_by_type(SF).sort_by("event_type")
+    for p in (1, 4):
+        got = _p90_scatter(SF, num_partitions=p).sort_by("event_type")
+        assert got.equals(want.cast(got.schema)), f"P={p} mismatch"
+
+
+def test_distinct_users_scatter_path_matches(ray_session):
+    """Count-distinct-per-type's coded scale path (user_id exchange +
+    partial sums) equals the driver combine."""
+    from siteone_crawler_ray.pipelines.relational import (
+        _distinct_users_scatter,
+        _read,
+        distinct_users_by_type,
+    )
+
+    want = distinct_users_by_type(SF).sort_by("event_type")
+    ds = _read(SF, "events", ["event_type", "user_id"])
+    for p in (1, 4):
+        got = _distinct_users_scatter(ds, num_partitions=p).sort_by("event_type")
+        assert got.equals(want.cast(got.schema)), f"P={p} mismatch"
