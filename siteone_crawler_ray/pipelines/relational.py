@@ -227,15 +227,25 @@ def top_order_per_segment(sf_dir: str, k: int = 3) -> pa.Table:
                      "total": pa.array(round_away(out["o_totalprice"].to_numpy(), 2))})
 
 
+_ANTI_BROADCAST_KEYS = 50_000_000  # distinct probe keys above this scatter
+
+
 def customers_without_events(sf_dir: str) -> pa.Table:
     """anti-join shape: ordering customers with NO events (broadcast the
     sorted event user set via ray.put, vectorized searchsorted per
-    batch, per-block dedup partial → driver unique)."""
+    batch, per-block dedup partial → driver unique).  Above
+    ``_ANTI_BROADCAST_KEYS`` distinct probe keys the broadcast no
+    longer fits and :func:`_anti_join_scatter` runs instead: both
+    sides hash-partition on the key, each partition anti-joins and
+    dedups locally, nothing driver-sized anywhere
+    (``test_anti_join_scatter_path_matches``)."""
     import ray
     import pyarrow.parquet as pq
 
     ev = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
     ev_sorted = np.unique(ev["user_id"].to_numpy(zero_copy_only=False))
+    if len(ev_sorted) > _ANTI_BROADCAST_KEYS:
+        return _anti_join_scatter(sf_dir)
     ref = ray.put(ev_sorted)
 
     def anti(batch: pa.Table) -> pa.Table:
@@ -254,6 +264,63 @@ def customers_without_events(sf_dir: str) -> pa.Table:
     return pa.table({"o_custkey": pa.array(cks)})
 
 
+def _anti_join_scatter(sf_dir: str, num_partitions: int | None = None) -> pa.Table:
+    """Coded big×big anti-join: orders custkeys and event user_ids each
+    scatter once on key%P; partition p emits its distinct custkeys that
+    miss its event-key set.  Exact for any P (a key lives in one
+    partition on both sides); output rows are result-sized."""
+    import ray
+
+    from ..functions.agg import block_refs
+    from ..stages.dedup import _auto_partitions, _key_mod
+
+    P = num_partitions if num_partitions is not None else _auto_partitions()
+    orefs = block_refs(_read(sf_dir, "orders", ["o_custkey"]))
+    erefs = block_refs(_read(sf_dir, "events", ["user_id"]))
+
+    @ray.remote
+    def scatter(block: pa.Table, key_col: str):
+        if block is None or block.num_rows == 0:
+            return (None,) * P if P > 1 else None
+        # pre-dedup inside the block: only distinct keys cross the wire
+        keys = np.unique(block[key_col].to_numpy(zero_copy_only=False))
+        if P == 1:
+            return pa.table({key_col: pa.array(keys)})
+        part = (keys.view(np.uint64) if keys.dtype == np.int64
+                else keys.astype(np.uint64)) % np.uint64(P)
+        return tuple(pa.table({key_col: pa.array(keys[part == p])}) for p in range(P))
+
+    @ray.remote
+    def anti(n_ord: int, *parts) -> pa.Table:
+        ot = [t for t in parts[:n_ord] if t is not None and t.num_rows]
+        et = [t for t in parts[n_ord:] if t is not None and t.num_rows]
+        if not ot:
+            return None
+        ck = np.unique(np.concatenate(
+            [t["o_custkey"].to_numpy(zero_copy_only=False) for t in ot]))
+        if et:
+            ev = np.unique(np.concatenate(
+                [t["user_id"].to_numpy(zero_copy_only=False) for t in et]))
+            ck = ck[np.isin(ck, ev, invert=True, assume_unique=True)]
+        return pa.table({"o_custkey": pa.array(ck)})
+
+    def split(refs, key_col):
+        cols = [scatter.options(num_returns=P).remote(r, key_col) for r in refs]
+        return [[c] for c in cols] if P == 1 else cols
+
+    ocols, ecols = split(orefs, "o_custkey"), split(erefs, "user_id")
+    out = ray.get([
+        anti.remote(len(orefs),
+                    *[ocols[i][p] for i in range(len(orefs))],
+                    *[ecols[i][p] for i in range(len(erefs))])
+        for p in range(P)
+    ])
+    out = [t for t in out if t is not None and t.num_rows]
+    if not out:
+        return pa.table({"o_custkey": pa.array([], pa.int64())})
+    return pa.concat_tables(out).sort_by("o_custkey")
+
+
 def supplier_part_stats(sf_dir: str) -> pa.Table:
     """two-broadcast join shape: lineitem ⋈ supplier ⋈ part (both sides
     broadcast) → per-(nation of supplier, part brand) counts."""
@@ -264,16 +331,31 @@ def supplier_part_stats(sf_dir: str) -> pa.Table:
 
     supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"])
     part = pq.read_table(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"])
-    s_ref = ray.put(dict(zip(supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist())))
-    p_ref = ray.put(dict(zip(part["p_partkey"].to_pylist(), part["p_brand"].to_pylist())))
+    # broadcast SORTED key→value arrays, not dicts: the per-batch lookup
+    # is one vectorized searchsorted + take instead of a Python row loop
+    sk_arr = supp["s_suppkey"].to_numpy(zero_copy_only=False)
+    s_ord = np.argsort(sk_arr)
+    pk_arr = part["p_partkey"].to_numpy(zero_copy_only=False)
+    p_ord = np.argsort(pk_arr)
+    s_ref = ray.put((sk_arr[s_ord],
+                     supp["s_nationkey"].to_numpy(zero_copy_only=False)[s_ord]))
+    p_ref = ray.put((pk_arr[p_ord], part["p_brand"].take(pa.array(p_ord)).combine_chunks()))
+
+    def _lookup(keys_sorted: np.ndarray, probe: np.ndarray):
+        pos = np.searchsorted(keys_sorted, probe)
+        pos_c = np.minimum(pos, max(0, len(keys_sorted) - 1))
+        hit = keys_sorted[pos_c] == probe if len(keys_sorted) else np.zeros(len(probe), bool)
+        return pos_c, hit
 
     def attach(batch: pa.Table) -> pa.Table:
-        s_lut, p_lut = ray.get(s_ref), ray.get(p_ref)
+        (s_keys, s_nat), (p_keys, p_brand) = ray.get(s_ref), ray.get(p_ref)
         sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
         pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
-        nat = np.array([s_lut.get(int(x), -1) for x in sk], dtype=np.int64)
-        brand = np.array([p_lut.get(int(x), "") for x in pk], dtype=object)
-        return pa.table({"s_nationkey": pa.array(nat), "p_brand": pa.array(brand, pa.string()),
+        s_pos, s_hit = _lookup(s_keys, sk)
+        nat = np.where(s_hit, s_nat[s_pos], -1).astype(np.int64)
+        p_pos, p_hit = _lookup(p_keys, pk)
+        brand = pc.if_else(pa.array(p_hit), p_brand.take(pa.array(p_pos)), "")
+        return pa.table({"s_nationkey": pa.array(nat), "p_brand": brand,
                          "l_quantity": batch["l_quantity"]})
 
     ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey", "l_quantity"]).map_batches(

@@ -224,3 +224,17 @@ def test_distinct_users_scatter_path_matches(ray_session):
     for p in (1, 4):
         got = _distinct_users_scatter(ds, num_partitions=p).sort_by("event_type")
         assert got.equals(want.cast(got.schema)), f"P={p} mismatch"
+
+
+def test_anti_join_scatter_path_matches(ray_session):
+    """The big-by-big anti-join scatter path equals the broadcast
+    anti-join — both sides of a key share one partition."""
+    from siteone_crawler_ray.pipelines.relational import (
+        _anti_join_scatter,
+        customers_without_events,
+    )
+
+    want = customers_without_events(SF).sort_by("o_custkey")
+    for p in (1, 4):
+        got = _anti_join_scatter(SF, num_partitions=p).sort_by("o_custkey")
+        assert got.equals(want.cast(got.schema)), f"P={p} mismatch"
