@@ -1744,7 +1744,29 @@ def oracle_sql() -> dict[str, str]:
               SELECT toks.doc_id,
                      round(-avg(COALESCE(lpt.lp, (SELECT ln(0.5 / n) FROM tot))), 6)
                        AS log_ppl
-              FROM toks LEFT JOIN lpt ON lpt.tok = toks.tok GROUP BY toks.doc_id)
+              FROM toks LEFT JOIN lpt ON lpt.tok = toks.tok GROUP BY toks.doc_id),
+            -- unicode normalization (stages/normalize.py, exercised on
+            -- deterministically-dirtied sentence boundaries): NFC +
+            -- C0-control strip + whitespace collapse + ascii-space trim
+            nrm AS (
+              SELECT doc_id, dirty,
+                     trim(regexp_replace(regexp_replace(nfc_normalize(dirty),
+                            '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                          '\s+', ' ', 'g'), ' ') AS nt
+              FROM (SELECT doc_id,
+                           replace(text, '. ', '.' || chr(10) || chr(9) || ' ')
+                             AS dirty
+                    FROM documents)),
+            nrmh AS (
+              SELECT doc_id, (nt != dirty) AS norm_changed,
+                     length(nt) AS norm_chars,
+                     CAST(u - CASE WHEN u >= 9223372036854775808
+                                   THEN 18446744073709551616 ELSE 0 END
+                          AS BIGINT) AS norm_h
+              FROM (SELECT doc_id, nt, dirty,
+                           CAST(CAST(CONCAT('0x', SUBSTR(md5(nt), 1, 16))
+                                     AS UBIGINT) AS HUGEINT) AS u
+                    FROM nrm))
             SELECT d.doc_id, len(string_split(text, ' ')) AS n_tokens,
                    round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_tok_len,
                    round(CAST(length(text)
@@ -1763,10 +1785,14 @@ def oracle_sql() -> dict[str, str]:
                      '\b(customer|supplier)\b', '[TERM]', 'g') AS scrubbed,
                    coalesce(ww.n_win, 0) AS n_win,
                    coalesce(ww.n_dup_win, 0) AS n_dup_win,
-                   dppl.log_ppl AS log_ppl
+                   dppl.log_ppl AS log_ppl,
+                   nh.norm_changed AS norm_changed,
+                   nh.norm_chars AS norm_chars,
+                   nh.norm_h AS norm_h
             FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
                  LEFT JOIN ww ON d.doc_id = ww.doc_id
                  LEFT JOIN dppl ON d.doc_id = dppl.doc_id
+                 JOIN nrmh nh ON d.doc_id = nh.doc_id
         """,
         # corpus curation: deterministic multiplicative-hash sample →
         # per-source quota; exact bigram top-k; context-window chunking

@@ -1073,12 +1073,23 @@ def text_metrics(sf_dir: str) -> pa.Table:
         _LM_CACHE[sf_dir] = (ray.put(th), ray.put(tl), oov)
     th_ref, tl_ref, oov_logp = _LM_CACHE[sf_dir]
 
+    from ..functions.hashing import md5_u64_strings
+    from ..stages.normalize import normalize_array
+
     def both(batch: pa.Table) -> pa.Table:
         tc = token_counts(batch)
         q = quality_scores(batch)
         rep = repetition_metrics(batch)
         sc = scrub_kernel(batch.select(["doc_id", "text"]), patterns)
         lp = log_perplexity(batch, ray.get(th_ref), ray.get(tl_ref), oov_logp)
+        # unicode-normalization columns (stages/normalize.py): the slot
+        # dirties sentence boundaries deterministically so the NFC +
+        # strip + collapse kernels are load-bearing, then proves the
+        # whole normalized string via its md5_u64 (int64 view, the
+        # content_signatures convention)
+        dirty = pc.replace_substring(batch["text"], pattern=". ",
+                                     replacement=".\n\t ")
+        norm = normalize_array(dirty)
         return pa.table(
             {
                 "doc_id": tc["doc_id"],
@@ -1090,6 +1101,9 @@ def text_metrics(sf_dir: str) -> pa.Table:
                 "n_matches": sc["n_matches"],
                 "scrubbed": sc["scrubbed"],
                 "log_ppl": lp["log_ppl"],
+                "norm_changed": pc.invert(pc.equal(norm, dirty)),
+                "norm_chars": pc.utf8_length(norm).cast(pa.int64()),
+                "norm_h": pa.array(md5_u64_strings(norm).view(np.int64)),
             }
         )
 

@@ -1,0 +1,124 @@
+"""Unicode text normalization — the canonical pre-dedup cleanup pass.
+
+Training-data pipelines normalize text BEFORE hashing/dedup so that
+byte-different, render-identical documents (NFC vs NFD accents,
+compatibility ligatures, stray control bytes, ragged whitespace)
+collapse to one representative; the reference crawler's analyzers
+operate on raw fetched bytes, but its markdown/offline exporters do the
+same class of cleanup ad hoc (src/export/markdown.rs whitespace
+folding).  Here it is one vectorized Arrow stage:
+
+- unicode normalization with a vectorized ASCII short-circuit
+  (``pc.string_is_ascii`` — NFC/NFD are the identity on ASCII, and web
+  text is overwhelmingly ASCII after extraction); the non-ASCII
+  residue goes through CPython's C ``unicodedata.normalize``.  This is
+  deliberate: pyarrow 16's ``pc.utf8_normalize`` does NOT perform
+  canonical composition (NFC of ``e + U+0301`` stays decomposed —
+  verified empirically in test_normalize_shuffle.py), so it cannot
+  match DuckDB's utf8proc ``nfc_normalize``; unicodedata can and does,
+- control-byte strip and whitespace collapse via RE2
+  (``pc.replace_substring_regex``) — DuckDB's regexp_replace is also
+  RE2, so the whole transform is SQL-oracle-exact (it rides the
+  ``text_metrics`` driver slot),
+- optional ``pc.utf8_lower``.
+
+Arrow in, Arrow out; the only per-row Python is the non-ASCII
+normalization residue, one C call per affected string.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# C0 controls minus \t (x09) and \n (x0a) — those are whitespace and are
+# handled by the collapse step — plus DEL.  RE2 class, identical meaning
+# when handed to DuckDB regexp_replace (also RE2).
+CONTROL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+_WS = r"\s+"
+
+
+def normalize_array(
+    col,
+    *,
+    form: str = "NFC",
+    strip_control: bool = True,
+    collapse_whitespace: bool = True,
+    lowercase: bool = False,
+):
+    """Normalize one string array/chunked-array; returns a string array."""
+    s = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if not pc.all(pc.string_is_ascii(s)).as_py():
+        ascii_mask = pc.string_is_ascii(s).to_pylist()
+        vals = s.to_pylist()
+        s = pa.array(
+            [v if v is None or a else unicodedata.normalize(form, v)
+             for v, a in zip(vals, ascii_mask)],
+            type=s.type,
+        )
+    if strip_control:
+        s = pc.replace_substring_regex(s, pattern=CONTROL_CLASS, replacement="")
+    if collapse_whitespace:
+        s = pc.replace_substring_regex(s, pattern=_WS, replacement=" ")
+        # trim ONLY the ASCII space the collapse just produced — unicode
+        # trim would eat NBSP etc. and diverge from the SQL oracle
+        s = pc.utf8_trim(s, characters=" ")
+    if lowercase:
+        s = pc.utf8_lower(s)
+    return s
+
+
+def normalize_text(
+    ds,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    **kw,
+):
+    """Dataset → Dataset with ``out_col`` added (original column kept so
+    downstream stages can diff/score the change)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(out_col, normalize_array(batch[text_col], **kw))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def normalized_docs_table(sf_dir: str) -> pa.Table:
+    """Driver slot: doc_id, NFC-normalized/cleaned text, changed flag,
+    post-normalization character count — byte-exact vs the DuckDB
+    nfc_normalize + regexp_replace oracle.
+
+    The synthetic corpus is already clean ASCII, which would leave the
+    collapse/strip kernels unexercised; the slot first DIRTIES the text
+    deterministically (a literal ``replace`` both engines state
+    identically: sentence boundaries gain a newline+tab run) so the
+    normalization is load-bearing in the hash comparison."""
+    import os
+
+    import ray.data as rd
+
+    from ..functions.agg import collect_blocks
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"], override_num_blocks=32)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        dirty = pc.replace_substring(batch["text"], pattern=". ",
+                                     replacement=".\n\t ")
+        norm = normalize_array(dirty)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "norm_text": norm,
+            "changed": pc.invert(pc.equal(norm, dirty)),
+            "n_chars": pc.utf8_length(norm).cast(pa.int64()),
+        })
+
+    blocks = collect_blocks(ds.map_batches(fn, batch_format="pyarrow"))
+    if not blocks:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "norm_text": pa.array([], pa.string()),
+                         "changed": pa.array([], pa.bool_()),
+                         "n_chars": pa.array([], pa.int64())})
+    return pa.concat_tables(blocks)

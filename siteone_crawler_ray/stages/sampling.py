@@ -615,3 +615,51 @@ def stratified_sample(ds, key_col: str = "doc_id", group_col: str = "source",
     return mixture_sample(ds, rates or {}, key_col=key_col,
                           group_col=group_col, default_pct=default_pct,
                           salt=0)
+
+
+def epoch_shuffle(ds, num_shards: int, seed: int = 0, key_col: str = "doc_id",
+                  hasher=xxh64_strings) -> pa.Table:
+    """Deterministic global training shuffle: every row gets
+    ``hkey = hash(f"{key}:{seed}")``; shard = ``hkey % num_shards``;
+    within-shard order = ``(hkey, key)``.  Changing ``seed`` reshuffles
+    every epoch reproducibly — the property a resumable 100-TB training
+    run needs (restart mid-epoch, land on the identical permutation).
+
+    Exchange shape: ONE hash scatter (each row crosses the wire once,
+    partition == shard by construction) then a partition-LOCAL sort —
+    never a global sort.  Returns (key, shard, pos); a production sink
+    would write one parquet directory per shard instead of returning.
+
+    ``hasher`` defaults to vectorized xxh64; the driver slot passes
+    ``md5_u64_strings`` so DuckDB recomputes the identical permutation
+    (functions/hashing.md5_u64 documents the SQL spelling)."""
+    from .dedup import _partitioned_exchange
+
+    S = int(num_shards)
+
+    def key_batch(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col]
+        ks = pc.cast(keys, pa.string())
+        salted = pc.binary_join_element_wise(ks, f":{seed}", "")
+        h = hasher(salted)
+        return pa.table({key_col: keys, "hkey": pa.array(h, pa.uint64())})
+
+    def order_shard(t: pa.Table) -> pa.Table:
+        h = t["hkey"].to_numpy(zero_copy_only=False)
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        o = np.lexsort((k, h))
+        return pa.table({
+            key_col: pa.array(k[o]),
+            "shard": pa.array(np.full(len(o), -1, np.int64)
+                              if not len(o) else
+                              (h[o].view(np.uint64) % np.uint64(S)).astype(np.int64)),
+            "pos": pa.array(np.arange(len(o), dtype=np.int64)),
+        })
+
+    keyed = ds.map_batches(key_batch, batch_format="pyarrow")
+    parts = _partitioned_exchange(keyed, "hkey", order_shard, num_partitions=S)
+    if not parts:
+        return pa.table({key_col: pa.array([], pa.int64()),
+                         "shard": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64())})
+    return pa.concat_tables(parts)
