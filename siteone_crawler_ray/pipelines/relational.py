@@ -659,15 +659,18 @@ def distinct_users_by_type(sf_dir: str) -> pa.Table:
             {"event_type": pa.array(et[idx], pa.string()), "user_id": pa.array(uid[idx])}
         )
 
-    ds = _read(sf_dir, "events", ["event_type", "user_id"]).map_batches(pair_dedup, batch_format="pyarrow")
+    raw = _read(sf_dir, "events", ["event_type", "user_id"])
+    ds = raw.map_batches(pair_dedup, batch_format="pyarrow")
     # per-block dedup shrinks each block to its distinct pairs; the
     # residue (bounded by global pair cardinality) combines on the
     # driver below _DISTINCT_DRIVER_ROWS, else the coded scale path
     # hash-partitions the residue on user_id — a (type, user) pair
     # lands in exactly one partition, so per-partition dedup + count
     # is exact and the driver only sums #types×P tiny partials
-    # (test_distinct_users_scatter_path_matches).
-    if ds.count() > _DISTINCT_DRIVER_ROWS:
+    # (test_distinct_users_scatter_path_matches).  The threshold reads
+    # the INPUT row count (parquet-metadata-only, conservative upper
+    # bound on the residue) so the pipeline never executes twice.
+    if raw.count() > _DISTINCT_DRIVER_ROWS:
         return _distinct_users_scatter(ds)
     t = _collect(ds)
     et = t["event_type"].to_numpy(zero_copy_only=False).astype(str)
