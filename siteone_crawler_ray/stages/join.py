@@ -111,6 +111,7 @@ _JOIN_TYPES = {
     "left": "left outer",
     "semi": "left semi",
     "anti": "left anti",
+    "full": "full outer",
 }
 
 
@@ -157,7 +158,7 @@ def hash_join(left_ds, right_ds, key: str, how: str = "inner",
     P = num_partitions
 
     lbloom = rbloom = None  # bloom pruning LEFT / RIGHT rows respectively
-    if runtime_filter:
+    if runtime_filter and how != "full":  # full outer outputs every row
         rbloom = _build_bloom_ref(lrefs, key, bloom_bits)
         if how in ("inner", "semi"):
             lbloom = _build_bloom_ref(rrefs, key, bloom_bits)
@@ -172,19 +173,31 @@ def hash_join(left_ds, right_ds, key: str, how: str = "inner",
                 block = block.filter(pa.array(keep))
                 if block.num_rows == 0:
                     return (None,) * P if P > 1 else None
+        if P == 1:  # num_returns=1 must yield the bare table, not a 1-tuple
+            return block
         part = _key_mod(block, key, P)
         return tuple(block.filter(pa.array(part == p)) for p in range(P))
+
+    # full outer needs the left column names to suffix a right-only
+    # partition's collisions exactly as the Arrow join kernel would
+    left_names = set(left_ds.schema().names) if how == "full" else None
 
     @ray.remote
     def join_partition(n_left: int, *parts) -> pa.Table:
         lt = [t for t in parts[:n_left] if t is not None and t.num_rows]
         rt = [t for t in parts[n_left:] if t is not None and t.num_rows]
         if not lt:
+            if how == "full" and rt:  # right-only rows survive full outer
+                rcat = pa.concat_tables(rt)
+                rcat = rcat.rename_columns(
+                    [c if c == key or c not in left_names else c + right_suffix
+                     for c in rcat.column_names])
+                return post(rcat) if post is not None else rcat
             return None
         if not rt and how in ("inner", "semi"):
             return None
         lcat = pa.concat_tables(lt)
-        if not rt:  # left/anti with empty right: left rows pass through
+        if not rt:  # left/anti/full with empty right: left rows pass through
             # (the driver concat promotes missing right columns to null)
             joined = lcat
         else:

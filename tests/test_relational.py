@@ -80,7 +80,8 @@ def test_hash_join_semantics(ray_session):
         return rd.from_arrow([t.slice(i * step, step) for i in range(nblocks)])
 
     for how, arrow_kind in [("inner", "inner"), ("left", "left outer"),
-                            ("semi", "left semi"), ("anti", "left anti")]:
+                            ("semi", "left semi"), ("anti", "left anti"),
+                            ("full", "full outer")]:
         got = hash_join_table(ds(left, 3), ds(right, 2), "k", how=how,
                               num_partitions=4)
         want = left.join(right, keys="k", join_type=arrow_kind,
