@@ -138,6 +138,8 @@ def _scatter_exchange(refs, key_col: str, fn, num_partitions: int,
     def scatter(block: pa.Table, P: int):
         if block is None or block.num_rows == 0:  # ref from an upstream exchange
             return (None,) * P if P > 1 else None
+        if P == 1:  # num_returns=1 must yield the bare table, not a 1-tuple
+            return block
         part = _key_mod(block, key_col, P)
         return tuple(block.filter(pa.array(part == p)) for p in range(P))
 

@@ -86,3 +86,22 @@ def test_partitioned_exchange_survives_worker_death(ray_session, tmp_path):
     ).sort_by("k")
     assert os.path.exists(marker), "the kill branch never ran"
     assert got.equals(clean)
+
+
+def test_scatter_exchange_single_partition(ray_session):
+    """P=1 regression: Ray's num_returns=1 yields a bare ref, so the
+    scatter must return the bare table, not a 1-tuple (the bug class
+    fixed across dedup/join/relational scatters)."""
+    from siteone_crawler_ray.functions.agg import block_refs
+    from siteone_crawler_ray.stages.dedup import _scatter_exchange
+
+    marker_free, _ = _make_kernels("/nonexistent-marker")
+    refs = block_refs(_mkds())
+    one = pa.concat_tables(
+        _scatter_exchange(refs, "k", marker_free, num_partitions=1)
+    ).sort_by("k")
+    refs2 = block_refs(_mkds())
+    four = pa.concat_tables(
+        _scatter_exchange(refs2, "k", marker_free, num_partitions=4)
+    ).sort_by("k")
+    assert one.equals(four)
