@@ -663,3 +663,57 @@ def epoch_shuffle(ds, num_shards: int, seed: int = 0, key_col: str = "doc_id",
                          "shard": pa.array([], pa.int64()),
                          "pos": pa.array([], pa.int64())})
     return pa.concat_tables(parts)
+
+
+def epoch_shuffle_write(ds, out_dir: str, num_shards: int, seed: int = 0,
+                        key_col: str = "doc_id", hasher=xxh64_strings) -> pa.Table:
+    """The production sink for :func:`epoch_shuffle`: FULL rows land in
+    ``out_dir/shard=NNNNN/part.parquet`` in shuffled order, written by
+    the partition task itself — nothing row-sized ever reaches the
+    driver; only a (shard, rows, path, skipped) manifest does.
+
+    Resumable: a shard file that already exists is left untouched and
+    reported ``skipped`` — a restarted 100-TB shuffle run redoes only
+    the shards that never landed (the same contract as the crawl's
+    per-epoch visited parquet)."""
+    import os
+
+    from .dedup import _partitioned_exchange
+
+    S = int(num_shards)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def key_batch(batch: pa.Table) -> pa.Table:
+        ks = pc.cast(batch[key_col], pa.string())
+        salted = pc.binary_join_element_wise(ks, f":{seed}", "")
+        return batch.append_column("hkey", pa.array(hasher(salted), pa.uint64()))
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        h = t["hkey"].to_numpy(zero_copy_only=False)
+        shard = int(h[0] % np.uint64(S))  # partition == shard for any row
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        o = np.lexsort((k, h))
+        body = t.take(pa.array(o)).drop_columns(["hkey"])
+        d = os.path.join(out_dir, f"shard={shard:05d}")
+        path = os.path.join(d, "part.parquet")
+        skipped = os.path.exists(path)
+        if not skipped:
+            os.makedirs(d, exist_ok=True)
+            tmp = path + ".tmp"
+            pq.write_table(body, tmp)
+            os.replace(tmp, path)  # atomic: a crashed write never half-lands
+        return pa.table({"shard": pa.array([shard], pa.int64()),
+                         "rows": pa.array([body.num_rows], pa.int64()),
+                         "path": pa.array([path], pa.string()),
+                         "skipped": pa.array([skipped])})
+
+    keyed = ds.map_batches(key_batch, batch_format="pyarrow")
+    parts = _partitioned_exchange(keyed, "hkey", write_shard, num_partitions=S)
+    if not parts:
+        return pa.table({"shard": pa.array([], pa.int64()),
+                         "rows": pa.array([], pa.int64()),
+                         "path": pa.array([], pa.string()),
+                         "skipped": pa.array([], pa.bool_())})
+    return pa.concat_tables(parts).sort_by("shard")

@@ -145,3 +145,40 @@ def test_epoch_shuffle_is_a_permutation_and_seed_sensitive(ray_session):
                                           b["shard"].to_pylist(),
                                           b["pos"].to_pylist())}
     assert key_a != key_b
+
+
+def test_epoch_shuffle_write_is_resumable(ray_session, tmp_path):
+    """Full rows land per-shard in shuffled order; a re-run skips every
+    existing shard; deleting one shard re-writes exactly that shard."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.sampling import epoch_shuffle, epoch_shuffle_write
+
+    ds = lambda: rd.read_parquet(f"{SF}/documents.parquet",  # noqa: E731
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=4)
+    out = str(tmp_path / "shuffled")
+    m1 = epoch_shuffle_write(ds(), out, num_shards=4, seed=3)
+    assert m1.num_rows == 4 and not any(m1["skipped"].to_pylist())
+    assert sum(m1["rows"].to_pylist()) == ds().count()
+
+    # order inside each shard == the slim operator's (hkey, key) order
+    slim = epoch_shuffle(ds(), num_shards=4, seed=3)
+    for s in range(4):
+        want = slim.filter(pa.array(
+            slim["shard"].to_numpy(zero_copy_only=False) == s)) \
+            .sort_by("pos")["doc_id"].to_pylist()
+        got = pq.read_table(os.path.join(out, f"shard={s:05d}",
+                                         "part.parquet"))
+        assert got["doc_id"].to_pylist() == want
+        assert got.column_names == ["doc_id", "text"]
+
+    m2 = epoch_shuffle_write(ds(), out, num_shards=4, seed=3)
+    assert all(m2["skipped"].to_pylist())       # fully resumed
+    os.remove(os.path.join(out, "shard=00002", "part.parquet"))
+    m3 = epoch_shuffle_write(ds(), out, num_shards=4, seed=3)
+    skip = dict(zip(m3["shard"].to_pylist(), m3["skipped"].to_pylist()))
+    assert skip == {0: True, 1: True, 2: False, 3: True}
