@@ -1,0 +1,123 @@
+"""Continuous ingest — the composition a standing 100-TB crawl runs
+every cycle, built entirely from this engine's operators:
+
+    crawl epoch      (pipelines/crawl.EpochCrawler — upstream of here)
+      → crawl_delta  (what changed vs the previous snapshot)
+      → page text assembly + unicode normalization
+      → incremental MinHash index query (near-dup of ANYTHING already
+        ingested, across all previous cycles) → drop the near-dups
+      → index.add(novel docs)          (append-only, idempotent)
+      → epoch_shuffle_write(novel docs) (resumable per-shard parquet)
+
+Every stage is an existing exchange-shaped operator; this module only
+wires them and keeps the driver's hands off row-sized data — the
+inter-stage handoffs are Datasets / partitioned parquet, and the
+returned manifest is O(shards + counts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def page_text_batch(batch: pa.Table, out_col: str = "text") -> pa.Table:
+    """Assemble one text string per page from its span list — pure
+    Arrow: flatten the list column, keep kind=='text' spans, re-join
+    per row via the list offsets (no Python per-row loop)."""
+    spans = batch["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    lens = pc.list_value_length(spans).fill_null(0).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(spans)
+    kind = pc.struct_field(flat, "kind")
+    txt = pc.fill_null(pc.struct_field(flat, "text"), "")
+    keep_text = pc.equal(kind, "text")
+    piece = pc.if_else(keep_text, txt, "").to_pylist()
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    joined = [" ".join(s for s in piece[offs[i]:offs[i + 1]] if s)
+              for i in range(len(lens))]
+    return batch.append_column(out_col, pa.array(joined, pa.string()))
+
+
+def continuous_ingest(cur_visited_ds, index_dir: str, out_dir: str, *,
+                      epoch: int, prev_visited_ds=None,
+                      num_shards: int = 8, seed: int | None = None,
+                      dup_threshold: float = 0.8,
+                      normalize_form: str = "NFC") -> dict:
+    """One ingest cycle; returns a counts/manifest dict.
+
+    ``cur_visited_ds`` / ``prev_visited_ds`` are visited-parquet
+    Datasets (``stages/worker.py`` lineage).  Only status-200 pages
+    with a text payload are ingested.  ``seed`` defaults to ``epoch``
+    so every cycle lands a fresh deterministic shuffle permutation."""
+    import ray.data as rd  # noqa: F401  (documents the expected input kind)
+
+    from ..stages.dedup_index import MinHashIndex
+    from ..stages.normalize import normalize_array
+    from ..stages.sampling import epoch_shuffle_write
+    from .delta import crawl_delta, delta_counts
+
+    # -- stage 1: which URLs even need ingesting ------------------------
+    if prev_visited_ds is not None:
+        delta = crawl_delta(prev_visited_ds, cur_visited_ds,
+                            compare_cols=("status_code", "size"))
+        counts = delta_counts(delta)
+        wanted = delta.filter(
+            pc.is_in(delta["change"], value_set=pa.array(["new", "changed"])))
+        wanted_urls = set(wanted["url"].to_pylist())
+        pred = lambda url_arr: pc.is_in(  # noqa: E731
+            url_arr, value_set=pa.array(sorted(wanted_urls), pa.string()))
+    else:
+        counts = {"new": None, "gone": 0, "changed": 0, "unchanged": 0}
+        pred = None
+
+    def select(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["status_code"], 200)
+        if pred is not None:
+            keep = pc.and_(keep, pred(batch["url"]))
+        sub = batch.filter(keep)
+        if sub.num_rows == 0:
+            return sub.select(["url_key", "url"]).append_column(
+                "text", pa.array([], pa.string()))
+        sub = page_text_batch(sub)
+        sub = sub.set_column(sub.column_names.index("text"), "text",
+                             normalize_array(sub["text"], form=normalize_form))
+        sub = sub.filter(pc.greater(pc.utf8_length(sub["text"]), 0))
+        return sub.select(["url_key", "url", "text"])
+
+    # materialize: the assembled/normalized increment is consumed three
+    # times (index query, index add, shard write) — one execution, blocks
+    # pinned in the object store, nothing on the driver.  The increment
+    # is cycle-sized by construction, not corpus-sized.
+    docs = cur_visited_ds.map_batches(select, batch_format="pyarrow").materialize()
+
+    # -- stage 2: near-dup gate against everything already ingested -----
+    ix = MinHashIndex(index_dir)
+    dups = ix.query(docs, id_col="url_key", text_col="text",
+                    threshold=dup_threshold)
+    dup_keys = np.unique(dups["new_id"].to_numpy(zero_copy_only=False))
+
+    def drop_dups(batch: pa.Table) -> pa.Table:
+        k = batch["url_key"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(dup_keys, k)
+        pos_c = np.minimum(pos, max(0, len(dup_keys) - 1))
+        is_dup = dup_keys[pos_c] == k if len(dup_keys) else np.zeros(len(k), bool)
+        return batch.filter(pa.array(~is_dup))
+
+    novel = docs.map_batches(drop_dups, batch_format="pyarrow").materialize()
+
+    # -- stage 3: extend the index, land the training shards ------------
+    add_manifest = ix.add(novel, epoch=epoch, id_col="url_key", text_col="text")
+    shards = epoch_shuffle_write(
+        novel, out_dir, num_shards=num_shards,
+        seed=epoch if seed is None else seed, key_col="url_key")
+    return {
+        "epoch": epoch,
+        "delta": counts,
+        "near_dups_dropped": int(len(dup_keys)),
+        "ingested": int(sum(shards["rows"].to_pylist())),
+        "index": add_manifest,
+        "shards": shards.to_pylist(),
+    }

@@ -190,7 +190,10 @@ def _partitioned_exchange(ds, key_col: str, fn, num_partitions: int | None = Non
 
     @ray.remote
     def one_partition(p: int, P: int, *blocks) -> pa.Table:
-        parts = [b.filter(pa.array(_key_mod(b, key_col, P) == p)) for b in blocks]
+        # zero-row blocks can bypass an upstream map UDF and keep the
+        # INPUT schema (no key column) — skip them before keying
+        parts = [b.filter(pa.array(_key_mod(b, key_col, P) == p))
+                 for b in blocks if b.num_rows]
         parts = [x for x in parts if x.num_rows]
         if not parts:
             return None
