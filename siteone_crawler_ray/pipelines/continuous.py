@@ -24,8 +24,9 @@ import pyarrow.compute as pc
 
 def page_text_batch(batch: pa.Table, out_col: str = "text") -> pa.Table:
     """Assemble one text string per page from its span list — pure
-    Arrow: flatten the list column, keep kind=='text' spans, re-join
-    per row via the list offsets (no Python per-row loop)."""
+    Arrow end to end: flatten the list column, keep non-empty
+    kind=='text' spans, rebuild per-row lists from recomputed offsets
+    and ``pc.binary_join`` them (no Python per-row loop)."""
     spans = batch["spans"]
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
@@ -33,12 +34,19 @@ def page_text_batch(batch: pa.Table, out_col: str = "text") -> pa.Table:
     flat = pc.list_flatten(spans)
     kind = pc.struct_field(flat, "kind")
     txt = pc.fill_null(pc.struct_field(flat, "text"), "")
-    keep_text = pc.equal(kind, "text")
-    piece = pc.if_else(keep_text, txt, "").to_pylist()
-    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
-    joined = [" ".join(s for s in piece[offs[i]:offs[i + 1]] if s)
-              for i in range(len(lens))]
-    return batch.append_column(out_col, pa.array(joined, pa.string()))
+    keep = pc.and_(pc.equal(kind, "text"),
+                   pc.greater(pc.utf8_length(txt), 0)).fill_null(False)
+    pieces = txt.filter(keep)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    row_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    kept_per_row = np.bincount(row_of[keep_np], minlength=len(lens))
+    offsets = np.concatenate([[0], np.cumsum(kept_per_row)]).astype(np.int32)
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                     pieces.combine_chunks()
+                                     if isinstance(pieces, pa.ChunkedArray)
+                                     else pieces)
+    joined = pc.binary_join(lists, " ")
+    return batch.append_column(out_col, joined)
 
 
 def continuous_ingest(cur_visited_ds, index_dir: str, out_dir: str, *,
