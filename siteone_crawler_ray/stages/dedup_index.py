@@ -112,7 +112,9 @@ class MinHashIndex:
         SP, BP = self.sig_parts, self.band_parts
         wp = MinHashIndex._write_part
 
-        sigs = self._sig_ds(ds, id_col, text_col)
+        # one signature computation feeds both writes (blocks pinned in
+        # the object store; the increment is cycle-sized)
+        sigs = self._sig_ds(ds, id_col, text_col).materialize()
         sig_manifest = _partitioned_exchange(
             sigs.map_batches(_with_mod(id_col, "part_key", SP),
                              batch_format="pyarrow"),
@@ -145,7 +147,7 @@ class MinHashIndex:
         BP, SP, NP = self.band_parts, self.sig_parts, self.num_perm
         rp = MinHashIndex._read_part
 
-        sigs = self._sig_ds(ds, id_col, text_col)
+        sigs = self._sig_ds(ds, id_col, text_col).materialize()
         sig_cols = [f"mh{j}" for j in range(NP)]
 
         # stage 1: increment band rows → their band partition; candidates
