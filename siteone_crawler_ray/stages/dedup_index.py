@@ -199,17 +199,30 @@ class MinHashIndex:
             "part_key", lambda t: t, num_partitions=SP, return_refs=True)
 
         @ray.remote
-        def attach_and_route(cand: pa.Table, *sig_tabs) -> pa.Table:
+        def attach_and_route(cand: pa.Table, *sig_tabs):
+            """Join candidates with the increment's signatures, then
+            split by old_id%SP so each verify task receives ONLY its
+            partition's bytes (num_returns fan-out, not a broadcast)."""
             st = [t for t in sig_tabs if t is not None and t.num_rows]
             if cand.num_rows == 0 or not st:
-                return None
+                return (None,) * SP if SP > 1 else None
             s = pa.concat_tables(st)
             j = cand.join(s.rename_columns(
                 ["new_id"] + [c for c in s.column_names if c != id_col]),
                 keys="new_id", join_type="inner", use_threads=False)
-            return j if j.num_rows else None
+            if j.num_rows == 0:
+                return (None,) * SP if SP > 1 else None
+            if SP == 1:
+                return j
+            old = j["old_id"].to_numpy(zero_copy_only=False)
+            om = (old.view(np.uint64) if old.dtype == np.int64
+                  else old.astype(np.uint64)) % np.uint64(SP)
+            return tuple(j.filter(pa.array(om == p)) for p in range(SP))
 
-        routed = attach_and_route.remote(cand_tbl, *new_sig_parts)
+        routed = attach_and_route.options(num_returns=SP).remote(
+            cand_tbl, *new_sig_parts)
+        if SP == 1:
+            routed = [routed]
 
         def verify(t: pa.Table) -> pa.Table:
             part = int(t["old_part"][0].as_py())
@@ -244,16 +257,11 @@ class MinHashIndex:
         def verify_part(p: int, routed_tbl: pa.Table) -> pa.Table:
             if routed_tbl is None or routed_tbl.num_rows == 0:
                 return None
-            old = routed_tbl["old_id"].to_numpy(zero_copy_only=False)
-            mask = (old.view(np.uint64) if old.dtype == np.int64
-                    else old.astype(np.uint64)) % np.uint64(SP) == p
-            if not mask.any():
-                return None
-            sub = routed_tbl.filter(pa.array(mask)).append_column(
-                "old_part", pa.array(np.full(int(mask.sum()), p, np.int64)))
+            sub = routed_tbl.append_column(
+                "old_part", pa.array(np.full(routed_tbl.num_rows, p, np.int64)))
             return verify(sub)
 
-        out = ray.get([verify_part.remote(p, routed) for p in range(SP)])
+        out = ray.get([verify_part.remote(p, routed[p]) for p in range(SP)])
         out = [t for t in out if t is not None and t.num_rows]
         if not out:
             return _empty_pairs()
