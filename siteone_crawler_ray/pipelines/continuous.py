@@ -74,17 +74,26 @@ def continuous_ingest(cur_visited_ds, index_dir: str, out_dir: str, *,
         counts = delta_counts(delta)
         wanted = delta.filter(
             pc.is_in(delta["change"], value_set=pa.array(["new", "changed"])))
-        wanted_urls = set(wanted["url"].to_pylist())
-        pred = lambda url_arr: pc.is_in(  # noqa: E731
-            url_arr, value_set=pa.array(sorted(wanted_urls), pa.string()))
+        # broadcast ONE sorted uint64 key array (8 B/changed-URL) and
+        # searchsorted per batch — not a Python string set
+        import ray
+
+        wanted_ref = ray.put(np.sort(
+            wanted["url_key"].to_numpy(zero_copy_only=False)))
     else:
         counts = {"new": None, "gone": 0, "changed": 0, "unchanged": 0}
-        pred = None
+        wanted_ref = None
 
     def select(batch: pa.Table) -> pa.Table:
         keep = pc.equal(batch["status_code"], 200)
-        if pred is not None:
-            keep = pc.and_(keep, pred(batch["url"]))
+        if wanted_ref is not None:
+            import ray
+
+            wk = ray.get(wanted_ref)
+            k = batch["url_key"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(wk, k), max(0, len(wk) - 1))
+            hit = wk[pos] == k if len(wk) else np.zeros(len(k), bool)
+            keep = pc.and_(keep, pa.array(hit))
         sub = batch.filter(keep)
         if sub.num_rows == 0:
             return sub.select(["url_key", "url"]).append_column(

@@ -53,7 +53,8 @@ def _classify(joined: pa.Table, compare_cols) -> pa.Table:
     change = np.where(~ha, "new", np.where(~hn, "gone",
                       np.where(same, "unchanged", "changed")))
     url = pc.if_else(has_old, old_url, new_url)
-    return pa.table({"url": url, "change": pa.array(change, pa.string())})
+    return pa.table({"url_key": joined["url_key"], "url": url,
+                     "change": pa.array(change, pa.string())})
 
 
 def crawl_delta(old_ds, new_ds, compare_cols=DEFAULT_COMPARE,
@@ -76,7 +77,8 @@ def crawl_delta(old_ds, new_ds, compare_cols=DEFAULT_COMPARE,
                       num_partitions=num_partitions,
                       post=lambda t: _classify(t, compare_cols))
     if not parts:
-        return pa.table({"url": pa.array([], pa.string()),
+        return pa.table({"url_key": pa.array([], pa.uint64()),
+                         "url": pa.array([], pa.string()),
                          "change": pa.array([], pa.string())})
     return pa.concat_tables(parts, promote_options="permissive")
 

@@ -42,7 +42,7 @@ def test_crawl_delta_matches_duckdb_full_outer(ray_session):
         rd.from_arrow([old.slice(0, 170), old.slice(170)]),
         rd.from_arrow([new.slice(0, 200), new.slice(200)]),
         num_partitions=4,
-    ).sort_by("url")
+    ).select(["url", "change"]).sort_by("url")
 
     con = duckdb.connect()
     con.register("o", old)
