@@ -69,9 +69,13 @@ def continuous_ingest(cur_visited_ds, index_dir: str, out_dir: str, *,
 
     # -- stage 1: which URLs even need ingesting ------------------------
     if prev_visited_ds is not None:
+        # changes_only: the driver sees churn-sized rows, never the
+        # corpus-sized unchanged majority (its count reports as None)
         delta = crawl_delta(prev_visited_ds, cur_visited_ds,
-                            compare_cols=("status_code", "size"))
+                            compare_cols=("status_code", "size"),
+                            changes_only=True)
         counts = delta_counts(delta)
+        counts["unchanged"] = None
         wanted = delta.filter(
             pc.is_in(delta["change"], value_set=pa.array(["new", "changed"])))
         # broadcast ONE sorted uint64 key array (8 B/changed-URL) and

@@ -58,9 +58,16 @@ def _classify(joined: pa.Table, compare_cols) -> pa.Table:
 
 
 def crawl_delta(old_ds, new_ds, compare_cols=DEFAULT_COMPARE,
-                num_partitions: int | None = None) -> pa.Table:
+                num_partitions: int | None = None,
+                changes_only: bool = False) -> pa.Table:
     """Per-URL change table between two visited snapshots (Datasets or
-    anything `ray.data` produced with url_key/url + compare columns)."""
+    anything `ray.data` produced with url_key/url + compare columns).
+
+    ``changes_only=True`` drops the ``unchanged`` rows INSIDE each
+    partition before anything reaches the driver — on a steady-state
+    recrawl almost every row is unchanged, so the returned table is
+    churn-sized, not corpus-sized (what `pipelines/continuous.py`
+    consumes; the unchanged tally is then not represented)."""
     from ..stages.join import hash_join
 
     cols = ["url_key", "url", *compare_cols]
@@ -71,11 +78,17 @@ def crawl_delta(old_ds, new_ds, compare_cols=DEFAULT_COMPARE,
                          **{f"n_{c}" if c != "url_key" else c: batch[c]
                             for c in cols if c != "url_key"}})
 
+    def post(t: pa.Table) -> pa.Table:
+        out = _classify(t, compare_cols)
+        if changes_only:
+            out = out.filter(pc.not_equal(out["change"], "unchanged"))
+        return out
+
     new_sel = new_ds.select_columns([c for c in cols]).map_batches(
         tag_new, batch_format="pyarrow")
     parts = hash_join(old_sel, new_sel, key="url_key", how="full",
                       num_partitions=num_partitions,
-                      post=lambda t: _classify(t, compare_cols))
+                      post=post)
     if not parts:
         return pa.table({"url_key": pa.array([], pa.uint64()),
                          "url": pa.array([], pa.string()),

@@ -128,3 +128,24 @@ def test_crawl_delta_disjoint_snapshots(ray_session):
     empty = old.slice(0, 0)
     d = crawl_delta(rd.from_arrow(empty), rd.from_arrow(new), num_partitions=3)
     assert delta_counts(d)["new"] == 1
+
+
+def test_crawl_delta_changes_only(ray_session):
+    """changes_only returns exactly the non-unchanged subset."""
+    import ray.data as rd
+
+    from siteone_crawler_ray.pipelines.delta import crawl_delta
+
+    old = _snap(["https://a.test/1", "https://a.test/2"], [200, 200],
+                [10, 20], ["x", "y"])
+    new = _snap(["https://a.test/1", "https://a.test/3"], [200, 200],
+                [99, 30], ["x", "z"])
+    full = crawl_delta(rd.from_arrow(old), rd.from_arrow(new),
+                       num_partitions=3).sort_by("url")
+    churn = crawl_delta(rd.from_arrow(old), rd.from_arrow(new),
+                        num_partitions=3, changes_only=True).sort_by("url")
+    import pyarrow.compute as pc
+
+    want = full.filter(pc.not_equal(full["change"], "unchanged"))
+    assert churn.equals(want)
+    assert set(churn["change"].to_pylist()) == {"changed", "gone", "new"}
