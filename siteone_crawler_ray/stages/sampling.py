@@ -701,8 +701,8 @@ def epoch_shuffle_write(ds, out_dir: str, num_shards: int, seed: int = 0,
         skipped = os.path.exists(path)
         if not skipped:
             os.makedirs(d, exist_ok=True)
-            tmp = path + ".tmp"
-            pq.write_table(body, tmp)
+            tmp = path + f".tmp-{os.getpid()}"  # pid: a retried task never
+            pq.write_table(body, tmp)           # shares a dead writer's file
             os.replace(tmp, path)  # atomic: a crashed write never half-lands
         return pa.table({"shard": pa.array([shard], pa.int64()),
                          "rows": pa.array([body.num_rows], pa.int64()),

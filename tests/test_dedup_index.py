@@ -132,3 +132,38 @@ def test_compaction_preserves_queries(ray_session, tmp_path):
     # and the index remains extendable afterwards
     ix.add(rd.from_arrow(_docs([777], ["totally fresh words only"])), epoch=2)
     assert ix.query(rd.from_arrow(probe), threshold=0.5).equals(before)
+
+
+def test_index_add_survives_worker_death(ray_session, tmp_path):
+    """A writer task hard-killed mid-add is retried; atomic rename +
+    pid-suffixed tmp files mean the healed index answers exactly like
+    a cleanly-built one."""
+    import os
+
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.dedup_index import MinHashIndex
+
+    (a_ids, a_texts), (b_ids, b_texts) = _mk_corpora()
+    clean = MinHashIndex(str(tmp_path / "clean"), num_perm=32, bands=8,
+                         band_parts=4, sig_parts=4)
+    clean.add(rd.from_arrow(_docs(a_ids, a_texts)), epoch=0)
+    want = clean.query(rd.from_arrow(_docs(b_ids, b_texts)), threshold=0.5)
+
+    marker = str(tmp_path / "writer-died-once")
+
+    def die_once(batch):
+        if not os.path.exists(marker) and batch.num_rows:
+            with open(marker, "w") as f:
+                f.write("x")
+            os._exit(1)  # hard-kill mid-signature computation
+        return batch
+
+    drilled = MinHashIndex(str(tmp_path / "drill"), num_perm=32, bands=8,
+                           band_parts=4, sig_parts=4)
+    ds = rd.from_arrow(_docs(a_ids, a_texts)).map_batches(
+        die_once, batch_format="pyarrow")
+    drilled.add(ds, epoch=0)
+    assert os.path.exists(marker), "the kill branch never ran"
+    got = drilled.query(rd.from_arrow(_docs(b_ids, b_texts)), threshold=0.5)
+    assert got.equals(want)
