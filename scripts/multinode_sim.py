@@ -215,6 +215,32 @@ def run_child(mode: str) -> dict:
     dd_hash, dd_rows = _hash_df(qs["exact_dedup"](SF_DIR))
     dd_sec = time.perf_counter() - t0
 
+    # (d) the continuous-ingest index: add half the documents, query
+    # the other half — exercises the partitioned parquet write/read +
+    # candidate/verify exchanges across distinct object stores (the
+    # index dir lives on the shared filesystem, exactly a real
+    # cluster's shared-store mount, the read_parquet assumption)
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.dedup_index import MinHashIndex
+
+    ixdir = f"/tmp/graft_multinode_ix_{mode}"
+    if os.path.exists(ixdir):
+        shutil.rmtree(ixdir)
+    ix = MinHashIndex(ixdir, band_parts=8, sig_parts=8)
+    docs = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                           columns=["doc_id", "text"], override_num_blocks=8)
+    first = docs.map_batches(lambda b: b.filter(pc.less(b["doc_id"], 250)),
+                             batch_format="pyarrow")
+    second = docs.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["doc_id"], 250)),
+        batch_format="pyarrow")
+    t0 = time.perf_counter()
+    ix.add(first, epoch=0)
+    ix_hash, ix_rows = _hash_df(ix.query(second, threshold=0.7))
+    ix_sec = time.perf_counter() - t0
+
     out = {
         "mode": mode,
         "nodes": nodes_alive,
@@ -225,6 +251,7 @@ def run_child(mode: str) -> dict:
                   "pages_per_sec": res.metrics["pages_per_sec"]},
         "minhash_pairs": {"hash": mh_hash, "rows": mh_rows, "sec": round(mh_sec, 2)},
         "exact_dedup": {"hash": dd_hash, "rows": dd_rows, "sec": round(dd_sec, 2)},
+        "dedup_index": {"hash": ix_hash, "rows": ix_rows, "sec": round(ix_sec, 2)},
         "actor_node_spread": spread,
     }
     ray.shutdown()
@@ -260,7 +287,7 @@ def main() -> int:
 
     multi, single = results["multi"], results["single"]
     problems = []
-    for key in ("crawl", "minhash_pairs", "exact_dedup"):
+    for key in ("crawl", "minhash_pairs", "exact_dedup", "dedup_index"):
         if multi[key]["hash"] != single[key]["hash"]:
             problems.append(f"{key}: hash mismatch "
                             f"{multi[key]['hash']} != {single[key]['hash']}")

@@ -83,42 +83,3 @@ def normalize_text(
         return batch.append_column(out_col, normalize_array(batch[text_col], **kw))
 
     return ds.map_batches(fn, batch_format="pyarrow")
-
-
-def normalized_docs_table(sf_dir: str) -> pa.Table:
-    """Driver slot: doc_id, NFC-normalized/cleaned text, changed flag,
-    post-normalization character count — byte-exact vs the DuckDB
-    nfc_normalize + regexp_replace oracle.
-
-    The synthetic corpus is already clean ASCII, which would leave the
-    collapse/strip kernels unexercised; the slot first DIRTIES the text
-    deterministically (a literal ``replace`` both engines state
-    identically: sentence boundaries gain a newline+tab run) so the
-    normalization is load-bearing in the hash comparison."""
-    import os
-
-    import ray.data as rd
-
-    from ..functions.agg import collect_blocks
-
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"], override_num_blocks=32)
-
-    def fn(batch: pa.Table) -> pa.Table:
-        dirty = pc.replace_substring(batch["text"], pattern=". ",
-                                     replacement=".\n\t ")
-        norm = normalize_array(dirty)
-        return pa.table({
-            "doc_id": batch["doc_id"],
-            "norm_text": norm,
-            "changed": pc.invert(pc.equal(norm, dirty)),
-            "n_chars": pc.utf8_length(norm).cast(pa.int64()),
-        })
-
-    blocks = collect_blocks(ds.map_batches(fn, batch_format="pyarrow"))
-    if not blocks:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "norm_text": pa.array([], pa.string()),
-                         "changed": pa.array([], pa.bool_()),
-                         "n_chars": pa.array([], pa.int64())})
-    return pa.concat_tables(blocks)
