@@ -328,7 +328,8 @@ def main() -> int:
                 f"  4 raylets / 4 object stores / cross-node gRPC transfer): scale\n"
                 f"  crawl {multi['crawl']['visited']} pages"
                 f" ({multi['crawl']['sec']}s multi vs {single['crawl']['sec']}s single-node),\n"
-                f"  minhash_pairs + exact_dedup at sf0.01 — all three value-hash\n"
+                f"  minhash_pairs + exact_dedup + the incremental dedup-index\n"
+                f"  add/query cycle at sf0.01 — all four value-hash\n"
                 f"  IDENTICAL to the single-node 32-CPU run; crawl worker/shard\n"
                 f"  actors placed across {worker_spread} distinct nodes\n"
                 f"  (spread per class: {multi['actor_node_spread']}). Behavioral\n"
