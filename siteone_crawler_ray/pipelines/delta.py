@@ -41,8 +41,11 @@ def _classify(joined: pa.Table, compare_cols) -> pa.Table:
         nc = f"n_{c}"
         if c not in joined.column_names or nc not in joined.column_names:
             continue
-        eq = pc.equal(joined[c], joined[nc])
-        same &= pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+        # null-safe equality: both-null compares EQUAL (a nullable
+        # compare column must not mark a row changed forever)
+        both_null = pc.and_(pc.is_null(joined[c]), pc.is_null(joined[nc]))
+        eq = pc.or_(both_null, pc.fill_null(pc.equal(joined[c], joined[nc]), False))
+        same &= eq.to_numpy(zero_copy_only=False)
     # hash-collision guard: a "pair" whose URLs differ is not the same
     # document — classify as changed rather than unchanged
     url_eq = pc.fill_null(pc.equal(old_url, new_url), False).to_numpy(

@@ -57,6 +57,27 @@ class MinHashIndex:
         self.band_parts, self.sig_parts = int(band_parts), int(sig_parts)
         os.makedirs(os.path.join(index_dir, "bands"), exist_ok=True)
         os.makedirs(os.path.join(index_dir, "sigs"), exist_ok=True)
+        # the directory is the durable artifact: pin the hash/layout
+        # parameters in it, and refuse to reopen with different ones
+        # (mismatched seed/shingle_k would silently return zero matches)
+        import json
+
+        meta_path = os.path.join(index_dir, "meta.json")
+        params = {"num_perm": self.num_perm, "bands": self.bands,
+                  "shingle_k": self.shingle_k, "seed": self.seed,
+                  "band_parts": self.band_parts, "sig_parts": self.sig_parts}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                stored = json.load(f)
+            if stored != params:
+                raise ValueError(
+                    f"index at {index_dir} was built with {stored}, "
+                    f"reopened with {params}")
+        else:
+            tmp = meta_path + f".tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(params, f)
+            os.replace(tmp, meta_path)
 
     # ---- plumbing -----------------------------------------------------
 
@@ -91,15 +112,31 @@ class MinHashIndex:
                          "skipped": pa.array([skipped])})
 
     @staticmethod
-    def _read_part(root: str, part: int, columns=None) -> pa.Table | None:
+    def _read_part(root: str, part: int, columns=None,
+                   exclude_epoch: int | None = None) -> pa.Table | None:
+        """Read one partition directory.  Tolerates a concurrent
+        compaction (a listed epoch file may vanish before the read —
+        its rows are inside compact.parquet, so re-list and retry).
+        ``exclude_epoch`` skips that epoch's files — the query side of
+        an in-flight ingest must not see the ingest's own partial
+        writes, or a crashed-and-resumed cycle would classify the
+        increment against itself."""
         d = os.path.join(root, _FMT.format(part))
-        if not os.path.isdir(d):
-            return None
-        files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
-        if not files:
-            return None
-        return pa.concat_tables(
-            [pq.read_table(os.path.join(d, f), columns=columns) for f in files])
+        for _ in range(5):
+            if not os.path.isdir(d):
+                return None
+            files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+            if exclude_epoch is not None:
+                files = [f for f in files if f != f"epoch-{exclude_epoch}.parquet"]
+            if not files:
+                return None
+            try:
+                return pa.concat_tables(
+                    [pq.read_table(os.path.join(d, f), columns=columns)
+                     for f in files])
+            except FileNotFoundError:
+                continue  # compaction removed a listed file; re-list
+        raise RuntimeError(f"partition {d} kept changing under the reader")
 
     # ---- add an increment --------------------------------------------
 
@@ -233,17 +270,28 @@ class MinHashIndex:
             order = np.argsort(old_ids, kind="stable")
             old_sorted = old_ids[order]
             want = t["old_id"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(old_sorted, want)
-            pos_c = np.minimum(pos, max(0, len(old_sorted) - 1))
-            hit = old_sorted[pos_c] == want if len(old_sorted) else np.zeros(len(want), bool)
+            lo = np.searchsorted(old_sorted, want, side="left")
+            hi = np.searchsorted(old_sorted, want, side="right")
+            counts = hi - lo
+            hit = counts > 0
             if not hit.any():
                 return None
-            rows = order[pos_c[hit]]
+            # an old_id re-ingested after changing has ONE sig row per
+            # epoch — compare against ALL of them and keep the best
+            # agreement (a stale row must not mask a current near-dup)
+            reps = counts[hit]
+            total = int(reps.sum())
+            seg = np.concatenate([[0], np.cumsum(reps)])
+            pos_exp = (np.repeat(lo[hit], reps)
+                       + np.arange(total) - np.repeat(seg[:-1], reps))
+            rows = order[pos_exp]
+            cand_of = np.repeat(np.arange(len(reps)), reps)
             new_sig = np.stack([t[c].to_numpy(zero_copy_only=False)[hit]
                                 for c in sig_cols], axis=1)
             old_sig = np.stack([idx[c].to_numpy(zero_copy_only=False)[rows]
                                 for c in sig_cols], axis=1)
-            est = (new_sig == old_sig).mean(axis=1)
+            est_rows = (new_sig[cand_of] == old_sig).mean(axis=1)
+            est = np.maximum.reduceat(est_rows, seg[:-1])
             keep = est >= threshold
             if not keep.any():
                 return None

@@ -167,3 +167,38 @@ def test_index_add_survives_worker_death(ray_session, tmp_path):
     assert os.path.exists(marker), "the kill branch never ran"
     got = drilled.query(rd.from_arrow(_docs(b_ids, b_texts)), threshold=0.5)
     assert got.equals(want)
+
+
+def test_reingested_doc_verifies_against_current_signature(ray_session, tmp_path):
+    """A doc_id re-ingested with NEW text has two sig rows; a query
+    near-dup of the CURRENT text must verify against the best row,
+    not an arbitrary (possibly stale) one."""
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.dedup_index import MinHashIndex
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(80)]
+    old_text = " ".join(rng.choice(words, 60))
+    new_text = " ".join(rng.choice(words, 60))
+    ix = MinHashIndex(str(tmp_path / "ix"), num_perm=32, bands=8,
+                      band_parts=4, sig_parts=4)
+    ix.add(rd.from_arrow(_docs([7], [old_text])), epoch=0)
+    ix.add(rd.from_arrow(_docs([7], [new_text])), epoch=1)  # page changed
+    probe = new_text.split()
+    probe[3] = "X"
+    q = ix.query(rd.from_arrow(_docs([900], [" ".join(probe)])), threshold=0.5)
+    assert 7 in set(q["old_id"].to_pylist())  # matched the CURRENT text
+
+
+def test_index_params_are_pinned(ray_session, tmp_path):
+    """Reopening an index with different hash parameters errors instead
+    of silently returning zero matches."""
+    import pytest
+
+    from siteone_crawler_ray.stages.dedup_index import MinHashIndex
+
+    MinHashIndex(str(tmp_path / "ix"), num_perm=32, bands=8)
+    MinHashIndex(str(tmp_path / "ix"), num_perm=32, bands=8)  # same: fine
+    with pytest.raises(ValueError, match="was built with"):
+        MinHashIndex(str(tmp_path / "ix"), num_perm=32, bands=8, seed=13)

@@ -149,3 +149,24 @@ def test_crawl_delta_changes_only(ray_session):
     want = full.filter(pc.not_equal(full["change"], "unchanged"))
     assert churn.equals(want)
     assert set(churn["change"].to_pylist()) == {"changed", "gone", "new"}
+
+
+def test_crawl_delta_null_compare_columns(ray_session):
+    """A compare column null in BOTH snapshots counts as equal — the
+    row must not read 'changed' forever."""
+    import ray.data as rd
+
+    from siteone_crawler_ray.pipelines.delta import crawl_delta
+
+    def snap():
+        return pa.table({
+            "url_key": pa.array([1, 2], pa.uint64()),
+            "url": pa.array(["https://a/1", "https://a/2"]),
+            "status_code": pa.array([200, 200], pa.int32()),
+            "size": pa.array([10, 20], pa.int64()),
+            "title": pa.array([None, "t"], pa.string()),
+        })
+
+    d = crawl_delta(rd.from_arrow(snap()), rd.from_arrow(snap()),
+                    num_partitions=2)
+    assert d["change"].to_pylist() == ["unchanged", "unchanged"]
