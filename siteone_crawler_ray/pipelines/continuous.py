@@ -17,6 +17,8 @@ returned manifest is O(shards + counts).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -114,26 +116,48 @@ def continuous_ingest(cur_visited_ds, index_dir: str, out_dir: str, *,
     # is cycle-sized by construction, not corpus-sized.
     docs = cur_visited_ds.map_batches(select, batch_format="pyarrow").materialize()
 
-    # -- stage 2: near-dup gate against everything already ingested -----
+    # -- stage 2: near-dup gates ----------------------------------------
+    # one signature pass feeds the index query AND the later add
     ix = MinHashIndex(index_dir)
-    dups = ix.query(docs, id_col="url_key", text_col="text",
-                    threshold=dup_threshold)
-    dup_keys = np.unique(dups["new_id"].to_numpy(zero_copy_only=False))
+    sigs = ix.signatures(docs, id_col="url_key", text_col="text")
+    # (a) vs everything already ingested — the increment's own epoch is
+    # EXCLUDED so a crashed-and-resumed cycle classifies identically
+    dups = ix.query(sigs=sigs, id_col="url_key", threshold=dup_threshold,
+                    exclude_epoch=epoch)
+    # (b) within the increment itself (mirror pages crawled the same
+    # cycle): exact-Jaccard-verified pairs, keep the smaller url_key
+    from ..stages.dedup import minhash_dedup_pairs
+
+    intra = minhash_dedup_pairs(docs, id_col="url_key", text_col="text",
+                                num_perm=ix.num_perm, bands=ix.bands,
+                                shingle_k=ix.shingle_k, seed=ix.seed,
+                                threshold=dup_threshold)
+    ia = intra["id_a"].to_numpy(zero_copy_only=False)
+    ib = intra["id_b"].to_numpy(zero_copy_only=False)
+    intra_drop = np.maximum(ia.view(np.uint64), ib.view(np.uint64)) \
+        if ia.dtype == np.int64 else np.maximum(ia, ib)
+    dup_keys = np.unique(np.concatenate([
+        dups["new_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
+        intra_drop.astype(np.uint64)]))
 
     def drop_dups(batch: pa.Table) -> pa.Table:
-        k = batch["url_key"].to_numpy(zero_copy_only=False)
+        k = batch["url_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
         pos = np.searchsorted(dup_keys, k)
         pos_c = np.minimum(pos, max(0, len(dup_keys) - 1))
         is_dup = dup_keys[pos_c] == k if len(dup_keys) else np.zeros(len(k), bool)
         return batch.filter(pa.array(~is_dup))
 
     novel = docs.map_batches(drop_dups, batch_format="pyarrow").materialize()
+    novel_sigs = sigs.map_batches(drop_dups, batch_format="pyarrow")
 
-    # -- stage 3: extend the index, land the training shards ------------
-    add_manifest = ix.add(novel, epoch=epoch, id_col="url_key", text_col="text")
+    # -- stage 3: land the training shards, then extend the index -------
+    # shard paths are namespaced by epoch (cycles share out_dir without
+    # colliding with each other's skip-existing resume semantics)
     shards = epoch_shuffle_write(
-        novel, out_dir, num_shards=num_shards,
+        novel, os.path.join(out_dir, f"epoch={epoch:05d}"),
+        num_shards=num_shards,
         seed=epoch if seed is None else seed, key_col="url_key")
+    add_manifest = ix.add(sigs=novel_sigs, epoch=epoch, id_col="url_key")
     return {
         "epoch": epoch,
         "delta": counts,

@@ -140,18 +140,26 @@ class MinHashIndex:
 
     # ---- add an increment --------------------------------------------
 
-    def add(self, ds, *, epoch: int, id_col="doc_id", text_col="text") -> dict:
+    def signatures(self, ds, *, id_col="doc_id", text_col="text"):
+        """Materialized signature Dataset for an increment — compute
+        ONCE and hand to both :meth:`query` and :meth:`add` (``sigs=``)
+        so the dominant kernel of an ingest cycle runs a single time."""
+        return self._sig_ds(ds, id_col, text_col).materialize()
+
+    def add(self, ds=None, *, epoch: int, id_col="doc_id", text_col="text",
+            sigs=None) -> dict:
         """Index an increment: signature + band rows land in their
         partition directories as ``epoch-{epoch}`` files (idempotent —
-        rerunning the same epoch skips existing partition files)."""
+        rerunning the same epoch skips existing partition files).
+        Pass ``sigs`` (from :meth:`signatures`) to reuse an already-
+        computed signature table instead of ``ds``."""
         sig_root = os.path.join(self.dir, "sigs")
         band_root = os.path.join(self.dir, "bands")
         SP, BP = self.sig_parts, self.band_parts
         wp = MinHashIndex._write_part
 
-        # one signature computation feeds both writes (blocks pinned in
-        # the object store; the increment is cycle-sized)
-        sigs = self._sig_ds(ds, id_col, text_col).materialize()
+        if sigs is None:
+            sigs = self.signatures(ds, id_col=id_col, text_col=text_col)
         sig_manifest = _partitioned_exchange(
             sigs.map_batches(_with_mod(id_col, "part_key", SP),
                              batch_format="pyarrow"),
@@ -175,23 +183,31 @@ class MinHashIndex:
 
     # ---- query an increment against the index -------------------------
 
-    def query(self, ds, *, id_col="doc_id", text_col="text",
-              threshold: float = 0.7) -> pa.Table:
+    def query(self, ds=None, *, id_col="doc_id", text_col="text",
+              threshold: float = 0.7, sigs=None,
+              exclude_epoch: int | None = None) -> pa.Table:
         """(new_id, old_id, est_jaccard) for every increment doc whose
-        estimated Jaccard vs an indexed doc is ≥ threshold."""
+        estimated Jaccard vs an indexed doc is ≥ threshold.
+
+        ``exclude_epoch`` hides that epoch's index files from the query
+        — an ingest cycle queries with its OWN epoch excluded so a
+        crashed-and-resumed cycle never classifies the increment
+        against its own partial add."""
         band_root = os.path.join(self.dir, "bands")
         sig_root = os.path.join(self.dir, "sigs")
         BP, SP, NP = self.band_parts, self.sig_parts, self.num_perm
+        xe = exclude_epoch
         rp = MinHashIndex._read_part
 
-        sigs = self._sig_ds(ds, id_col, text_col).materialize()
+        if sigs is None:
+            sigs = self.signatures(ds, id_col=id_col, text_col=text_col)
         sig_cols = [f"mh{j}" for j in range(NP)]
 
         # stage 1: increment band rows → their band partition; candidates
         # = equality on (band_id, band_hash) against the partition's files
         def candidates(t: pa.Table) -> pa.Table:
             part = int(t["part_key"][0].as_py())
-            idx = rp(band_root, part)
+            idx = rp(band_root, part, exclude_epoch=xe)
             if idx is None or idx.num_rows == 0:
                 return None
             import pyarrow.compute as pc
@@ -224,28 +240,27 @@ class MinHashIndex:
                         cands["old_id"].to_numpy(zero_copy_only=False)], axis=1)
         arr = np.unique(arr, axis=0)  # cross-band dedup (candidate-sized)
 
-        # stage 2: attach the increment's signatures (exchange on new_id),
-        # then verify per old_id partition against the sig files
+        # stage 2: attach the increment's signatures — one task PER SIG
+        # BLOCK (the candidate table is pair-ids-only and broadcast via
+        # ray.put; no single gather task ever holds the full signature
+        # matrix), each fanning its joined rows out by old_id%SP
         import ray
-        import ray.data as rd
+
+        from ..functions.agg import block_refs
 
         cand_tbl = pa.table({"new_id": pa.array(arr[:, 0]),
                              "old_id": pa.array(arr[:, 1])})
-        new_sig_parts = _partitioned_exchange(sigs.map_batches(
-            _with_mod(id_col, "part_key", SP), batch_format="pyarrow"),
-            "part_key", lambda t: t, num_partitions=SP, return_refs=True)
+        cand_ref = ray.put(cand_tbl)
+        sig_refs = block_refs(sigs)
 
         @ray.remote
-        def attach_and_route(cand: pa.Table, *sig_tabs):
-            """Join candidates with the increment's signatures, then
-            split by old_id%SP so each verify task receives ONLY its
-            partition's bytes (num_returns fan-out, not a broadcast)."""
-            st = [t for t in sig_tabs if t is not None and t.num_rows]
-            if cand.num_rows == 0 or not st:
+        def attach(sig_block: pa.Table, cand):
+            """Join this block's signatures with the candidate pairs,
+            split by old_id%SP (num_returns fan-out)."""
+            if sig_block is None or sig_block.num_rows == 0 or cand.num_rows == 0:
                 return (None,) * SP if SP > 1 else None
-            s = pa.concat_tables(st)
-            j = cand.join(s.rename_columns(
-                ["new_id"] + [c for c in s.column_names if c != id_col]),
+            j = cand.join(sig_block.rename_columns(
+                ["new_id"] + [c for c in sig_block.column_names if c != id_col]),
                 keys="new_id", join_type="inner", use_threads=False)
             if j.num_rows == 0:
                 return (None,) * SP if SP > 1 else None
@@ -256,14 +271,16 @@ class MinHashIndex:
                   else old.astype(np.uint64)) % np.uint64(SP)
             return tuple(j.filter(pa.array(om == p)) for p in range(SP))
 
-        routed = attach_and_route.options(num_returns=SP).remote(
-            cand_tbl, *new_sig_parts)
+        cols = [attach.options(num_returns=SP).remote(r, cand_ref)
+                for r in sig_refs]
         if SP == 1:
-            routed = [routed]
+            cols = [[c] for c in cols]
+        routed = [[cols[i][p] for i in range(len(sig_refs))]
+                  for p in range(SP)]
 
         def verify(t: pa.Table) -> pa.Table:
             part = int(t["old_part"][0].as_py())
-            idx = rp(sig_root, part)
+            idx = rp(sig_root, part, exclude_epoch=xe)
             if idx is None or idx.num_rows == 0:
                 return None
             old_ids = idx[id_col].to_numpy(zero_copy_only=False)
@@ -302,14 +319,16 @@ class MinHashIndex:
             })
 
         @ray.remote
-        def verify_part(p: int, routed_tbl: pa.Table) -> pa.Table:
-            if routed_tbl is None or routed_tbl.num_rows == 0:
+        def verify_part(p: int, *parts) -> pa.Table:
+            tabs = [t for t in parts if t is not None and t.num_rows]
+            if not tabs:
                 return None
+            routed_tbl = pa.concat_tables(tabs)
             sub = routed_tbl.append_column(
                 "old_part", pa.array(np.full(routed_tbl.num_rows, p, np.int64)))
             return verify(sub)
 
-        out = ray.get([verify_part.remote(p, routed[p]) for p in range(SP)])
+        out = ray.get([verify_part.remote(p, *routed[p]) for p in range(SP)])
         out = [t for t in out if t is not None and t.num_rows]
         if not out:
             return _empty_pairs()
