@@ -50,14 +50,16 @@ def normalize_array(
 ):
     """Normalize one string array/chunked-array; returns a string array."""
     s = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    if not pc.all(pc.string_is_ascii(s)).as_py():
-        ascii_mask = pc.string_is_ascii(s).to_pylist()
-        vals = s.to_pylist()
-        s = pa.array(
-            [v if v is None or a else unicodedata.normalize(form, v)
-             for v, a in zip(vals, ascii_mask)],
-            type=s.type,
-        )
+    ascii_mask = pc.string_is_ascii(s)
+    if not pc.all(ascii_mask).as_py():
+        # ONLY the non-ASCII residue round-trips Python: filter it out,
+        # normalize those few strings, scatter back with replace_with_mask
+        non_ascii = pc.and_kleene(pc.invert(ascii_mask), pc.is_valid(s))
+        non_ascii = pc.fill_null(non_ascii, False)
+        residue = s.filter(non_ascii).to_pylist()
+        fixed = pa.array([unicodedata.normalize(form, v) for v in residue],
+                         type=s.type)
+        s = pc.replace_with_mask(s, non_ascii, fixed)
     if strip_control:
         s = pc.replace_substring_regex(s, pattern=CONTROL_CLASS, replacement="")
     if collapse_whitespace:
