@@ -2,12 +2,17 @@
 every cycle, built entirely from this engine's operators:
 
     crawl epoch      (pipelines/crawl.EpochCrawler — upstream of here)
-      → crawl_delta  (what changed vs the previous snapshot)
+      → crawl_delta  (what changed vs the previous snapshot,
+        changes-only inside partitions)
       → page text assembly + unicode normalization
-      → incremental MinHash index query (near-dup of ANYTHING already
-        ingested, across all previous cycles) → drop the near-dups
-      → index.add(novel docs)          (append-only, idempotent)
-      → epoch_shuffle_write(novel docs) (resumable per-shard parquet)
+      → near-dup gates: incremental MinHash index query (vs ANYTHING
+        already ingested, the ingest's own epoch excluded so a
+        crash-resume classifies identically) + intra-increment
+        minhash pairs (mirror pages crawled the same cycle)
+      → epoch_shuffle_write(novel docs) (resumable per-shard parquet,
+        epoch-namespaced)
+      → index.add(novel docs)          (append-only, idempotent,
+        reusing the query's signature pass)
 
 Every stage is an existing exchange-shaped operator; this module only
 wires them and keeps the driver's hands off row-sized data — the
