@@ -242,10 +242,13 @@ def customers_without_events(sf_dir: str) -> pa.Table:
     import ray
     import pyarrow.parquet as pq
 
-    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
-    ev_sorted = np.unique(ev["user_id"].to_numpy(zero_copy_only=False))
-    if len(ev_sorted) > _ANTI_BROADCAST_KEYS:
+    epath = os.path.join(sf_dir, "events.parquet")
+    # gate on TOTAL rows from parquet metadata (≥ distinct keys) so the
+    # driver never loads a column it cannot hold just to count it
+    if pq.read_metadata(epath).num_rows > _ANTI_BROADCAST_KEYS:
         return _anti_join_scatter(sf_dir)
+    ev = pq.read_table(epath, columns=["user_id"])
+    ev_sorted = np.unique(ev["user_id"].to_numpy(zero_copy_only=False))
     ref = ray.put(ev_sorted)
 
     def anti(batch: pa.Table) -> pa.Table:
@@ -481,7 +484,12 @@ def segment_join(sf_dir: str) -> pa.Table:
 
     from ..functions.agg import grouped_agg
 
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"])
+    cpath = os.path.join(sf_dir, "customer.parquet")
+    # the gate reads parquet METADATA only — above the threshold the
+    # broadcast-sized driver read must never happen
+    if pq.read_metadata(cpath).num_rows > _BROADCAST_JOIN_ROWS:
+        return _segment_join_shuffled(sf_dir)
+    cust = pq.read_table(cpath, columns=["c_custkey", "c_mktsegment"])
     if cust.num_rows > _BROADCAST_JOIN_ROWS:
         return _segment_join_shuffled(sf_dir)
     lut_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
@@ -551,9 +559,10 @@ def range_join_count(sf_dir: str) -> pa.Table:
     import ray
     import pyarrow.parquet as pq
 
-    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderdate"])
-    if orders.num_rows > _ASOF_BROADCAST_ROWS:
-        return _range_join_scatter(sf_dir)
+    opath = os.path.join(sf_dir, "orders.parquet")
+    if pq.read_metadata(opath).num_rows > _ASOF_BROADCAST_ROWS:
+        return _range_join_scatter(sf_dir)  # metadata-only gate
+    orders = pq.read_table(opath, columns=["o_custkey", "o_orderdate"])
     ck = orders["o_custkey"].to_numpy(zero_copy_only=False)
     od = orders["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
     ref = ray.put(_asof_index(ck, od))
@@ -848,7 +857,11 @@ def props_bucket(sf_dir: str) -> pa.Table:
 
     def extract(batch: pa.Table) -> pa.Table:
         ex = pc.extract_regex(batch["props"], pattern=r"(?P<k>[0-9]+)")
-        k = pc.struct_field(ex, "k").cast(pa.int32()).to_numpy(zero_copy_only=False)
+        kk = pc.struct_field(ex, "k").cast(pa.int32())
+        # regex misses / null props yield nulls: drop them (an unguarded
+        # float-NaN → int cast would mint a garbage bucket)
+        kk = kk.drop_null()
+        k = kk.to_numpy(zero_copy_only=False)
         return pa.table({"k_mod": pa.array((k % 10).astype(np.int32))})
 
     return _collect(

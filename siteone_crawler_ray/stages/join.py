@@ -80,6 +80,9 @@ def _build_bloom_ref(refs, key_col: str, bits: int):
     holds more than 8 bitmaps — block count can grow with the corpus."""
     import ray
 
+    if not refs:  # a side with zero blocks: nothing to prune with
+        return None
+
     @ray.remote
     def partial(block: pa.Table):
         if block is None or block.num_rows == 0:
@@ -104,8 +107,9 @@ def _build_bloom_ref(refs, key_col: str, bits: int):
         return None
     return ray.put(words)
 
-# full-outer is intentionally absent: a partition with rows on only one
-# side cannot null-fill the other side's columns without its schema
+# full outer: a right-only partition null-fills the left side via the
+# captured left schema names (join_partition's rename + the driver's
+# permissive concat promote missing columns to null)
 _JOIN_TYPES = {
     "inner": "inner",
     "left": "left outer",

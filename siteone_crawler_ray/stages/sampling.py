@@ -122,6 +122,11 @@ def weighted_sample(ds, n: int, weight_col: str, key_col: str = "doc_id",
     def skeys(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if not (w > 0).all():
+            # a negative weight's sort key -ln(u)/w < 0 would ALWAYS win
+            # (the inverse of weight-proportional); zero gives inf — fail
+            raise ValueError(f"weighted_sample needs {weight_col} > 0 "
+                             f"(got min {w.min()!r})")
         h = splitmix64(k.astype(np.uint64) + np.uint64(salt))
         u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) / 9007199254740993.0
         return k, -np.log(u) / w
