@@ -514,24 +514,35 @@ _ASOF_BROADCAST_ROWS = 5_000_000  # orders above this hash-partition on key
 
 def _asof_index(ck: np.ndarray, od: np.ndarray):
     """(custkey, orderdate_us) → the composite-rank merge index:
-    (fused sorted axis, key-sorted times, sorted time domain, base)."""
+    (unique keys, fused sorted axis, key-sorted times, sorted time
+    domain, base).  Keys are DENSIFIED (rank within the unique key set)
+    before fusing, so the fused value is bounded by
+    n_unique·(n+1) ≤ (n+1)² — int64-safe for any key magnitude (raw
+    snowflake-style 1e18 ids would overflow ck·(n+1) silently)."""
     order = np.lexsort((od, ck))
     ck, od = ck[order], od[order]
     n = len(od)
+    uniq = np.unique(ck)
+    dense = np.searchsorted(uniq, ck).astype(np.int64)
     sorted_times = np.sort(od)  # rank domain (duplicates keep rank stable)
     rank = np.searchsorted(sorted_times, od, side="right").astype(np.int64)
-    fused = ck.astype(np.int64) * (n + 1) + rank
-    return fused, od, sorted_times, np.int64(n + 1)
+    fused = dense * (n + 1) + rank
+    return uniq, fused, od, sorted_times, np.int64(n + 1)
 
 
 def _asof_answer(index, uid: np.ndarray, ts: np.ndarray):
     """Answer (uid, ts) queries against an ``_asof_index``: returns
-    (range count, as-of time or -1) — two searchsorted calls total."""
-    fkey, times, st_all, base = index
+    (range count, as-of time or -1) — three searchsorted calls total.
+    A uid absent from the index densifies to a non-matching slot and
+    reports zero matches."""
+    uniq, fkey, times, st_all, base = index
+    du = np.searchsorted(uniq, uid).astype(np.int64)
+    du_c = np.minimum(du, max(0, len(uniq) - 1))
+    known = uniq[du_c] == uid if len(uniq) else np.zeros(len(uid), bool)
     r_t = np.searchsorted(st_all, ts, side="right").astype(np.int64)
-    pos = np.searchsorted(fkey, uid * base + r_t, side="right")
-    seg = np.searchsorted(fkey, uid * base, side="left")
-    n = (pos - seg).astype(np.int64)
+    pos = np.searchsorted(fkey, du_c * base + r_t, side="right")
+    seg = np.searchsorted(fkey, du_c * base, side="left")
+    n = np.where(known, pos - seg, 0).astype(np.int64)
     asof = np.full(len(uid), -1, dtype=np.int64)
     hit = n > 0
     asof[hit] = times[pos[hit] - 1]
@@ -949,14 +960,57 @@ def user_type_stats(sf_dir: str) -> pa.Table:
             [([], "count_all")])
         return g.rename_columns(["event_type", "user_id", "rows"])
 
-    residue = _collect(
-        _read(sf_dir, "events", ["event_type", "user_id"]).map_batches(
-            pair_partial, batch_format="pyarrow")
-    )
+    import pyarrow.parquet as pq
+
+    pairs_ds = _read(sf_dir, "events", ["event_type", "user_id"]).map_batches(
+        pair_partial, batch_format="pyarrow")
+    # the pair residue is driver-combined below the threshold (gate =
+    # parquet metadata rows, an upper bound on distinct pairs), else it
+    # exchanges once on user_id — a (type, user) pair lands whole in one
+    # partition, so the per-partition (n, n_users) partials are exact
+    # and the driver sums #types×P tiny rows
+    # (test_user_type_stats_scatter_path_matches)
+    if pq.read_metadata(os.path.join(sf_dir, "events.parquet")).num_rows \
+            > _DISTINCT_DRIVER_ROWS:
+        return _user_type_scatter(pairs_ds)
+    residue = _collect(pairs_ds)
     pairs = residue.group_by(["event_type", "user_id"], use_threads=False).aggregate(
         [("rows", "sum")])
     out = pairs.group_by(["event_type"], use_threads=False).aggregate(
         [("rows_sum", "sum"), ([], "count_all")])
+    out = out.rename_columns(["event_type", "n", "n_users"])
+    idx = pc.sort_indices(out, [("event_type", "ascending")])
+    return pa.table(
+        {
+            "event_type": out["event_type"].take(idx),
+            "n": out["n"].take(idx).cast(pa.int64()),
+            "n_users": out["n_users"].take(idx).cast(pa.int64()),
+        }
+    )
+
+
+def _user_type_scatter(pairs_ds, num_partitions: int | None = None) -> pa.Table:
+    """Coded scale path for the merged (n, n_users)-per-type surface:
+    one user_id exchange of the block-level pair partials, exact
+    per-partition partials, tiny driver sum."""
+    from ..stages.dedup import _auto_partitions, _partitioned_exchange
+
+    def part(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "user_id"], use_threads=False).aggregate(
+            [("rows", "sum")])
+        out = g.group_by(["event_type"], use_threads=False).aggregate(
+            [("rows_sum", "sum"), ([], "count_all")])
+        return out.rename_columns(["event_type", "n", "n_users"])
+
+    P = num_partitions if num_partitions is not None else _auto_partitions()
+    parts = _partitioned_exchange(pairs_ds, "user_id", part, num_partitions=P)
+    if not parts:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "n_users": pa.array([], pa.int64())})
+    merged = pa.concat_tables(parts)
+    out = merged.group_by(["event_type"], use_threads=False).aggregate(
+        [("n", "sum"), ("n_users", "sum")])
     out = out.rename_columns(["event_type", "n", "n_users"])
     idx = pc.sort_indices(out, [("event_type", "ascending")])
     return pa.table(

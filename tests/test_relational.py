@@ -239,3 +239,44 @@ def test_anti_join_scatter_path_matches(ray_session):
     for p in (1, 4):
         got = _anti_join_scatter(SF, num_partitions=p).sort_by("o_custkey")
         assert got.equals(want.cast(got.schema)), f"P={p} mismatch"
+
+
+def test_asof_index_survives_huge_keys():
+    """Snowflake-scale 1e18 keys: the densified fused axis stays inside
+    int64 (the raw key·(n+1) product would wrap silently)."""
+    import numpy as np
+
+    from siteone_crawler_ray.pipelines.relational import _asof_answer, _asof_index
+
+    ck = np.array([10**18 + 5, 10**18 + 5, 10**18 + 9], dtype=np.int64)
+    od = np.array([100, 200, 150], dtype=np.int64)
+    idx = _asof_index(ck, od)
+    n, asof = _asof_answer(
+        idx,
+        np.array([10**18 + 5, 10**18 + 9, 42], dtype=np.int64),
+        np.array([250, 120, 999], dtype=np.int64))
+    assert list(n) == [2, 0, 0]
+    assert list(asof) == [200, -1, -1]
+
+
+def test_user_type_stats_scatter_path_matches(ray_session):
+    """The merged (n, n_users) surface's coded scale path equals the
+    driver combine for several partition counts."""
+    from siteone_crawler_ray.pipelines.relational import (
+        _read,
+        _user_type_scatter,
+        user_type_stats,
+    )
+
+    want = user_type_stats(SF)
+
+    def pair_partial(batch):
+        g = batch.group_by(["event_type", "user_id"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "user_id", "rows"])
+
+    for p in (1, 4):
+        ds = _read(SF, "events", ["event_type", "user_id"]).map_batches(
+            pair_partial, batch_format="pyarrow")
+        got = _user_type_scatter(ds, num_partitions=p)
+        assert got.equals(want.cast(got.schema)), f"P={p} mismatch"
