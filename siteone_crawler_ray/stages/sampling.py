@@ -208,34 +208,38 @@ def cap_per_group(ds, group_col: str, order_col: str, k: int,
     kernel — on the driver for quota-table sizes, via the hash-scatter
     exchange keyed on the group above _DRIVER_COMBINE_ROWS.
     """
-    from ..functions.agg import block_refs
-
     import ray
 
-    refs = block_refs(
-        ds.map_batches(lambda b: _cap_kernel(b, group_col, order_col, k),
-                       batch_format="pyarrow")
-    )
-    parts = [b for b in ray.get(refs) if b.num_rows]
-    if not parts:
-        return ds.schema().base_schema.empty_table()
-    total = sum(p.num_rows for p in parts)
-    if total > _DRIVER_COMBINE_ROWS:
-        def with_key(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "__gkey", pa.array(xxh64_strings(
-                    t[group_col].to_numpy(zero_copy_only=False).astype(str))))
+    def partial(b: pa.Table) -> pa.Table:
+        t = _cap_kernel(b, group_col, order_col, k)
+        return t.append_column(
+            "__gkey", pa.array(xxh64_strings(
+                t[group_col].to_numpy(zero_copy_only=False).astype(str))))
 
-        keyed = [ray.put(with_key(p)) for p in parts]
+    # branch on block METADATA counts — the partials stay in the object
+    # store; only the small driver-combine branch ever ray.gets them
+    bundles = list(ds.map_batches(partial, batch_format="pyarrow")
+                   .iter_internal_ref_bundles())
+    refs = [r for b in bundles for r in b.block_refs]
+    counts = [b.num_rows() for b in bundles]
+    total = None if any(c is None for c in counts) else sum(counts)
+    if total is None or total > _DRIVER_COMBINE_ROWS:
         out = _scatter_exchange(
-            keyed, "__gkey",
+            refs, "__gkey",
             lambda t: _cap_kernel(t.drop_columns(["__gkey"]), group_col, order_col, k),
             num_partitions,
         )
+        if not out:
+            return ds.schema().base_schema.empty_table()
         merged = pa.concat_tables(out, promote_options="permissive")
     else:
-        merged = _cap_kernel(pa.concat_tables(parts, promote_options="permissive"),
-                             group_col, order_col, k)
+        parts = [b for b in ray.get(refs) if b.num_rows]
+        if not parts:
+            return ds.schema().base_schema.empty_table()
+        merged = _cap_kernel(
+            pa.concat_tables(parts, promote_options="permissive")
+            .drop_columns(["__gkey"]),
+            group_col, order_col, k)
     return merged.take(pc.sort_indices(
         merged, [(group_col, "ascending"), (order_col, "ascending")]))
 
@@ -282,16 +286,12 @@ def ngram_topk(ds, n: int = 2, k: int = 50, text_col: str = "text",
     xxh64(ngram) above it — per-partition sum + local top-k, then a
     k×P-row driver merge.
     """
-    from ..functions.agg import block_refs
-
     import ray
 
-    refs = block_refs(ds.map_batches(
-        lambda b: _ngram_counts(b, text_col, n), batch_format="pyarrow"))
-    parts = [b for b in ray.get(refs) if b.num_rows]
-    if not parts:
-        return pa.table({"ngram": pa.array([], pa.string()),
-                         "n": pa.array([], pa.int64())})
+    def partial(b: pa.Table) -> pa.Table:
+        t = _ngram_counts(b, text_col, n)
+        return t.append_column("__gkey", pa.array(
+            xxh64_strings(t["ngram"].to_numpy(zero_copy_only=False))))
 
     def sum_topk(t: pa.Table) -> pa.Table:
         g = t.group_by(["ngram"], use_threads=False).aggregate([("n", "sum")])
@@ -299,21 +299,30 @@ def ngram_topk(ds, n: int = 2, k: int = 50, text_col: str = "text",
         idx = pc.sort_indices(g, [("n", "descending"), ("ngram", "ascending")])
         return g.take(idx.slice(0, k))
 
-    total = sum(p.num_rows for p in parts)
-    if total > _DRIVER_COMBINE_ROWS:
-        keyed = [
-            ray.put(p.append_column("__gkey", pa.array(
-                xxh64_strings(p["ngram"].to_numpy(zero_copy_only=False)))))
-            for p in parts
-        ]
+    # branch on block METADATA counts — an unbounded vocabulary's
+    # partials never land on the driver (the scatter consumes refs)
+    bundles = list(ds.map_batches(partial, batch_format="pyarrow")
+                   .iter_internal_ref_bundles())
+    refs = [r for b in bundles for r in b.block_refs]
+    counts = [b.num_rows() for b in bundles]
+    total = None if any(c is None for c in counts) else sum(counts)
+    if total is None or total > _DRIVER_COMBINE_ROWS:
         # identical ngram ⇒ identical partition, so per-partition sums are
         # final and a partition's local top-k is globally sufficient
         out = _scatter_exchange(
-            keyed, "__gkey", lambda t: sum_topk(t.drop_columns(["__gkey"])),
+            refs, "__gkey", lambda t: sum_topk(t.drop_columns(["__gkey"])),
             num_partitions)
+        if not out:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
         merged = pa.concat_tables(out, promote_options="permissive")
     else:
-        merged = pa.concat_tables(parts, promote_options="permissive")
+        parts = [b for b in ray.get(refs) if b.num_rows]
+        if not parts:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        merged = pa.concat_tables(parts, promote_options="permissive") \
+            .drop_columns(["__gkey"])
     return sum_topk(merged)
 
 
