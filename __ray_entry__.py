@@ -894,6 +894,7 @@ _PAGERANK_CHAIN = ",\n            ".join(
 def oracle_sql() -> dict[str, str]:
     from siteone_crawler_ray.stages.sketch import (
         cms_oracle_join_sql as _cms_bucket,
+        hll_grouped_oracle_sql as _hll_grouped_sql,
         hll_oracle_sql as _hll_oracle_sql,
         sql_splitmix64 as _sm64,
     )
@@ -1645,14 +1646,20 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY value DESC, event_id LIMIT 20)
             SELECT * FROM f UNION ALL SELECT * FROM s
         """,
-        "p90_by_type": """
+        # grouped-HLL distinct-user estimate re-derived register-exactly
+        # (stages/sketch.py::hll_grouped_oracle_sql) beside the exact p90
+        "p90_by_type": f"""
             WITH s AS (
               SELECT event_type, value,
                      row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS r,
                      count(*) OVER (PARTITION BY event_type) AS n
-              FROM events)
-            SELECT event_type, round(value, 3) AS p90
-            FROM s WHERE r = CAST(floor(0.9 * (n - 1) + 0.5) AS BIGINT)
+              FROM events),
+            p AS (
+              SELECT event_type, round(value, 3) AS p90
+              FROM s WHERE r = CAST(floor(0.9 * (n - 1) + 0.5) AS BIGINT)),
+            h AS (SELECT * FROM {_hll_grouped_sql('event_type', 'user_id', 'events')})
+            SELECT p.event_type, p.p90, round(h.approx, 3) AS approx_users
+            FROM p JOIN h ON h.g = p.event_type
         """,
         "segment_join": """
             SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total

@@ -401,11 +401,31 @@ def p90_by_type(sf_dir: str) -> pa.Table:
     hash-partitions rows on xxh64(event_type) — a group lives whole in
     one partition, so the identical kernel is exact per partition
     (``test_p90_scatter_path_matches``).  When approximate is enough,
-    ``stages/sketch.kll_quantiles`` is the no-co-location alternative."""
+    ``stages/sketch.kll_quantiles`` is the no-co-location alternative.
+
+    The slot also carries ``approx_users`` — the grouped-HLL distinct
+    user_id estimate per type (stages/sketch.approx_distinct_by): the
+    register-merge answer to COUNT(DISTINCT) GROUP BY, where no user_id
+    ever crosses the wire (the DuckDB oracle re-derives the registers
+    float-exactly via hll_grouped_oracle_sql)."""
+    from ..stages.sketch import approx_distinct_by
+
     ds = _read(sf_dir, "events", ["event_type", "value"])
     if ds.count() > _P90_DRIVER_ROWS:
-        return _p90_scatter(sf_dir)
-    return _grouped_p90(_collect(ds))
+        p90t = _p90_scatter(sf_dir)
+    else:
+        p90t = _grouped_p90(_collect(ds))
+    hll = approx_distinct_by(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type", "user_id", p=12)
+    joined = p90t.join(hll, keys="event_type", join_type="left outer")
+    out = pa.table({
+        "event_type": joined["event_type"],
+        "p90": joined["p90"],
+        "approx_users": pa.array(
+            np.round(joined["approx_distinct"].to_numpy(zero_copy_only=False), 3)),
+    })
+    return out.take(pc.sort_indices(out, [("event_type", "ascending")]))
 
 
 def _p90_scatter(sf_dir: str, num_partitions: int | None = None) -> pa.Table:

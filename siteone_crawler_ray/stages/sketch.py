@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _SM_GAMMA = 0x9E3779B97F4A7C15
 _SM_MUL1 = 0xBF58476D1CE4E5B9
@@ -256,6 +257,160 @@ def approx_distinct(ds, key_col: str, p: int = 12) -> float:
         refs, lambda arrs: np.maximum.reduce([a.astype(np.uint8) for a in arrs]),
         "reg")
     return hll_estimate(merged, p)
+
+
+# ---------------------------------------------------------- grouped HLL
+# Per-GROUP distinct-count estimates with the same mergeable register
+# algebra: the scale answer to COUNT(DISTINCT key) GROUP BY group.  The
+# exact formulation must co-locate every (group, key) pair (the coded
+# exchange in pipelines/relational.user_type_stats); this one ships one
+# 2^p-byte register row per (block, group) and merges by element-wise
+# max, so no key ever crosses the wire and a hot group costs the same
+# as a cold one.  Above ``_GROUPED_HLL_DRIVER_ROWS`` partial rows the
+# merge itself hash-scatters on xxh64(group) — identical group ⇒ one
+# partition, so per-partition merges are final and the driver only ever
+# sees (group, estimate) rows.
+
+_GROUPED_HLL_DRIVER_ROWS = 1 << 16
+
+
+def grouped_hll_partial(groups: np.ndarray, keys: np.ndarray,
+                        p: int = 12) -> tuple[np.ndarray, np.ndarray]:
+    """One register row per distinct group in the batch, built with a
+    single unbuffered ``maximum.at`` scatter over the (group, bucket)
+    plane — no per-group Python loop."""
+    uniq, gid = np.unique(groups, return_inverse=True)
+    nbits = 32 - p
+    h32 = splitmix64(keys) >> np.uint64(32)
+    bucket = (h32 >> np.uint64(nbits)).astype(np.int64)
+    rem = (h32 & np.uint64((1 << nbits) - 1)).astype(np.int64)
+    rank = np.where(
+        rem == 0, nbits + 1,
+        nbits - np.floor(np.log2(np.maximum(rem, 1).astype(np.float64))).astype(np.int64),
+    )
+    regs = np.zeros((len(uniq), 1 << p), dtype=np.uint8)
+    np.maximum.at(regs, (gid, bucket), rank.astype(np.uint8))
+    return uniq, regs
+
+
+def hll_estimates(regs: np.ndarray, p: int = 12) -> np.ndarray:
+    """Vectorized row-wise :func:`hll_estimate` over a (G, 2^p) register
+    matrix — identical branch rules, so a 1-row matrix reproduces the
+    scalar float-exactly (every 2^-mj term is dyadic with ≤34 mantissa
+    bits over the sum, so summation order cannot change the result)."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)), axis=1)
+    zeros = np.count_nonzero(regs == 0, axis=1)
+    lc = m * np.log(m / np.maximum(zeros, 1))
+    return np.where((est <= 2.5 * m) & (zeros > 0), lc, est)
+
+
+def approx_distinct_by(ds, group_col: str, key_col: str, p: int = 12,
+                       num_partitions: int | None = None) -> pa.Table:
+    """Distributed per-group distinct-count estimates over a Dataset:
+    (group, approx_distinct) rows sorted by group.  Register partials
+    stay in the object store; the driver-combine branch is taken only
+    when block metadata proves the partial-row total is small."""
+    import ray
+
+    from ..functions.hashing import xxh64_strings
+
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False).astype(str)
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        uniq, regs = grouped_hll_partial(g, k, p)
+        reg_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(regs.ravel(), pa.uint8()), m)
+        return pa.table({
+            group_col: pa.array(uniq, pa.string()),
+            "__reg": reg_col,
+            "__gkey": pa.array(xxh64_strings(uniq), pa.uint64()),
+        })
+
+    def combine(t: pa.Table) -> pa.Table:
+        col = t["__reg"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        flat = flat.astype(np.uint8).reshape(t.num_rows, m)
+        g = t[group_col].to_numpy(zero_copy_only=False).astype(str)
+        uniq, gid = np.unique(g, return_inverse=True)
+        out = np.zeros((len(uniq), m), np.uint8)
+        np.maximum.at(out, gid, flat)
+        return pa.table({group_col: pa.array(uniq, pa.string()),
+                         "approx_distinct": pa.array(hll_estimates(out, p))})
+
+    empty = pa.table({group_col: pa.array([], pa.string()),
+                      "approx_distinct": pa.array([], pa.float64())})
+    bundles = list(ds.map_batches(partial, batch_format="pyarrow")
+                   .iter_internal_ref_bundles())
+    refs = [r for b in bundles for r in b.block_refs]
+    if not refs:
+        return empty
+    counts = [b.num_rows() for b in bundles]
+    total = None if any(c is None for c in counts) else sum(counts)
+    if total is None or total > _GROUPED_HLL_DRIVER_ROWS:
+        from .dedup import _auto_partitions, _scatter_exchange
+
+        P = num_partitions if num_partitions is not None else _auto_partitions(total)
+        parts = _scatter_exchange(
+            refs, "__gkey", lambda t: combine(t.drop_columns(["__gkey"])), P)
+        if not parts:
+            return empty
+        merged = pa.concat_tables(parts)
+    else:
+        blocks = [b for b in ray.get(refs) if b.num_rows]
+        if not blocks:
+            return empty
+        merged = combine(
+            pa.concat_tables(blocks).drop_columns(["__gkey"]))
+    return merged.take(pc.sort_indices(merged, [(group_col, "ascending")]))
+
+
+def hll_grouped_oracle_sql(group_expr: str, key_expr: str, table_expr: str,
+                           p: int = 12) -> str:
+    """DuckDB table subquery (columns ``g``, ``approx``) recomputing
+    :func:`approx_distinct_by` — the grouped form of
+    :func:`hll_oracle_sql`, with the group threaded through the
+    splitmix64 CTE chain and the register scaffold built per group."""
+    m = 1 << p
+    nbits = 32 - p
+    alpha = f"0.7213 / (1 + 1.079 / {m})"
+    return f"""(
+        WITH sm0 AS (
+          SELECT {group_expr} AS g,
+                 CAST((CAST({key_expr} AS HUGEINT) + {_SM_GAMMA})
+                      % 18446744073709551616 AS UBIGINT) AS z
+          FROM {table_expr}
+        ),
+        sm1 AS (SELECT g, {_sql_wrapmul(f"xor(z, z // {1 << 30})", _SM_MUL1)} AS z FROM sm0),
+        sm2 AS (SELECT g, {_sql_wrapmul(f"xor(z, z // {1 << 27})", _SM_MUL2)} AS z FROM sm1),
+        smh AS (SELECT g, xor(z, z // {1 << 31}) // 4294967296 AS h32 FROM sm2),
+        mx AS (
+          SELECT g, h32 // {1 << nbits} AS bucket,
+                 max(CASE WHEN h32 % {1 << nbits} = 0 THEN {nbits + 1}
+                          ELSE {nbits} - CAST(floor(log2(h32 % {1 << nbits})) AS INT)
+                     END) AS mj
+          FROM smh GROUP BY 1, 2
+        ),
+        gs AS (SELECT DISTINCT g FROM smh),
+        reg AS (
+          SELECT gs.g AS g, COALESCE(mx.mj, 0) AS mj
+          FROM gs CROSS JOIN range({m}) t(i)
+          LEFT JOIN mx ON mx.g = gs.g AND mx.bucket = t.i
+        ),
+        hll AS (
+          SELECT g, {alpha} * {m * m} / sum(pow(2.0, -mj)) AS est,
+                 sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS zeros
+          FROM reg GROUP BY g
+        )
+        SELECT g, CASE WHEN est <= {2.5 * m} AND zeros > 0
+                       THEN {m} * ln({m}.0 / zeros) ELSE est END AS approx
+        FROM hll
+    )"""
 
 
 # ------------------------------------------------------------------ KLL

@@ -205,7 +205,7 @@ def test_p90_scatter_path_matches(ray_session):
     a group's rows all share one xxh64(type) partition."""
     from siteone_crawler_ray.pipelines.relational import _p90_scatter, p90_by_type
 
-    want = p90_by_type(SF).sort_by("event_type")
+    want = p90_by_type(SF).select(["event_type", "p90"]).sort_by("event_type")
     for p in (1, 4):
         got = _p90_scatter(SF, num_partitions=p).sort_by("event_type")
         assert got.equals(want.cast(got.schema)), f"P={p} mismatch"

@@ -226,3 +226,97 @@ def test_approx_quantiles_distributed(ray_session):
     for q, e in zip([0.5, 0.95], est):
         rank = np.searchsorted(srt, e)
         assert abs(rank - q * len(vals)) <= 0.02 * len(vals), (q, e)
+
+
+# ------------------------------------------------------------ grouped HLL
+
+
+def test_grouped_partial_matches_per_group_registers():
+    from siteone_crawler_ray.stages.sketch import grouped_hll_partial, hll_registers
+
+    rng = np.random.default_rng(7)
+    groups = np.array(["a", "b", "c"])[rng.integers(0, 3, 5000)]
+    keys = rng.integers(0, 1 << 40, 5000)
+    uniq, regs = grouped_hll_partial(groups, keys)
+    assert list(uniq) == ["a", "b", "c"]
+    for i, g in enumerate(uniq):
+        np.testing.assert_array_equal(regs[i], hll_registers(keys[groups == g]))
+
+
+def test_hll_estimates_vector_matches_scalar():
+    from siteone_crawler_ray.stages.sketch import (
+        hll_estimate,
+        hll_estimates,
+        hll_registers,
+    )
+
+    regs = np.stack([
+        hll_registers(np.arange(n, dtype=np.int64) * 31 + 5)
+        for n in (3, 700, 60_000)  # linear-counting, mid, raw branches
+    ])
+    vec = hll_estimates(regs)
+    for i in range(len(regs)):
+        assert vec[i] == hll_estimate(regs[i])
+
+
+def test_approx_distinct_by_both_paths_and_partition_independence(monkeypatch):
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages import sketch
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    groups = np.array(["x", "y", "zz", "w"])[rng.integers(0, 4, n)]
+    # per-group distinct scales differ: key space |g| differs per group
+    space = {"x": 50, "y": 5_000, "zz": 400, "w": 37}
+    keys = np.array([rng.integers(0, space[g]) for g in groups], np.int64)
+    t = pa.table({"g": groups, "k": keys})
+
+    def run(ds):
+        return sketch.approx_distinct_by(ds, "g", "k", p=10)
+
+    driver = run(rd.from_arrow(t))
+    assert driver["g"].to_pylist() == ["w", "x", "y", "zz"]
+    # estimates within 3*sigma (1.04/sqrt(1024) ~ 3.3%) of exact
+    for g, est in zip(driver["g"].to_pylist(),
+                      driver["approx_distinct"].to_pylist()):
+        exact = len(np.unique(keys[groups == g]))
+        assert abs(est - exact) / exact < 0.10, (g, est, exact)
+
+    # block layout must not change the answer (register max-merge)
+    relaid = run(rd.from_arrow(t).repartition(13))
+    assert relaid.equals(driver)
+
+    # force the hash-scatter merge path: same table, byte-identical
+    monkeypatch.setattr(sketch, "_GROUPED_HLL_DRIVER_ROWS", 0)
+    scattered = run(rd.from_arrow(t).repartition(6))
+    assert scattered.equals(driver)
+
+
+def test_grouped_oracle_sql_matches_engine(tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.sketch import (
+        approx_distinct_by,
+        hll_grouped_oracle_sql,
+    )
+
+    rng = np.random.default_rng(3)
+    t = pa.table({
+        "g": np.array(["p", "q", "r"])[rng.integers(0, 3, 8000)],
+        "k": rng.integers(0, 900, 8000).astype(np.int64),
+    })
+    pq.write_table(t, tmp_path / "t.parquet")
+    eng = approx_distinct_by(rd.from_arrow(t), "g", "k", p=12)
+    con = duckdb.connect()
+    sql = hll_grouped_oracle_sql("g", "k", f"read_parquet('{tmp_path}/t.parquet')")
+    ora = con.execute(f"SELECT g, approx FROM {sql} ORDER BY g").fetchall()
+    assert [g for g, _ in ora] == eng["g"].to_pylist()
+    # the register algebra is bit-exact on both sides; the final
+    # linear-counting branch applies one transcendental (ln), where
+    # numpy and DuckDB libm may differ by 1 ulp — hence 1e-12 relative,
+    # far inside the round(,3) the driver slot applies
+    np.testing.assert_allclose(
+        [a for _, a in ora], eng["approx_distinct"].to_pylist(), rtol=1e-12)
