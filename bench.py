@@ -105,6 +105,39 @@ def _ambient_membw() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _alloc_task(n: int) -> float:
+    import numpy as np
+
+    a = np.ones(n, np.int64)
+    return float(a.copy()[0])
+
+
+def _ambient_allocbw(k: int = 8, mb: int = 128) -> float:
+    """Aggregate GB/s for ``k`` parallel FRESH-allocation copies (each
+    task allocates a new ``mb``-MiB buffer and copies into it).  The
+    in-place membw probe above misses the post-reboot page-supply
+    collapse (BASELINE.md 2026-08-19 A/B: fresh-buffer copy bandwidth
+    falls ~4× while in-place streaming stays flat and steal reads 0%).
+    Healthy-boot reference at k=8: ~13 GB/s; degraded phases read <6.
+    Recorded in the artifact (not a retry trigger: the degradation is
+    boot-level and can persist for hours — retrying would burn the
+    wall budget without changing the outcome) so BENCH numbers are
+    normalizable across boots.  Returns -1.0 if the probe can't run."""
+    import concurrent.futures as cf
+
+    n = mb * 131072  # mb MiB of int64
+    try:
+        with cf.ProcessPoolExecutor(k) as ex:
+            list(ex.map(_alloc_task, [n] * k))  # pool spawn cost, untimed
+            t0 = time.perf_counter()
+            list(ex.map(_alloc_task, [n] * k))
+            dt = time.perf_counter() - t0
+        # per task: one fresh-write fill + one read + one fresh-write copy
+        return round(k * 3 * mb / 1024 / dt, 2)
+    except Exception:
+        return -1.0
+
+
 def _cpu_stat() -> tuple[int, int]:
     """(total_ticks, steal_ticks) from /proc/stat — hypervisor steal is
     the missing attribution on this box: cumulative steal here is ~2.7x
@@ -159,6 +192,7 @@ def wait_for_quiet_window(threshold_pct: float | None = None,
 
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     gate = wait_for_quiet_window()
+    allocbw = _ambient_allocbw()  # before ray.init: probe forks clean procs
     _init_ray(num_cpus)
     import ray.data as rd
 
@@ -168,10 +202,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     membw = _ambient_membw()
     tot0, steal0 = _cpu_stat()
 
-    # Session warm-up: the first map_batches tasks pay worker-process
-    # spawn + module imports (~2 s spread over the first query on this
-    # box).  Warm EVERY task-pool worker with the hot imports so query
-    # timings measure the pipelines, not process bring-up.
+    # Session warm-up for the TASK-POOL queries: the first map_batches
+    # tasks pay worker-process spawn + module imports (~2 s spread over
+    # the first query on this box).  Runs AFTER the crawl (HEADLINE[0]):
+    # the crawl warms its own actor pools internally, and on the
+    # degraded-page-supply boots documented in BASELINE.md (2026-08-19
+    # A/B) 2·num_cpus resident warm workers starve the crawl's actor
+    # startup of fresh pages — measured 2.2 s lean vs 5.2-12 s with the
+    # fan-out resident, same commit, same corpus, <1% steal.
     def _warm(b):
         import numpy  # noqa: F401
         import pyarrow.compute  # noqa: F401
@@ -180,16 +218,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
         return b
 
-    rd.range(4096, override_num_blocks=2 * num_cpus).map_batches(
-        _warm, batch_format="pyarrow"
-    ).count()
-    # First read_parquet of a session pays parquet-datasource bring-up
-    # (metadata fetch task, size sampling) — observed as ~2 s riding on
-    # whichever relational query ran first (VERDICT r3 #8).  Pay it here
-    # on the smallest table so query timings measure the pipelines.
-    region = os.path.join(sf_dir, "region.parquet")
-    if os.path.exists(region):
-        rd.read_parquet(region).count()
+    def _warm_taskpool():
+        rd.range(4096, override_num_blocks=2 * num_cpus).map_batches(
+            _warm, batch_format="pyarrow"
+        ).count()
+        # First read_parquet of a session pays parquet-datasource
+        # bring-up (metadata fetch task, size sampling) — observed as
+        # ~2 s riding on whichever relational query ran first (VERDICT
+        # r3 #8).  Pay it here on the smallest table so query timings
+        # measure the pipelines.
+        region = os.path.join(sf_dir, "region.parquet")
+        if os.path.exists(region):
+            rd.read_parquet(region).count()
 
     qs = entrymod.queries()
     # single-shot per query: several queries share memo caches (corpus
@@ -197,10 +237,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # cache hits, not work.  Ambient spikes are documented in
     # BASELINE.md; quote quiet-window numbers.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
         t0 = time.perf_counter()
         _consume(qs[name](sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        if i == 0:
+            _warm_taskpool()
     cal_after = _ambient_calibration()
     membw_after = _ambient_membw()
     tot1, steal1 = _cpu_stat()
@@ -220,6 +262,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "ambient_membw_sec": membw,
         "ambient_cal_after_sec": cal_after,
         "ambient_membw_after_sec": membw_after,
+        # parallel fresh-allocation bandwidth (GB/s, k=8): detects the
+        # page-supply collapse steal/membw are blind to (healthy ~13)
+        "ambient_allocbw_gbps": allocbw,
         # % of ALL cpu ticks stolen by the hypervisor during the run —
         # the dominant noise source (single-core probes under-report it)
         "steal_pct": steal_pct,

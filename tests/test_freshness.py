@@ -1,0 +1,178 @@
+"""Recrawl scheduling (pipelines/freshness.py): the Cho & Garcia-Molina
+change-rate estimator, observation assembly from crawl deltas, host
+shrinkage + staleness priorities vs a DuckDB oracle, and partition
+independence of the url_key exchange."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+DT = 86400.0  # one day between cycles
+H = 7 * 86400.0
+
+
+def _synthetic_obs(n_urls=2000, cycles=5, hosts=8, seed=13):
+    """Deterministic per-URL change probabilities spread across hosts."""
+    from siteone_crawler_ray.functions.hashing import xxh64_strings
+
+    rng = np.random.default_rng(seed)
+    urls = np.array([f"https://h{i % hosts}.test/p/{i}" for i in range(n_urls)])
+    p_change = ((np.arange(n_urls) % 10) + 1) / 12.0  # 0.083 .. 0.83
+    rows = []
+    for c in range(cycles):
+        # a page is observed in a cycle only if it was reachable: skip ~10%
+        seen = rng.random(n_urls) > 0.1
+        changed = rng.random(n_urls) < p_change
+        rows.append(pa.table({
+            "url_key": pa.array(xxh64_strings(urls[seen]), pa.uint64()),
+            "url": pa.array(urls[seen]),
+            "host": pa.array([u.split("/")[2] for u in urls[seen]]),
+            "changed": pa.array(changed[seen]),
+            "cycle": pa.array(np.full(int(seen.sum()), c, np.int32)),
+        }))
+    return pa.concat_tables(rows)
+
+
+def test_estimator_matches_closed_form():
+    import ray.data as rd
+
+    from siteone_crawler_ray.functions.hashing import xxh64_strings
+    from siteone_crawler_ray.pipelines.freshness import change_rate_estimates
+
+    urls = ["https://a.test/1", "https://a.test/2", "https://b.test/1"]
+    # obs: url1 changed 2/3, url2 changed 0/2, url3 changed 3/3
+    obs = pa.table({
+        "url_key": pa.array(xxh64_strings(
+            [urls[0]] * 3 + [urls[1]] * 2 + [urls[2]] * 3), pa.uint64()),
+        "url": pa.array([urls[0]] * 3 + [urls[1]] * 2 + [urls[2]] * 3),
+        "host": pa.array(["a.test"] * 5 + ["b.test"] * 3),
+        "changed": pa.array([True, True, False, False, False, True, True, True]),
+    })
+    t = change_rate_estimates(rd.from_arrow(obs), DT)
+    got = {u: (n, x, lam) for u, n, x, lam in zip(
+        t["url"].to_pylist(), t["n"].to_pylist(), t["x"].to_pylist(),
+        t["lam"].to_pylist())}
+    for url, n, x in [(urls[0], 3, 2), (urls[1], 2, 0), (urls[2], 3, 3)]:
+        want = -np.log((n - x + 0.5) / (n + 0.5)) / DT
+        gn, gx, glam = got[url]
+        assert (gn, gx) == (n, x)
+        assert glam == pytest.approx(want, rel=1e-12)
+    # x=0 gives exactly zero rate; x=n stays finite
+    assert got[urls[1]][2] == 0.0
+    assert np.isfinite(got[urls[2]][2])
+
+
+def test_observations_from_delta():
+    from siteone_crawler_ray.functions.hashing import xxh64_strings
+    from siteone_crawler_ray.pipelines.freshness import observations_from_delta
+
+    urls = [f"https://h{i}.test/x" for i in range(4)]
+    delta = pa.table({
+        "url_key": pa.array(xxh64_strings(urls), pa.uint64()),
+        "url": pa.array(urls),
+        "change": pa.array(["new", "gone", "changed", "unchanged"]),
+    })
+    obs = observations_from_delta(delta, cycle=3)
+    assert obs["url"].to_pylist() == [urls[2], urls[3]]
+    assert obs["changed"].to_pylist() == [True, False]
+    assert obs["host"].to_pylist() == ["h2.test", "h3.test"]
+    assert obs["cycle"].to_pylist() == [3, 3]
+
+
+def test_recrawl_priority_matches_duckdb_oracle(tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from siteone_crawler_ray.pipelines.freshness import DEFAULT_M0, recrawl_priority
+
+    obs = _synthetic_obs()
+    pq.write_table(obs, tmp_path / "obs.parquet")
+    top = recrawl_priority(rd.from_arrow(obs), DT, H, top_b=60)
+    assert top.num_rows == 60
+
+    con = duckdb.connect()
+    ora = con.execute(f"""
+        WITH obs AS (SELECT * FROM read_parquet('{tmp_path}/obs.parquet')),
+        nx AS (SELECT url, host, count(*) AS n,
+                      sum(CASE WHEN changed THEN 1 ELSE 0 END) AS x
+               FROM obs GROUP BY url, host),
+        r AS (SELECT *, -ln((n - x + 0.5) / (n + 0.5)) / {DT} AS lam FROM nx),
+        hm AS (SELECT host, avg(lam) AS lam_host FROM r GROUP BY host),
+        s AS (SELECT r.url, r.n, r.x,
+                     (r.n * r.lam + {DEFAULT_M0} * hm.lam_host)
+                     / (r.n + {DEFAULT_M0}) AS lam2
+              FROM r JOIN hm USING (host))
+        SELECT url, n, x, lam2 AS lam, 1 - exp(-lam2 * {H}) AS staleness
+        FROM s ORDER BY staleness DESC, url LIMIT 60
+    """).fetch_arrow_table()
+
+    # compare on a rounding that absorbs the engine's 12-dp rounding and
+    # cross-libm exp/ln ulps, with the same (staleness, url) tie-break
+    def canon(t):
+        rows = sorted(zip(t["url"].to_pylist(), t["n"].to_pylist(),
+                          t["x"].to_pylist(),
+                          [round(v, 9) for v in t["staleness"].to_pylist()]),
+                      key=lambda r: (-r[3], r[0]))
+        return rows
+
+    assert canon(top) == canon(ora)
+
+
+def test_priority_partition_independence():
+    import ray.data as rd
+
+    from siteone_crawler_ray.pipelines.freshness import (
+        change_rate_estimates,
+        recrawl_priority,
+    )
+
+    obs = _synthetic_obs(n_urls=600, cycles=4)
+    base_rates = change_rate_estimates(rd.from_arrow(obs), DT)
+    base_top = recrawl_priority(rd.from_arrow(obs), DT, H, top_b=25)
+    for P in (1, 3, 7):
+        ds = rd.from_arrow(obs).repartition(P)
+        assert change_rate_estimates(ds, DT, num_partitions=P).equals(base_rates)
+        assert recrawl_priority(ds, DT, H, top_b=25,
+                                num_partitions=P).equals(base_top)
+
+
+def test_priority_from_real_crawl_deltas():
+    """Two synthetic visited snapshots → crawl_delta → observations →
+    priorities: the composition a continuous crawl actually runs."""
+    import ray.data as rd
+
+    from siteone_crawler_ray.functions.hashing import xxh64_strings
+    from siteone_crawler_ray.pipelines.delta import crawl_delta
+    from siteone_crawler_ray.pipelines.freshness import (
+        observations_from_delta,
+        recrawl_priority,
+    )
+
+    urls = [f"https://h{i % 3}.test/p/{i}" for i in range(40)]
+    keys = xxh64_strings(urls)
+
+    def snap(sizes):
+        return pa.table({
+            "url_key": pa.array(keys, pa.uint64()),
+            "url": pa.array(urls),
+            "status_code": pa.array([200] * 40, pa.int32()),
+            "size": pa.array(sizes, pa.int64()),
+            "title": pa.array(["t"] * 40),
+        })
+
+    old = snap([100] * 40)
+    # pages 0..9 change size in cycle 1; pages 0..4 change again in cycle 2
+    mid = snap([200] * 10 + [100] * 30)
+    new = snap([300] * 5 + [200] * 5 + [100] * 30)
+    d1 = crawl_delta(rd.from_arrow(old), rd.from_arrow(mid))
+    d2 = crawl_delta(rd.from_arrow(mid), rd.from_arrow(new))
+    obs = pa.concat_tables([observations_from_delta(d1, 1),
+                            observations_from_delta(d2, 2)])
+    top = recrawl_priority(rd.from_arrow(obs), DT, H, top_b=10)
+    # the twice-changed pages must outrank the once-changed ones
+    assert set(top["url"].to_pylist()[:5]) == {f"https://h{i % 3}.test/p/{i}"
+                                               for i in range(5)}
+    assert all(x == 2 for x in top["x"].to_pylist()[:5])
