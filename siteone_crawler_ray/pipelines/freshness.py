@@ -56,10 +56,17 @@ def observations_from_delta(delta: pa.Table, cycle: int) -> pa.Table:
 
 
 def _nx_kernel(t: pa.Table) -> pa.Table:
-    """Per-url_key (n, x) totals; url/host carried from the first row."""
+    """Per-url_key (n, x) totals; url/host carried from the first row.
+    Accepts raw observation rows (``changed`` bool, weight 1 each) or
+    already-partial rows (``n``/``x`` columns) — the same kernel runs
+    per block and per exchange partition."""
     keys = t["url_key"].to_numpy(zero_copy_only=False)
-    ch = t["changed"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = t["n"].to_numpy(zero_copy_only=False) if "n" in t.column_names else None
+    if "x" in t.column_names:  # combining partials
+        ch = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False)
+    else:  # raw observations
+        ch = t["changed"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = None
     uniq, first, inv = np.unique(keys, return_index=True, return_inverse=True)
     x = np.bincount(inv, weights=ch, minlength=len(uniq)).astype(np.int64)
     cnt = (np.bincount(inv, weights=n, minlength=len(uniq)).astype(np.int64)
