@@ -60,13 +60,20 @@ def continuous_ingest(cur_visited_ds, index_dir: str, out_dir: str, *,
                       epoch: int, prev_visited_ds=None,
                       num_shards: int = 8, seed: int | None = None,
                       dup_threshold: float = 0.8,
-                      normalize_form: str = "NFC") -> dict:
+                      normalize_form: str = "NFC",
+                      recrawl_obs_dir: str | None = None) -> dict:
     """One ingest cycle; returns a counts/manifest dict.
 
     ``cur_visited_ds`` / ``prev_visited_ds`` are visited-parquet
     Datasets (``stages/worker.py`` lineage).  Only status-200 pages
     with a text payload are ingested.  ``seed`` defaults to ``epoch``
-    so every cycle lands a fresh deterministic shuffle permutation."""
+    so every cycle lands a fresh deterministic shuffle permutation.
+
+    ``recrawl_obs_dir``: when set (and a previous snapshot exists), the
+    delta's binary change observations land there partition-locally
+    (``epoch=NNNNN/obs-*.parquet``); `pipelines/freshness.
+    recrawl_priority` over the accumulated tree is the cycle's recrawl
+    schedule."""
     import ray.data as rd  # noqa: F401  (documents the expected input kind)
 
     from ..stages.dedup_index import MinHashIndex
@@ -78,9 +85,13 @@ def continuous_ingest(cur_visited_ds, index_dir: str, out_dir: str, *,
     if prev_visited_ds is not None:
         # changes_only: the driver sees churn-sized rows, never the
         # corpus-sized unchanged majority (its count reports as None)
-        delta = crawl_delta(prev_visited_ds, cur_visited_ds,
-                            compare_cols=("status_code", "size"),
-                            changes_only=True)
+        delta = crawl_delta(
+            prev_visited_ds, cur_visited_ds,
+            compare_cols=("status_code", "size"),
+            changes_only=True,
+            observations_out=(os.path.join(recrawl_obs_dir, f"epoch={epoch:05d}")
+                              if recrawl_obs_dir else None),
+            observations_cycle=epoch)
         counts = delta_counts(delta)
         counts["unchanged"] = None
         wanted = delta.filter(

@@ -62,7 +62,9 @@ def _classify(joined: pa.Table, compare_cols) -> pa.Table:
 
 def crawl_delta(old_ds, new_ds, compare_cols=DEFAULT_COMPARE,
                 num_partitions: int | None = None,
-                changes_only: bool = False) -> pa.Table:
+                changes_only: bool = False,
+                observations_out: str | None = None,
+                observations_cycle: int = 0) -> pa.Table:
     """Per-URL change table between two visited snapshots (Datasets or
     anything `ray.data` produced with url_key/url + compare columns).
 
@@ -70,8 +72,21 @@ def crawl_delta(old_ds, new_ds, compare_cols=DEFAULT_COMPARE,
     partition before anything reaches the driver — on a steady-state
     recrawl almost every row is unchanged, so the returned table is
     churn-sized, not corpus-sized (what `pipelines/continuous.py`
-    consumes; the unchanged tally is then not represented)."""
+    consumes; the unchanged tally is then not represented).
+
+    ``observations_out`` (optional dir): each partition also writes its
+    binary change observations (`pipelines/freshness.
+    observations_from_delta` rows, tagged ``observations_cycle``) as
+    one parquet file BEFORE the changes_only filter — the full
+    unchanged majority lands on disk partition-locally and never rides
+    through the driver, so a standing recrawl can feed
+    `freshness.recrawl_priority` without a second corpus-sized join."""
     from ..stages.join import hash_join
+
+    if observations_out is not None:
+        import os
+
+        os.makedirs(observations_out, exist_ok=True)
 
     cols = ["url_key", "url", *compare_cols]
     old_sel = old_ds.select_columns([c for c in cols])
@@ -83,6 +98,18 @@ def crawl_delta(old_ds, new_ds, compare_cols=DEFAULT_COMPARE,
 
     def post(t: pa.Table) -> pa.Table:
         out = _classify(t, compare_cols)
+        if observations_out is not None:
+            import os
+            import uuid
+
+            import pyarrow.parquet as pq
+
+            from .freshness import observations_from_delta
+
+            obs = observations_from_delta(out, observations_cycle)
+            if obs.num_rows:
+                pq.write_table(obs, os.path.join(
+                    observations_out, f"obs-{uuid.uuid4().hex}.parquet"))
         if changes_only:
             out = out.filter(pc.not_equal(out["change"], "unchanged"))
         return out

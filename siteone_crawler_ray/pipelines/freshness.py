@@ -116,6 +116,16 @@ def change_rate_estimates(obs_ds, interval_sec: float,
     return t.take(pc.sort_indices(t, [("url_key", "ascending")]))
 
 
+def read_observations(obs_dir: str):
+    """Dataset over an accumulated observation tree
+    (``epoch=NNNNN/obs-*.parquet`` files written by
+    `pipelines/delta.crawl_delta(observations_out=...)``) — the input
+    `recrawl_priority` consumes in a standing crawl."""
+    import ray.data as rd
+
+    return rd.read_parquet(obs_dir)
+
+
 def recrawl_priority(obs_ds, interval_sec: float, horizon_sec: float,
                      top_b: int = 100, m0: float = DEFAULT_M0,
                      num_partitions: int | None = None) -> pa.Table:

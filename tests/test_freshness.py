@@ -176,3 +176,50 @@ def test_priority_from_real_crawl_deltas():
     assert set(top["url"].to_pylist()[:5]) == {f"https://h{i % 3}.test/p/{i}"
                                                for i in range(5)}
     assert all(x == 2 for x in top["x"].to_pylist()[:5])
+
+
+def test_observation_sink_through_crawl_delta(tmp_path):
+    """crawl_delta(observations_out=...) writes partition-local parquet
+    observations equal to the in-memory path, and the accumulated tree
+    feeds recrawl_priority identically."""
+    import ray.data as rd
+
+    from siteone_crawler_ray.functions.hashing import xxh64_strings
+    from siteone_crawler_ray.pipelines.delta import crawl_delta
+    from siteone_crawler_ray.pipelines.freshness import (
+        observations_from_delta,
+        read_observations,
+        recrawl_priority,
+    )
+
+    urls = [f"https://h{i % 3}.test/p/{i}" for i in range(30)]
+    keys = xxh64_strings(urls)
+
+    def snap(sizes):
+        return pa.table({
+            "url_key": pa.array(keys, pa.uint64()),
+            "url": pa.array(urls),
+            "status_code": pa.array([200] * 30, pa.int32()),
+            "size": pa.array(sizes, pa.int64()),
+            "title": pa.array(["t"] * 30),
+        })
+
+    snaps = [snap([100] * 30), snap([200] * 8 + [100] * 22),
+             snap([300] * 4 + [200] * 4 + [100] * 22)]
+    obs_dir = str(tmp_path / "obs")
+    mem = []
+    for c in (1, 2):
+        d = crawl_delta(rd.from_arrow(snaps[c - 1]), rd.from_arrow(snaps[c]),
+                        observations_out=f"{obs_dir}/epoch={c:05d}",
+                        observations_cycle=c, changes_only=True)
+        # changes_only output holds no unchanged rows...
+        assert "unchanged" not in set(d["change"].to_pylist())
+        mem.append(observations_from_delta(
+            crawl_delta(rd.from_arrow(snaps[c - 1]), rd.from_arrow(snaps[c])), c))
+
+    disk = read_observations(obs_dir)
+    # ...but the sink captured the full observation set anyway
+    got = recrawl_priority(disk, DT, H, top_b=8)
+    want = recrawl_priority(rd.from_arrow(pa.concat_tables(mem)), DT, H, top_b=8)
+    assert got.equals(want)
+    assert got["x"].to_pylist()[:4] == [2, 2, 2, 2]
