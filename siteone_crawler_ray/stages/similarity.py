@@ -328,10 +328,11 @@ def sample_vectors(ds, vec_col: str = "embedding", n: int = 4096, seed: int = 3)
                 pa.array(np.ascontiguousarray(m).ravel()), m.shape[1]),
         })
 
-    t = pa.concat_tables(
-        _collect_blocks(ds.select_columns([vec_col]).map_batches(partial, batch_format="pyarrow")),
-        promote_options="permissive",
-    )
+    blocks = _collect_blocks(
+        ds.select_columns([vec_col]).map_batches(partial, batch_format="pyarrow"))
+    if not blocks:  # empty input dataset
+        return np.empty((0, 0), np.float64)
+    t = pa.concat_tables(blocks, promote_options="permissive")
     h = t["_priority"].to_numpy(zero_copy_only=False)
     m = _as_matrix(t[vec_col])
     order = np.argsort(h, kind="stable")[:n]
@@ -829,3 +830,163 @@ def kmeans_distributed_local(tables, k: int, iters: int = 10,
         history.append(obj / max(int(counts.sum()), 1))
         cent = _kmeans_update(cent, sums, counts)
     return cent, history
+
+
+# ------------------------------------------------------------- kNN join
+# The big×big similarity shape the query-side paths above can't cover:
+# for EVERY row of A, the approximate cosine top-k rows of B, with
+# neither side broadcastable.  IVF-cell co-partitioning (the same
+# public shape as FAISS's IVF + Spark's bucketed join): B rows land in
+# their single nearest centroid cell, A rows replicate into their
+# ``nprobe`` nearest cells (bounded fan-out, the only duplication in
+# the operator), ONE union exchange on cell co-locates both sides, and
+# each partition brute-forces its cells locally.  An (a, b) pair can
+# appear in at most one cell (b lives in exactly one), so the per-cell
+# top-k partials merge exactly: a second exchange on a_id (above
+# _KNN_JOIN_DRIVER_ROWS partial rows) or a driver merge (below) keeps
+# only each a row's global top-k.  nprobe == nlist makes the result
+# EXACT by construction (every cell probed) — the pytest oracle.
+
+_KNN_JOIN_DRIVER_ROWS = 1 << 17
+
+
+def knn_join(a_ds, b_ds, k: int = 5, *, nlist: int = 16, nprobe: int = 2,
+             a_id_col: str = "vec_id", b_id_col: str = "vec_id",
+             vec_col: str = "embedding", seed: int = 3,
+             train_sample: int = 4096,
+             num_partitions: int | None = None) -> pa.Table:
+    """→ (a_id, b_id, cosine, rank) — approximate k nearest B rows per
+    A row, ordered by (a_id asc, rank asc); ties break on b_id asc.
+    Centroids train on a deterministic uniform sample of B (the index
+    side); results are partition-count independent."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .dedup import _auto_partitions, _partitioned_exchange, _scatter_exchange
+
+    smat = _normalize(sample_vectors(b_ds, vec_col, n=train_sample, seed=seed))
+    if not len(smat):
+        return pa.table({"a_id": pa.array([], pa.int64()),
+                         "b_id": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64()),
+                         "rank": pa.array([], pa.int32())})
+    cent = kmeans_centroids(smat, nlist, seed=seed)
+    nprobe = min(nprobe, len(cent))
+    cref = ray.put(cent)
+
+    def tag_b(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        m = _normalize(_as_matrix(batch[vec_col]))
+        cell = np.argmax(m @ cents.T, axis=1).astype(np.uint64)
+        return pa.table({
+            "rid": batch[b_id_col].cast(pa.int64()),
+            "cell": pa.array(cell, pa.uint64()),
+            "side": pa.array(np.ones(len(m), np.int8)),
+            vec_col: pa.FixedSizeListArray.from_arrays(
+                pa.array(np.ascontiguousarray(m).ravel()), m.shape[1]),
+        })
+
+    def tag_a(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        m = _normalize(_as_matrix(batch[vec_col]))
+        probes = np.argsort(-(m @ cents.T), axis=1)[:, :nprobe]  # (n, nprobe)
+        n = len(m)
+        rep = np.repeat(np.arange(n), nprobe)
+        return pa.table({
+            "rid": batch[a_id_col].cast(pa.int64()).take(pa.array(rep)),
+            "cell": pa.array(probes.ravel().astype(np.uint64), pa.uint64()),
+            "side": pa.array(np.zeros(n * nprobe, np.int8)),
+            vec_col: pa.FixedSizeListArray.from_arrays(
+                pa.array(np.ascontiguousarray(m[rep]).ravel()), m.shape[1]),
+        })
+
+    tagged = (a_ds.select_columns([a_id_col, vec_col])
+              .map_batches(tag_a, batch_format="pyarrow")
+              .union(b_ds.select_columns([b_id_col, vec_col])
+                     .map_batches(tag_b, batch_format="pyarrow")))
+
+    def cell_knn(t: pa.Table) -> pa.Table:
+        cells = t["cell"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        rid = t["rid"].to_numpy(zero_copy_only=False)
+        vec = t[vec_col]
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        dim = vec.type.list_size
+        m = pc.list_flatten(vec).to_numpy(zero_copy_only=False).reshape(-1, dim)
+        out_a, out_b, out_c = [], [], []
+        for c in np.unique(cells):
+            sel = cells == c
+            a_sel = sel & (side == 0)
+            b_sel = sel & (side == 1)
+            if not a_sel.any() or not b_sel.any():
+                continue
+            cos = m[a_sel] @ m[b_sel].T
+            bi = rid[b_sel]
+            na, nb = cos.shape
+            kk = min(k, nb)
+            # vectorized per-a-row top-k: argpartition prunes to kk
+            # candidates, one flat lexsort orders every row's
+            # candidates by (cosine desc, b_id asc) at once
+            if kk < nb:
+                cand = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+            else:
+                cand = np.broadcast_to(np.arange(nb), (na, nb))
+            ccos = np.take_along_axis(cos, cand, axis=1)
+            cb = bi[cand]
+            rows = np.repeat(np.arange(na), kk)
+            order = np.lexsort((cb.ravel(), -ccos.ravel(), rows))
+            out_a.append(np.repeat(rid[a_sel], kk))
+            out_b.append(cb.ravel()[order])
+            out_c.append(ccos.ravel()[order])
+        if not out_a:
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({"a_id": pa.array(np.concatenate(out_a)),
+                         "b_id": pa.array(np.concatenate(out_b)),
+                         "cosine": pa.array(np.concatenate(out_c))})
+
+    P = num_partitions if num_partitions is not None else _auto_partitions()
+    part_refs = _partitioned_exchange(tagged, "cell", cell_knn,
+                                      num_partitions=P, return_refs=True)
+    empty = pa.table({"a_id": pa.array([], pa.int64()),
+                      "b_id": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64()),
+                      "rank": pa.array([], pa.int32())})
+    if not part_refs:
+        return empty
+
+    def merge_topk(t: pa.Table) -> pa.Table:
+        a = t["a_id"].to_numpy(zero_copy_only=False)
+        b = t["b_id"].to_numpy(zero_copy_only=False)
+        c = t["cosine"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, -c, a))  # a asc, cosine desc, b asc
+        a, b, c = a[order], b[order], c[order]
+        starts = np.nonzero(np.concatenate([[True], a[1:] != a[:-1]]))[0]
+        pos = np.arange(len(a)) - np.repeat(starts, np.diff(
+            np.append(starts, len(a))))
+        keep = pos < k
+        return pa.table({"a_id": pa.array(a[keep]), "b_id": pa.array(b[keep]),
+                         "cosine": pa.array(np.round(c[keep], 6)),
+                         "rank": pa.array((pos[keep] + 1).astype(np.int32))})
+
+    import ray as _ray
+
+    sizes = _ray.get([_ray.remote(lambda t: 0 if t is None else t.num_rows)
+                      .remote(r) for r in part_refs])
+    total = int(sum(sizes))
+    if total > _KNN_JOIN_DRIVER_ROWS:
+        # second exchange: identical a_id ⇒ one partition, so the
+        # per-partition merge is the global answer for its a rows
+        out = _scatter_exchange(part_refs, "a_id", merge_topk, P)
+        if not out:
+            return empty
+        merged = pa.concat_tables(out)
+    else:
+        parts = [t for t in _ray.get(part_refs) if t is not None and t.num_rows]
+        if not parts:
+            return empty
+        merged = merge_topk(pa.concat_tables(parts))
+    return merged.take(pc.sort_indices(
+        merged, [("a_id", "ascending"), ("rank", "ascending")]))
