@@ -1954,6 +1954,18 @@ def oracle_sql() -> dict[str, str]:
             FROM assign a JOIN assign b ON a.cl = b.cl AND b.vec_id < a.vec_id
             WHERE list_cosine_similarity(a.e, b.e) >= 0.45
             GROUP BY a.vec_id
+            UNION ALL
+            -- kNN JOIN (stages/similarity.knn_join at nprobe == nlist:
+            -- every cell probed -> exact top-3 per subset row; x packs
+            -- b_id*8 + rank)
+            SELECT 'knnjoin' AS section, id_a, CAST(b_id * 8 + rn AS DOUBLE) AS x
+            FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS b_id,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.e, b.e) DESC,
+                                b.vec_id) AS rn
+              FROM emb a, emb b WHERE a.vec_id % 41 = 1) WHERE rn <= 3
         """,
         "packed_sequences": """
             WITH d AS (SELECT source, doc_id, text,

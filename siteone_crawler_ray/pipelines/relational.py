@@ -1229,28 +1229,50 @@ def embedding_checks(sf_dir: str) -> pa.Table:
     testdata ids); cluster rows → ('cluster', vec_id, centroid id);
     semdup rows → ('semdup', vec_id, n_sim_earlier) for flagged docs."""
     from ..stages.dedup import semantic_dedup
+    from ..stages.similarity import knn_join
 
     nm = embedding_norms(sf_dir)
     dp = embedding_dup_pairs_table(sf_dir)
     sd = semantic_dedup(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
     flagged = sd.filter(pa.compute.greater(sd["n_sim_earlier"], 0))
+    # kNN JOIN section (stages/similarity.knn_join): a deterministic
+    # "new batch" subset (vec_id % 41 == 1) joined against the whole
+    # table at nprobe == nlist — every cell probed, exact by
+    # construction, so the DuckDB window-over-cross-join recomputes it
+    # row-for-row.  x packs (b_id, rank) as b_id·8 + rank (exact in a
+    # double at any testdata id scale).
+    full = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _mod41(b: pa.Table) -> pa.Table:
+        vid = b["vec_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(vid % 41 == 1))
+
+    subset = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        _mod41, batch_format="pyarrow")
+    kj = knn_join(subset, full, k=3, nlist=8, nprobe=8, seed=3)
     return pa.table(
         {
             "section": pa.array(
                 ["norm"] * nm.num_rows + ["pair"] * dp.num_rows
-                + ["cluster"] * sd.num_rows + ["semdup"] * flagged.num_rows,
+                + ["cluster"] * sd.num_rows + ["semdup"] * flagged.num_rows
+                + ["knnjoin"] * kj.num_rows,
                 pa.string()),
             "id_a": pa.concat_arrays(
                 [nm["vec_id"].cast(pa.int64()).combine_chunks(),
                  dp["id_a"].cast(pa.int64()).combine_chunks(),
                  sd["vec_id"].cast(pa.int64()).combine_chunks(),
-                 flagged["vec_id"].cast(pa.int64()).combine_chunks()]
+                 flagged["vec_id"].cast(pa.int64()).combine_chunks(),
+                 kj["a_id"].cast(pa.int64()).combine_chunks()]
             ),
             "x": pa.concat_arrays(
                 [nm["l2"].cast(pa.float64()).combine_chunks(),
                  dp["id_b"].cast(pa.float64()).combine_chunks(),
                  sd["cluster"].cast(pa.float64()).combine_chunks(),
-                 flagged["n_sim_earlier"].cast(pa.float64()).combine_chunks()]
+                 flagged["n_sim_earlier"].cast(pa.float64()).combine_chunks(),
+                 pa.compute.add(
+                     pa.compute.multiply(kj["b_id"], pa.scalar(8)),
+                     kj["rank"].cast(pa.int64())).cast(pa.float64())
+                 .combine_chunks()]
             ),
         }
     )
