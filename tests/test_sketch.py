@@ -320,3 +320,57 @@ def test_grouped_oracle_sql_matches_engine(tmp_path):
     # far inside the round(,3) the driver slot applies
     np.testing.assert_allclose(
         [a for _, a in ora], eng["approx_distinct"].to_pylist(), rtol=1e-12)
+
+
+def test_approx_quantiles_by_grouped(monkeypatch):
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages import sketch
+    from siteone_crawler_ray.stages.sketch import KLLSketch
+
+    rng = np.random.default_rng(23)
+    n = 30_000
+    groups = np.array(["a", "bb", "c"])[rng.integers(0, 3, n)]
+    vals = np.where(groups == "a", rng.normal(100, 10, n),
+                    np.where(groups == "bb", rng.exponential(50, n),
+                             rng.uniform(0, 1000, n)))
+    t = pa.table({"g": groups, "v": vals})
+    ds = rd.from_arrow(t)
+    qs = [0.1, 0.5, 0.9]
+    got = sketch.approx_quantiles_by(ds, "g", "v", qs)
+    assert got["g"].to_pylist() == ["a"] * 3 + ["bb"] * 3 + ["c"] * 3
+    assert got["q"].to_pylist() == qs * 3
+
+    # rank-error bound per group: estimated quantile's true rank within
+    # 2% of the target (the same bound the global KLL pytest pins)
+    for g, q, v in zip(got["g"].to_pylist(), got["q"].to_pylist(),
+                       got["value"].to_pylist()):
+        gv = np.sort(vals[groups == g])
+        rank = np.searchsorted(gv, v) / len(gv)
+        assert abs(rank - q) <= 0.02, (g, q, rank)
+
+    # single-process twin on the same blocks must agree exactly: merge
+    # each group's per-block sketches in the same canonical byte order
+    import ray
+
+    from siteone_crawler_ray.functions.agg import block_refs
+
+    blocks = ray.get(block_refs(ds))
+    for g, q, v in zip(got["g"].to_pylist(), got["q"].to_pylist(),
+                       got["value"].to_pylist()):
+        payloads = []
+        for b in blocks:
+            bg = b["g"].to_numpy(zero_copy_only=False).astype(str)
+            bv = b["v"].to_numpy(zero_copy_only=False)
+            if (bg == g).any():
+                payloads.append(KLLSketch(sketch.KLL_K).update(bv[bg == g]).serialize())
+        payloads.sort(key=lambda a: a.tobytes())
+        s = KLLSketch.deserialize(payloads[0])
+        for p in payloads[1:]:
+            s.merge(KLLSketch.deserialize(p))
+        assert s.quantile(q) == v, (g, q)
+
+    # forced scatter merge path: identical output
+    monkeypatch.setattr(sketch, "_GROUPED_HLL_DRIVER_ROWS", 0)
+    scattered = sketch.approx_quantiles_by(rd.from_arrow(t), "g", "v", qs)
+    assert scattered.equals(got)
