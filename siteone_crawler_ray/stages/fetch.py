@@ -159,8 +159,10 @@ def synthetic_asset_size(url_key: int) -> int:
 
 def doc_size(spans_row) -> int:
     """Σ max(1, len(text)+len(media_ref)) over spans — the corpus page's
-    'body size' (mirrors offset construction in sources/corpus.py)."""
-    return sum(max(1, len(s["text"]) + len(s["media_ref"])) for s in spans_row)
+    'body size' (mirrors offset construction in sources/corpus.py).
+    Null fields count 0 bytes, matching the vectorized kernel."""
+    return sum(max(1, len(s["text"] or "") + len(s["media_ref"] or ""))
+               for s in spans_row)
 
 
 class TokenBucket:
@@ -288,10 +290,15 @@ class FetchStage:
             # page body size = Σ span lengths
             flat = pa.compute.list_value_length(spans_col).to_numpy(zero_copy_only=False)
             tl = pa.compute.list_flatten(spans_col)
+            # null-safe: a null text/media_ref counts 0 bytes — without
+            # fill_null a single null field NaN-poisons the whole doc's
+            # size through the float round-trip
             span_sz = np.maximum(
                 1,
-                pa.compute.binary_length(tl.field("text")).to_numpy(zero_copy_only=False)
-                + pa.compute.binary_length(tl.field("media_ref")).to_numpy(zero_copy_only=False),
+                pa.compute.fill_null(pa.compute.binary_length(tl.field("text")), 0)
+                .to_numpy(zero_copy_only=False)
+                + pa.compute.fill_null(pa.compute.binary_length(tl.field("media_ref")), 0)
+                .to_numpy(zero_copy_only=False),
             )
             doc_sizes = np.bincount(
                 np.repeat(np.arange(rows.num_rows), flat),

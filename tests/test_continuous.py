@@ -26,11 +26,13 @@ def _crawl(tmp_path, tag, mutate=None):
     return lambda: rd.read_parquet(os.path.join(wd, "visited"), partitioning=None)
 
 
-def _grow_spans(docs):
+def _grow_spans(docs, text="tail token"):
+    # NB: an identical appended span would be collapsed by the per-page
+    # span dedup — growing twice needs two distinct texts
     spans = docs["spans"].to_pylist()
     proto = dict(spans[0][0]) if spans and spans[0] else {}
     extra = {k: None for k in proto}
-    extra.update({"kind": "text", "text": "tail token"})
+    extra.update({"kind": "text", "text": text})
     grown = [s + [dict(extra)] for s in spans]
     idx = docs.column_names.index("spans")
     return docs.set_column(idx, "spans", pa.array(grown, docs.schema[idx].type))
@@ -77,3 +79,43 @@ def test_continuous_ingest_two_cycles(ray_session, tmp_path):
                             prev_visited_ds=a(), num_shards=4)
     assert m1b["index"]["skipped"]
     assert all(r["skipped"] for r in m1b["shards"])
+
+
+def test_ingest_feeds_recrawl_schedule(ray_session, tmp_path):
+    """continuous_ingest(recrawl_obs_dir=...) accumulates observations
+    cycle over cycle; recrawl_priority over the tree ranks the grown
+    pages (changed every cycle) above the stable majority."""
+    import ray.data as rd
+
+    from siteone_crawler_ray.pipelines.continuous import continuous_ingest
+    from siteone_crawler_ray.pipelines.freshness import (
+        read_observations,
+        recrawl_priority,
+    )
+
+    a = _crawl(tmp_path, "fa")
+    b = _crawl(tmp_path, "fb", mutate=_grow_spans)
+    c = _crawl(tmp_path, "fc",
+               mutate=lambda d: _grow_spans(_grow_spans(d), "second tail"))
+    ixd = str(tmp_path / "index-f")
+    out = str(tmp_path / "out-f")
+    obs_dir = str(tmp_path / "obs-f")
+
+    continuous_ingest(a(), ixd, os.path.join(out, "e0"), epoch=0,
+                      num_shards=2, recrawl_obs_dir=obs_dir)
+    assert not os.path.exists(obs_dir)  # no previous snapshot: no obs
+    continuous_ingest(b(), ixd, os.path.join(out, "e1"), epoch=1,
+                      prev_visited_ds=a(), num_shards=2,
+                      recrawl_obs_dir=obs_dir)
+    continuous_ingest(c(), ixd, os.path.join(out, "e2"), epoch=2,
+                      prev_visited_ds=b(), num_shards=2,
+                      recrawl_obs_dir=obs_dir)
+
+    obs = read_observations(obs_dir)
+    top = recrawl_priority(obs, interval_sec=86400.0,
+                           horizon_sec=7 * 86400.0, top_b=10)
+    assert top.num_rows == 10
+    # every page's spans grew both cycles → pages observed twice with
+    # x == n dominate the schedule
+    assert top["x"].to_pylist()[0] == top["n"].to_pylist()[0]
+    assert top["staleness"].to_pylist()[0] > 0.5
