@@ -252,3 +252,28 @@ def fingerprints(batch: pa.Table, text_col: str = "text", window: int = 8,
             "winnow_min": pa.array(mins, pa.uint64()),
         }
     )
+
+
+def compression_ratio(batch: pa.Table, text_col: str = "text",
+                      level: int = 6) -> pa.Table:
+    """(doc_id, zlib_ratio) — compressed/raw byte ratio per document,
+    the classic redundancy-based quality signal (near-duplicate
+    boilerplate and template spam compress far below prose; used as a
+    filter feature in public corpus recipes, e.g. Dolma / RedPajama-v2
+    ship it as a quality annotation).  zlib level is pinned so the
+    value is deterministic across runs and partitionings; empty docs
+    report ratio 0.  Not SQL-expressible (DuckDB has no zlib) — the
+    pytest oracle recomputes per document with the stdlib directly."""
+    import zlib
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # per-doc C call; the only loop is over documents, not tokens
+    ratios = np.zeros(batch.num_rows, np.float64)
+    for i, s in enumerate(col.to_pylist()):
+        if s:
+            raw = s.encode("utf-8")
+            ratios[i] = len(zlib.compress(raw, level)) / len(raw)
+    return pa.table({"doc_id": batch["doc_id"],
+                     "zlib_ratio": pa.array(np.round(ratios, 6))})

@@ -1795,3 +1795,27 @@ def test_semantic_dedup_with_kmeans_centroids(ray_session):
     assert out["cluster"].to_pylist() == cl.tolist()
     assert out["n_sim_earlier"].to_pylist() == n_sim.tolist()
     assert set(out["cluster"].to_pylist()) <= set(range(6))
+
+
+def test_compression_ratio_matches_stdlib(ray_session):
+    import zlib
+
+    import ray.data as rd
+
+    from siteone_crawler_ray.stages.textstats import compression_ratio
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "spam spam spam spam spam spam spam spam spam spam",
+             "", "a", "x y z " * 200]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = rd.from_arrow(t).map_batches(
+        compression_ratio, batch_format="pyarrow").take_all()
+    by_id = {r["doc_id"]: r["zlib_ratio"] for r in got}
+    for i, s in enumerate(texts):
+        want = (round(len(zlib.compress(s.encode(), 6)) / len(s.encode()), 6)
+                if s else 0.0)
+        assert by_id[i] == want, (i, by_id[i], want)
+    # the redundant doc compresses much better than prose
+    assert by_id[1] < by_id[0]
+    assert by_id[4] < by_id[0]
