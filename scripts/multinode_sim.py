@@ -154,13 +154,19 @@ def run_child(mode: str) -> dict:
     if mode == "multi":
         from ray.cluster_utils import Cluster
 
+        # node count is env-tunable (GRAFT_SIM_NODES, default 4): the
+        # 8-node x 4-CPU variant doubles the object-store count and
+        # cross-store transfer surface on the same 32 CPUs
+        n_nodes = int(os.environ.get("GRAFT_SIM_NODES", "4"))
+        per_cpu = max(1, 32 // n_nodes)
+        store = 6_000_000_000 // n_nodes
         cluster = Cluster(
             initialize_head=True,
-            head_node_args=dict(num_cpus=8, object_store_memory=1_500_000_000,
+            head_node_args=dict(num_cpus=per_cpu, object_store_memory=store,
                                 include_dashboard=False),
         )
-        for _ in range(3):
-            cluster.add_node(num_cpus=8, object_store_memory=1_500_000_000)
+        for _ in range(n_nodes - 1):
+            cluster.add_node(num_cpus=per_cpu, object_store_memory=store)
         ray.init(address=cluster.address, include_dashboard=False,
                  logging_level="ERROR")
     else:
@@ -293,7 +299,8 @@ def main() -> int:
                             f"{multi[key]['hash']} != {single[key]['hash']}")
         if multi[key]["rows"] != single[key]["rows"]:
             problems.append(f"{key}: rows {multi[key]['rows']} != {single[key]['rows']}")
-    if multi["nodes"] < 4:
+    n_nodes = int(os.environ.get("GRAFT_SIM_NODES", "4"))
+    if multi["nodes"] < n_nodes:
         problems.append(f"multi child saw only {multi['nodes']} nodes")
     nodeloss = results["nodeloss"]
     if nodeloss["crawl"]["hash"] != single["crawl"]["hash"]:
@@ -308,7 +315,7 @@ def main() -> int:
          if "Worker" in cls or "Shard" in cls),
         default=0,
     )
-    if worker_spread < 3:
+    if worker_spread < min(3, n_nodes - 1):
         problems.append(f"crawl actors spread over only {worker_spread} nodes")
 
     verdict = {
@@ -322,10 +329,11 @@ def main() -> int:
     print(json.dumps(verdict, indent=2))
     if "--record" in sys.argv and not problems:
         with open("/root/repo/BASELINE.md", "a") as f:
+            per_cpu = max(1, 32 // n_nodes)
             f.write(
                 "\n<!-- scripts/multinode_sim.py -->\n"
-                f"- simulated 4-node x 8-CPU cluster run (ray.cluster_utils.Cluster,\n"
-                f"  4 raylets / 4 object stores / cross-node gRPC transfer): scale\n"
+                f"- simulated {n_nodes}-node x {per_cpu}-CPU cluster run (ray.cluster_utils.Cluster,\n"
+                f"  {n_nodes} raylets / {n_nodes} object stores / cross-node gRPC transfer): scale\n"
                 f"  crawl {multi['crawl']['visited']} pages"
                 f" ({multi['crawl']['sec']}s multi vs {single['crawl']['sec']}s single-node),\n"
                 f"  minhash_pairs + exact_dedup + the incremental dedup-index\n"
