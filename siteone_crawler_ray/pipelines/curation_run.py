@@ -57,7 +57,7 @@ def curation_run(docs_ds, bench_ds, out_dir: str, *,
                  id_col: str = "doc_id", group_col: str = "source",
                  text_col: str = "text",
                  min_tokens: int = 8, max_zlib_ratio: float = 0.95,
-                 min_zlib_ratio: float = 0.05,
+                 min_zlib_ratio: float = 0.05, min_zlib_len: int = 256,
                  dup_threshold: float = 0.8, decontam_n: int = 3,
                  num_shards: int = 8, seed: int = 0,
                  num_partitions: int | None = None) -> dict:
@@ -82,20 +82,28 @@ def curation_run(docs_ds, bench_ds, out_dir: str, *,
     def gate(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        renamed = batch if text_col == "text" else batch.rename_columns(
-            ["text" if c == text_col else c for c in batch.column_names])
-        toks = token_counts(renamed)["n_tokens"].to_numpy(zero_copy_only=False)
-        q = quality_scores(renamed)
-        zr = compression_ratio(
-            renamed.append_column("__rid", pa.array(np.arange(batch.num_rows))),
-            text_col="text")["zlib_ratio"].to_numpy(zero_copy_only=False)
-        keep = ((toks >= min_tokens)
-                & (zr <= max_zlib_ratio) & (zr >= min_zlib_ratio)
-                & (q["alpha_ratio"].to_numpy(zero_copy_only=False) > 0.5))
+        shim = pa.table({"doc_id": batch[id_col].cast(pa.int64()),
+                         "text": batch[text_col]})
+        toks = token_counts(shim)["n_tokens"].to_numpy(zero_copy_only=False)
+        q = quality_scores(shim)
+        zr = compression_ratio(shim)["zlib_ratio"].to_numpy(zero_copy_only=False)
+        # the compression gate only judges docs long enough for the
+        # ratio to mean anything — zlib header overhead pushes tiny
+        # docs past any threshold (ratios > 1.0 observed at <100 B)
+        nbytes = pc.binary_length(shim["text"]).to_numpy(zero_copy_only=False)
+        zr_ok = ((zr <= max_zlib_ratio) & (zr >= min_zlib_ratio)) | (nbytes < min_zlib_len)
+        keep = ((toks >= min_tokens) & zr_ok
+                # degenerate-token guard (binary blobs / minified blobs
+                # masquerading as text read as very long avg tokens)
+                & (q["avg_tok_len"].to_numpy(zero_copy_only=False) <= 40.0))
         return batch.filter(pa.array(keep))
 
     filtered = docs_ds.map_batches(gate, batch_format="pyarrow").materialize()
     n_filtered = filtered.count()
+    if n_filtered == 0:
+        return {"input": int(docs_ds.count()), "after_quality_filter": 0,
+                "after_exact_dedup": 0, "near_dups_dropped": 0,
+                "contaminated_dropped": 0, "final": 0, "shards": []}
 
     # -- stage 2: exact dedup, rows move once and stay distributed -------
     def add_chash(batch: pa.Table) -> pa.Table:
@@ -113,7 +121,17 @@ def curation_run(docs_ds, bench_ds, out_dir: str, *,
     exact_refs = _partitioned_exchange(
         filtered.map_batches(add_chash, batch_format="pyarrow"),
         "__chash", keep_min_per_hash, num_partitions=P, return_refs=True)
-    deduped = rd.from_arrow_refs([r for r in exact_refs]).materialize()
+
+    # an empty exchange partition resolves to None — swap in an empty
+    # table of the right schema so from_arrow_refs streams cleanly
+    empty_schema = filtered.schema().base_schema
+
+    @ray.remote
+    def _or_empty(t):
+        return t if t is not None else empty_schema.empty_table()
+
+    deduped = rd.from_arrow_refs(
+        [_or_empty.remote(r) for r in exact_refs]).materialize()
     n_exact = deduped.count()
 
     # -- stage 3: near-dup pairs → drop the larger id ---------------------
@@ -134,10 +152,11 @@ def curation_run(docs_ds, bench_ds, out_dir: str, *,
         lambda b: pa.table({"doc_id": b[id_col].cast(pa.int64()),
                             "text": b[text_col]}),
         batch_format="pyarrow"), bh, n=decontam_n)
-    contam_ids = np.concatenate([
-        b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        for b in contam.map_batches(lambda b: b, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")]) if contam.count() else np.array([], np.uint64)
+    contam_blocks = [b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                     for b in contam.iter_batches(batch_format="pyarrow")
+                     if b.num_rows]
+    contam_ids = (np.concatenate(contam_blocks) if contam_blocks
+                  else np.array([], np.uint64))
     clean = _drop_by_keys(nearless, contam_ids, id_col).materialize()
     n_clean = clean.count()
 
