@@ -116,6 +116,18 @@ def change_rate_estimates(obs_ds, interval_sec: float,
     return t.take(pc.sort_indices(t, [("url_key", "ascending")]))
 
 
+def recrawl_seed_list(obs_ds, interval_sec: float, horizon_sec: float,
+                      top_b: int = 1000, **kw) -> list[str]:
+    """Staleness-ordered seed URLs for the NEXT crawl — the frontier
+    re-prioritization loop closed: `pipelines/crawl.EpochCrawler.seed`
+    assigns each seed a priority equal to its list position, so passing
+    this list as ``seed_urls`` makes the next wave fetch the stalest
+    pages first (pytest-pinned: visited ``seq`` order equals schedule
+    order)."""
+    return recrawl_priority(obs_ds, interval_sec, horizon_sec,
+                            top_b=top_b, **kw)["url"].to_pylist()
+
+
 def read_observations(obs_dir: str):
     """Dataset over an accumulated observation tree
     (``epoch=NNNNN/obs-*.parquet`` files written by

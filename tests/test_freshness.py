@@ -223,3 +223,52 @@ def test_observation_sink_through_crawl_delta(tmp_path):
     want = recrawl_priority(rd.from_arrow(pa.concat_tables(mem)), DT, H, top_b=8)
     assert got.equals(want)
     assert got["x"].to_pylist()[:4] == [2, 2, 2, 2]
+
+
+def test_recrawl_seed_list_drives_crawl_order(tmp_path):
+    """Closing the loop: the staleness schedule seeds the next crawl,
+    and the crawl fetches those URLs in schedule order (seed priority
+    equals list position)."""
+    import os
+
+    import ray.data as rd
+
+    from siteone_crawler_ray.pipelines.crawl import CrawlConfig, EpochCrawler
+    from siteone_crawler_ray.pipelines.freshness import recrawl_seed_list
+    from siteone_crawler_ray.sources.corpus import make_graph_corpus, write_corpus
+
+    tabs = make_graph_corpus(seed=17, hosts=2, total_pages=60)
+    cp = str(tmp_path / "corpus")
+    write_corpus(tabs["documents"], cp, num_buckets=2)
+    robots = dict(zip(tabs["robots"]["host"].to_pylist(),
+                      tabs["robots"]["body"].to_pylist()))
+
+    obs = _synthetic_obs(n_urls=0)  # schema only
+    # craft observations so that three REAL corpus pages get distinct
+    # staleness: page A changed 3/3, B 1/3, C 0/3
+    from siteone_crawler_ray.functions.hashing import xxh64_strings
+
+    pages = [d for d in tabs["documents"]["doc_id"].to_pylist()
+             if "/p/" in d][:3]
+    rows = []
+    for cyc in range(3):
+        for u, changed in zip(pages, [True, cyc == 0, False]):
+            rows.append((int(xxh64_strings([u])[0]), u,
+                         u.split("/")[2], changed, cyc))
+    obs = pa.table({
+        "url_key": pa.array([r[0] for r in rows], pa.uint64()),
+        "url": pa.array([r[1] for r in rows]),
+        "host": pa.array([r[2] for r in rows]),
+        "changed": pa.array([r[3] for r in rows]),
+        "cycle": pa.array(np.array([r[4] for r in rows], np.int32)),
+    })
+    seeds = recrawl_seed_list(rd.from_arrow(obs), 86400.0, 7 * 86400.0, top_b=3)
+    assert seeds[0] == pages[0] and seeds[-1] == pages[2]
+
+    res = EpochCrawler(cp, seeds, robots, str(tmp_path / "work"),
+                       CrawlConfig(num_shards=2, fetch_concurrency=2)).run()
+    vt = res.visited_table(columns=["seq", "url", "depth"])
+    d0 = {u: s for s, u, d in zip(vt["seq"].to_pylist(), vt["url"].to_pylist(),
+                                  vt["depth"].to_pylist()) if d == 0}
+    seqs = [d0[u] for u in seeds if u in d0]
+    assert len(seqs) == 3 and seqs == sorted(seqs)
