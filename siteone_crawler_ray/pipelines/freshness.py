@@ -116,6 +116,33 @@ def change_rate_estimates(obs_ds, interval_sec: float,
     return t.take(pc.sort_indices(t, [("url_key", "ascending")]))
 
 
+def apply_lastmod_boost(priority: pa.Table, lastmod: pa.Table,
+                        last_crawl_ts: float) -> pa.Table:
+    """Publisher-signal override on a `recrawl_priority` table: any URL
+    whose sitemap ``lastmod_ts`` (sources/seeds.parse_sitemap_entries)
+    is newer than the last crawl gets staleness 1.0 — the publisher
+    SAYS it changed, no estimation needed — then the schedule re-sorts
+    by (staleness desc, url asc).  URLs absent from the sitemap keep
+    their estimated staleness.  Vectorized: one searchsorted against
+    the sorted sitemap URL array per call."""
+    if priority.num_rows == 0 or lastmod.num_rows == 0:
+        return priority
+    lm_urls = lastmod["url"].to_numpy(zero_copy_only=False).astype(str)
+    lm_ts = lastmod["lastmod_ts"].to_numpy(zero_copy_only=False)
+    order = np.argsort(lm_urls, kind="stable")
+    lm_urls, lm_ts = lm_urls[order], lm_ts[order]
+    urls = priority["url"].to_numpy(zero_copy_only=False).astype(str)
+    pos = np.minimum(np.searchsorted(lm_urls, urls), len(lm_urls) - 1)
+    hit = lm_urls[pos] == urls
+    fresh = hit & ~np.isnan(lm_ts[pos]) & (lm_ts[pos] > last_crawl_ts)
+    stale = priority["staleness"].to_numpy(zero_copy_only=False).copy()
+    stale[fresh] = 1.0
+    out = priority.set_column(
+        priority.column_names.index("staleness"), "staleness", pa.array(stale))
+    return out.take(pc.sort_indices(out, [("staleness", "descending"),
+                                          ("url", "ascending")]))
+
+
 def recrawl_seed_list(obs_ds, interval_sec: float, horizon_sec: float,
                       top_b: int = 1000, **kw) -> list[str]:
     """Staleness-ordered seed URLs for the NEXT crawl — the frontier

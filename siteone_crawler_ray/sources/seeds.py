@@ -94,3 +94,48 @@ def sitemap_seeds(bodies: dict[str, bytes], root: str) -> list[str]:
         out += pages
         queue += nested
     return out
+
+
+_URL_BLOCK_RE = re.compile(rb"<url>(.*?)</url>", re.DOTALL)
+_LASTMOD_RE = re.compile(rb"<lastmod>\s*([^<]+?)\s*</lastmod>")
+
+
+def parse_sitemap_entries(body: bytes, url: str = ""):
+    """→ pyarrow Table (url: string, lastmod_ts: float64 | null) — the
+    lastmod-aware sitemap parse a recrawl scheduler consumes
+    (`pipelines/freshness.apply_lastmod_boost`).  EXTENSION: the
+    reference extracts only ``<loc>``
+    (/root/reference/src/content_processor/xml_processor.rs:46-68);
+    ``<lastmod>`` is the sitemaps.org W3C-datetime field.  Index
+    sitemaps yield no page entries (follow the nested ones via
+    :func:`parse_sitemap`)."""
+    import datetime as _dt
+
+    import pyarrow as _pa
+
+    if url.endswith(".gz") or body[:2] == b"\x1f\x8b":
+        body = gzip.decompress(body)
+    if _SITEMAPINDEX_RE.search(body):
+        return _pa.table({"url": _pa.array([], _pa.string()),
+                          "lastmod_ts": _pa.array([], _pa.float64())})
+    urls, stamps = [], []
+    for m in _URL_BLOCK_RE.finditer(body):
+        block = m.group(1)
+        loc = _LOC_RE.search(block)
+        if not loc:
+            continue
+        urls.append(loc.group(1).decode("utf-8", "replace"))
+        lm = _LASTMOD_RE.search(block)
+        ts = None
+        if lm:
+            raw = lm.group(1).decode("ascii", "replace")
+            try:  # W3C datetime: date-only or full ISO-8601 (Z or offset)
+                if len(raw) == 10:
+                    ts = _dt.datetime.fromisoformat(raw + "T00:00:00+00:00").timestamp()
+                else:
+                    ts = _dt.datetime.fromisoformat(raw.replace("Z", "+00:00")).timestamp()
+            except ValueError:
+                ts = None
+        stamps.append(ts)
+    return _pa.table({"url": _pa.array(urls, _pa.string()),
+                      "lastmod_ts": _pa.array(stamps, _pa.float64())})

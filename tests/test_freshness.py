@@ -272,3 +272,48 @@ def test_recrawl_seed_list_drives_crawl_order(tmp_path):
                                   vt["depth"].to_pylist()) if d == 0}
     seqs = [d0[u] for u in seeds if u in d0]
     assert len(seqs) == 3 and seqs == sorted(seqs)
+
+
+def test_sitemap_lastmod_parse_and_boost():
+    from siteone_crawler_ray.pipelines.freshness import apply_lastmod_boost
+    from siteone_crawler_ray.sources.seeds import parse_sitemap_entries
+
+    body = b"""<?xml version="1.0"?>
+    <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <url><loc>https://h0.test/a</loc><lastmod>2026-08-15</lastmod></url>
+      <url><loc>https://h0.test/b</loc>
+           <lastmod>2026-08-01T10:30:00Z</lastmod></url>
+      <url><loc>https://h0.test/c</loc></url>
+      <url><lastmod>2026-01-01</lastmod></url>
+    </urlset>"""
+    t = parse_sitemap_entries(body)
+    assert t["url"].to_pylist() == ["https://h0.test/a", "https://h0.test/b",
+                                    "https://h0.test/c"]
+    import datetime as dt
+
+    ts = t["lastmod_ts"].to_pylist()
+    assert ts[0] == dt.datetime.fromisoformat("2026-08-15T00:00:00+00:00").timestamp()
+    assert ts[1] == dt.datetime.fromisoformat("2026-08-01T10:30:00+00:00").timestamp()
+    assert ts[2] is None
+
+    # index sitemaps yield no page entries
+    idx = b"<sitemapindex><sitemap><loc>https://h0.test/s.xml</loc></sitemap></sitemapindex>"
+    assert parse_sitemap_entries(idx).num_rows == 0
+
+    prio = pa.table({
+        "url": pa.array(["https://h0.test/a", "https://h0.test/b",
+                         "https://h0.test/c", "https://h0.test/d"]),
+        "n": pa.array([2, 2, 2, 2], pa.int64()),
+        "x": pa.array([0, 0, 1, 2], pa.int64()),
+        "lam": pa.array([0.0, 0.0, 0.3, 0.9]),
+        "staleness": pa.array([0.05, 0.04, 0.5, 0.9]),
+    })
+    # last crawl 2026-08-10: only /a's lastmod (08-15) is newer
+    last_ts = dt.datetime.fromisoformat("2026-08-10T00:00:00+00:00").timestamp()
+    boosted = apply_lastmod_boost(prio, t, last_ts)
+    assert boosted["url"].to_pylist()[0] == "https://h0.test/a"
+    assert boosted["staleness"].to_pylist()[0] == 1.0
+    # /b (older lastmod) and /c (no lastmod) keep estimated staleness
+    by = dict(zip(boosted["url"].to_pylist(), boosted["staleness"].to_pylist()))
+    assert by["https://h0.test/b"] == 0.04 and by["https://h0.test/c"] == 0.5
+    assert by["https://h0.test/d"] == 0.9
