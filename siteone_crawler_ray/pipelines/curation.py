@@ -114,11 +114,70 @@ def ngram_and_bm25(sf_dir: str, k: int = 20) -> pa.Table:
       doc_id=-1, n=count), unchanged semantics;
     * ``method='bm25'``  — exact BM25 top-``k`` docs per query in
       :data:`BM25_QUERIES` (key=query, n=score_micro), via
-      stages/retrieval.bm25_topk's two-pass broadcast-stats shape.
-    """
-    from ..stages.retrieval import bm25_topk
+      stages/retrieval.bm25_topk's broadcast-stats shape.
 
-    top = ngram_top50(sf_dir)
+    Fused scan: the bigram partial and the BM25 corpus-stats partial
+    are both stateless per-block reductions over the same ``text``
+    column, so they ride ONE ``map_batches`` pass (tagged rows, split
+    remotely — the ngram side never lands on the driver), and the BM25
+    scoring pass is the only other read: 2 corpus scans total instead
+    of the naive 3.  At 100-TB corpus size that is a third of this
+    composite's I/O.
+    """
+    import numpy as np
+    import ray
+
+    from ..stages.retrieval import bm25_topk, stats_from_rows, stats_partial_rows
+    from ..stages.sampling import (_DRIVER_COMBINE_ROWS, ngram_combine,
+                                   ngram_partial_table)
+
+    terms = sorted({t for q in BM25_QUERIES for t in q.split(" ")})
+    n_stat_rows = len(terms) + 2
+
+    def fused_partial(b: pa.Table) -> pa.Table:
+        ng = ngram_partial_table(b, 2)          # (ngram, n, __gkey)
+        st = stats_partial_rows(b, terms)       # (name, n)
+        return pa.table({
+            "ngram": pa.concat_arrays([ng["ngram"].combine_chunks(),
+                                       st["name"].combine_chunks()]),
+            "n": pa.concat_arrays([ng["n"].combine_chunks(),
+                                   st["n"].combine_chunks()]),
+            "__gkey": pa.concat_arrays([
+                ng["__gkey"].combine_chunks(),
+                pa.array(np.zeros(st.num_rows, np.uint64))]),
+            "w": pa.array([0] * ng.num_rows + [1] * st.num_rows, pa.int8()),
+        })
+
+    def split_table(t: pa.Table):
+        m = pc.equal(t["w"], 0)
+        return (t.filter(m).drop_columns(["w"]),
+                t.filter(pc.invert(m)).select(["ngram", "n"])
+                 .rename_columns(["name", "n"]))
+
+    bundles = list(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(fused_partial, batch_format="pyarrow")
+        .iter_internal_ref_bundles())
+    refs = [r for bu in bundles for r in bu.block_refs]
+    counts = [bu.num_rows() for bu in bundles]
+    ngram_total = (None if any(c is None for c in counts)
+                   else sum(counts) - n_stat_rows * len(refs))
+    if ngram_total is not None and ngram_total <= _DRIVER_COMBINE_ROWS:
+        # partials are driver-combine-sized anyway: one ray.get, split
+        # locally — no extra task wave
+        splits = [split_table(t) for t in ray.get(refs)]
+        ng_parts = [s[0] for s in splits]
+        stat_parts = [s[1] for s in splits]
+    else:
+        # scale regime: split remotely so the ngram side (unbounded
+        # vocabulary) never lands on the driver; only the tiny stats
+        # side is ray.get — (len(terms)+2) rows per block
+        split_remote = ray.remote(num_returns=2)(split_table)
+        pairs = [split_remote.remote(r) for r in refs]
+        ng_parts = [p[0] for p in pairs]
+        stat_parts = ray.get([p[1] for p in pairs])
+    stats = stats_from_rows(stat_parts, terms)
+    top = ngram_combine(ng_parts, ngram_total, k=50)
     nt = top.num_rows
     a = pa.table({
         "method": pa.array(["top50"] * nt, pa.string()),
@@ -127,7 +186,7 @@ def ngram_and_bm25(sf_dir: str, k: int = 20) -> pa.Table:
         "n": top["n"],
     })
     bm = bm25_topk(lambda: _read(sf_dir, "documents", ["doc_id", "text"]),
-                   BM25_QUERIES, k=k)
+                   BM25_QUERIES, k=k, stats=stats)
     b = pa.table({
         "method": pa.array(["bm25"] * bm.num_rows, pa.string()),
         "key": bm["query"],

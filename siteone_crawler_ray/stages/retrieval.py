@@ -97,18 +97,49 @@ def corpus_stats(ds, terms: list[str], text_col: str = "text") -> dict:
     }
 
 
+def stats_partial_rows(batch: pa.Table, terms: list[str],
+                       text_col: str = "text") -> pa.Table:
+    """One block's :func:`corpus_stats` partial, row-encoded as
+    ``(name, n)`` pairs (``n_docs`` / ``sum_dl`` / ``df:<term>``) so it
+    can ride in the same table as another partial's rows — the
+    fused-scan transport of pipelines/curation.ngram_and_bm25.
+    Emits exactly ``len(terms) + 2`` rows for every block."""
+    lens, tfs = _term_tfs(batch, terms, text_col)
+    names = ["n_docs", "sum_dl"] + [f"df:{t}" for t in terms]
+    vals = [len(lens), int(lens.sum())] + [int((tfs[t] > 0).sum()) for t in terms]
+    return pa.table({"name": pa.array(names, pa.string()),
+                     "n": pa.array(vals, pa.int64())})
+
+
+def stats_from_rows(parts: list[pa.Table], terms: list[str]) -> dict:
+    """Sum row-encoded stats partials back into the
+    :func:`corpus_stats` dict shape."""
+    tot: dict[str, int] = {}
+    for p in parts:
+        for name, n in zip(p["name"].to_pylist(), p["n"].to_pylist()):
+            tot[name] = tot.get(name, 0) + int(n)
+    return {"n_docs": tot.get("n_docs", 0), "sum_dl": tot.get("sum_dl", 0),
+            "df": {t: tot.get(f"df:{t}", 0) for t in terms}}
+
+
 def bm25_topk(ds_factory, queries: list[str], k: int = 20,
-              text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+              text_col: str = "text", id_col: str = "doc_id",
+              stats: dict | None = None) -> pa.Table:
     """Exact BM25 top-k per query: ``(query, doc_id, score_micro)``.
 
     ``ds_factory`` is called once per pass (the two-pass read pattern of
     pipelines/curation.py).  Docs scoring 0 (no query term present) are
     excluded; ties break on doc_id ascending.
+
+    ``stats`` short-circuits pass 1 with a precomputed
+    :func:`corpus_stats` dict — the fused-scan path of
+    pipelines/curation.ngram_and_bm25, which piggybacks the stats
+    partial on a scan it already makes (one corpus read saved).
     """
     from ..functions.agg import collect_blocks
 
     terms = sorted({t for q in queries for t in q.split(" ")})
-    st = corpus_stats(ds_factory(), terms, text_col)
+    st = stats if stats is not None else corpus_stats(ds_factory(), terms, text_col)
     n, avgdl = st["n_docs"], st["sum_dl"] / max(st["n_docs"], 1)
     idf = {t: math.log(1.0 + (n - st["df"][t] + 0.5) / (st["df"][t] + 0.5))
            for t in terms}

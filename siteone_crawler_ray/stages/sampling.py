@@ -273,25 +273,31 @@ def _ngram_counts(batch: pa.Table, text_col: str, n: int) -> pa.Table:
     return pa.table({"ngram": vc.field("values"), "n": vc.field("counts")})
 
 
-def ngram_topk(ds, n: int = 2, k: int = 50, text_col: str = "text",
-               num_partitions: int = 16) -> pa.Table:
-    """Exact global top-k n-grams with deterministic tie-break
-    (count desc, ngram asc).
+def ngram_partial_table(b: pa.Table, n: int, text_col: str = "text") -> pa.Table:
+    """One block's keyed n-gram partial: ``(ngram, n, __gkey)`` — the
+    unit :func:`ngram_combine` consumes.  Exposed so composites that
+    already scan the text column for another partial (e.g.
+    pipelines/curation.ngram_and_bm25's BM25 stats pass) can fuse this
+    in and save a whole corpus read."""
+    t = _ngram_counts(b, text_col, n)
+    return t.append_column("__gkey", pa.array(
+        xxh64_strings(t["ngram"].to_numpy(zero_copy_only=False))))
 
-    Per-block value_counts shrinks each block to its distinct n-grams;
-    the cross-block sum is the one step that genuinely needs every
-    partial together (counts can't be pruned per block without losing
-    exactness), so it combines on the driver below
-    _DRIVER_COMBINE_ROWS and through the scatter exchange keyed on
+
+def ngram_combine(refs, total: int | None, k: int,
+                  num_partitions: int = 16) -> pa.Table:
+    """Combine keyed n-gram partial refs into the exact global top-k.
+
+    ``refs`` are object refs of :func:`ngram_partial_table` blocks
+    (already-local ``pa.Table`` partials are also accepted — the
+    driver-combine-sized fused path of curation.ngram_and_bm25);
+    ``total`` is their summed row count when known from block metadata
+    (None forces the scale path).  On the driver below
+    _DRIVER_COMBINE_ROWS, through the scatter exchange keyed on
     xxh64(ngram) above it — per-partition sum + local top-k, then a
     k×P-row driver merge.
     """
     import ray
-
-    def partial(b: pa.Table) -> pa.Table:
-        t = _ngram_counts(b, text_col, n)
-        return t.append_column("__gkey", pa.array(
-            xxh64_strings(t["ngram"].to_numpy(zero_copy_only=False))))
 
     def sum_topk(t: pa.Table) -> pa.Table:
         g = t.group_by(["ngram"], use_threads=False).aggregate([("n", "sum")])
@@ -299,14 +305,8 @@ def ngram_topk(ds, n: int = 2, k: int = 50, text_col: str = "text",
         idx = pc.sort_indices(g, [("n", "descending"), ("ngram", "ascending")])
         return g.take(idx.slice(0, k))
 
-    # branch on block METADATA counts — an unbounded vocabulary's
-    # partials never land on the driver (the scatter consumes refs)
-    bundles = list(ds.map_batches(partial, batch_format="pyarrow")
-                   .iter_internal_ref_bundles())
-    refs = [r for b in bundles for r in b.block_refs]
-    counts = [b.num_rows() for b in bundles]
-    total = None if any(c is None for c in counts) else sum(counts)
     if total is None or total > _DRIVER_COMBINE_ROWS:
+        refs = [ray.put(r) if isinstance(r, pa.Table) else r for r in refs]
         # identical ngram ⇒ identical partition, so per-partition sums are
         # final and a partition's local top-k is globally sufficient
         out = _scatter_exchange(
@@ -317,13 +317,36 @@ def ngram_topk(ds, n: int = 2, k: int = 50, text_col: str = "text",
                              "n": pa.array([], pa.int64())})
         merged = pa.concat_tables(out, promote_options="permissive")
     else:
-        parts = [b for b in ray.get(refs) if b.num_rows]
+        fetched = iter(ray.get([r for r in refs if not isinstance(r, pa.Table)]))
+        got = [r if isinstance(r, pa.Table) else next(fetched) for r in refs]
+        parts = [b for b in got if b.num_rows]
         if not parts:
             return pa.table({"ngram": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
         merged = pa.concat_tables(parts, promote_options="permissive") \
             .drop_columns(["__gkey"])
     return sum_topk(merged)
+
+
+def ngram_topk(ds, n: int = 2, k: int = 50, text_col: str = "text",
+               num_partitions: int = 16) -> pa.Table:
+    """Exact global top-k n-grams with deterministic tie-break
+    (count desc, ngram asc).
+
+    Per-block value_counts shrinks each block to its distinct n-grams
+    (:func:`ngram_partial_table`); the cross-block sum is the one step
+    that genuinely needs every partial together (counts can't be pruned
+    per block without losing exactness) — :func:`ngram_combine` branches
+    it on block-metadata row counts so an unbounded vocabulary's
+    partials never land on the driver (the scatter consumes refs).
+    """
+    bundles = list(
+        ds.map_batches(lambda b: ngram_partial_table(b, n, text_col),
+                       batch_format="pyarrow").iter_internal_ref_bundles())
+    refs = [r for b in bundles for r in b.block_refs]
+    counts = [b.num_rows() for b in bundles]
+    total = None if any(c is None for c in counts) else sum(counts)
+    return ngram_combine(refs, total, k, num_partitions)
 
 
 # ------------------------------------------------------------- chunking

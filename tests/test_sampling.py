@@ -408,3 +408,34 @@ def test_stratified_sample_rates_per_group():
     m50 = hash_sample_mask(ids.astype(np.int64), 50)
     expected = sorted(ids[((grp == "s1") & m50) | (grp == "s2")])
     assert list(out["doc_id"]) == expected
+
+
+def test_ngram_and_bm25_fused_scan_branch_parity(monkeypatch):
+    """The fused single-scan composite (ngram partial + BM25 stats in
+    one map) must be byte-identical across its driver-combine and
+    remote-split/scatter regimes, and match the unfused components."""
+    from siteone_crawler_ray.pipelines.curation import (BM25_QUERIES,
+                                                        ngram_and_bm25,
+                                                        ngram_top50)
+    from siteone_crawler_ray.pipelines.relational import _read
+    from siteone_crawler_ray.stages import sampling
+    from siteone_crawler_ray.stages.retrieval import bm25_topk
+
+    sf = "/root/testdata/sf0.001"
+    fused = ngram_and_bm25(sf)
+    monkeypatch.setattr(sampling, "_DRIVER_COMBINE_ROWS", 0)
+    forced = ngram_and_bm25(sf)
+    assert fused.to_pylist() == forced.to_pylist()
+    monkeypatch.undo()
+
+    # unfused reference: separate ngram scan + two-pass BM25
+    top = ngram_top50(sf)
+    bm = bm25_topk(lambda: _read(sf, "documents", ["doc_id", "text"]),
+                   BM25_QUERIES, k=20)
+    got_top = fused.filter(pa.compute.equal(fused["method"], "top50"))
+    assert got_top["key"].to_pylist() == top["ngram"].to_pylist()
+    assert got_top["n"].to_pylist() == top["n"].to_pylist()
+    got_bm = fused.filter(pa.compute.equal(fused["method"], "bm25"))
+    assert got_bm["key"].to_pylist() == bm["query"].to_pylist()
+    assert got_bm["doc_id"].to_pylist() == bm["doc_id"].to_pylist()
+    assert got_bm["n"].to_pylist() == bm["score_micro"].to_pylist()
