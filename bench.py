@@ -513,9 +513,22 @@ def run_headline_with_retries(sf_dir: str, max_attempts: int = 5,
     best["attempts"] = [
         {"value": r["value"], "steal_pct": r["steal_pct"],
          "membw": max(r.get("ambient_membw_sec", 0.0),
-                      r.get("ambient_membw_after_sec", 0.0))}
+                      r.get("ambient_membw_after_sec", 0.0)),
+         "queries": r.get("queries", {})}
         for r in attempts
     ]
+    # co-tenant bursts shorter than a run inflate 1-2 random queries
+    # while both noise probes read quiet (observed: minhash_pairs
+    # 1.97 s -> 4.40 s in back-to-back runs, steal 3.9%, membw 0.043).
+    # The headline stays the best SINGLE run (never synthesized); the
+    # per-query min over attempts is reported separately so engine
+    # cost is separable from burst noise when attempts > 1.
+    if len(attempts) > 1:
+        qnames = set().union(*(r.get("queries", {}) for r in attempts))
+        best["queries_min_of_attempts"] = {
+            q: min(r["queries"][q] for r in attempts if q in r.get("queries", {}))
+            for q in sorted(qnames)
+        }
     return best
 
 
