@@ -568,9 +568,14 @@ def main() -> int:
                 f"eff({k})={v['median_pairs']} (min-of-reps {v['min_of_reps']})"
                 for k, v in report["pairs"].items()
             )
+            # per-level steal + rep spread ride in the record so a
+            # contended level (co-tenant ramps hit full-width levels
+            # while sub-width levels stay clean) is self-describing
             lvl_txt = ", ".join(
                 f"T{n}={report['levels'][str(n)]['crawl_sec']}s "
-                f"{report['levels'][str(n)]['pages_per_sec']}p/s"
+                f"{report['levels'][str(n)]['pages_per_sec']}p/s "
+                f"(steal {report['levels'][str(n)].get('steal_pct', '?')}%, "
+                f"reps {report['levels'][str(n)].get('reps_crawl_sec', [])})"
                 for n in lvls
             )
             with open(baseline, "a") as f:
