@@ -792,12 +792,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "n_frames": t["one_sum"].cast(pa.int64()),
             })
 
+        # perceptual-hash leg: 24 analytic 32x32 sawtooth images in
+        # lossless containers (BMP/PNG/GIF/WebP/TIFF cycle) through the
+        # decode+pHash actor stage; the oracle rebuilds the pixels from
+        # the closed form and recomputes both hashes bit-for-bit via
+        # the embedded fixed-point cosine table (stages/phash.py)
+        import numpy as _np
+
+        from siteone_crawler_ray.stages.phash import (
+            ImagePHashStage,
+            synthesize_phash_media_table,
+        )
+
+        pmedia = synthesize_phash_media_table(24)
+        pds = rd.from_arrow([pmedia.slice(i, 6) for i in range(0, pmedia.num_rows, 6)])
+        phashed = pds.map_batches(ImagePHashStage, batch_format="pyarrow", concurrency=2)
+
+        def ph_row(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            z = pa.array([0] * n, pa.int64())
+            s64 = lambda col: pa.array(  # noqa: E731 — uint64 bits as signed int64
+                b[col].to_numpy(zero_copy_only=False).astype(_np.uint64).view(_np.int64),
+                pa.int64())
+            return pa.table({
+                "media_id": b["media_id"], "kind": pa.array(["phash"] * n),
+                "width": b["width"], "height": b["height"],
+                "mean_pixel": z, "duration_us": z, "rms_energy": z, "n_frames": z,
+                "phash": s64("phash"), "dhash": s64("dhash"),
+            })
+
         parts = (
             _cb(img.map_batches(img_row, batch_format="pyarrow"))
             + _cb(aud.map_batches(aud_row, batch_format="pyarrow"))
             + [vid_row(vt)]
         )
         out = pa.concat_tables(parts)
+        zeros = pa.array([0] * out.num_rows, pa.int64())
+        out = out.append_column("phash", zeros).append_column("dhash", zeros)
+        out = pa.concat_tables(
+            [out] + _cb(phashed.map_batches(ph_row, batch_format="pyarrow")))
         import pyarrow.compute as pc
         return out.take(pc.sort_indices(out, sort_keys=[("media_id", "ascending")]))
 
@@ -889,6 +922,81 @@ _PAGERANK_CHAIN = ",\n            ".join(
     f"JOIN r{i} rr ON rr.id = e.src JOIN pdeg dg ON dg.src = e.src "
     f"GROUP BY e.dst) c ON c.id = v.id)"
     for i in range(_PAGERANK_ITERS))
+
+
+def _media_stages_oracle_sql() -> str:
+    """media_stages oracle: the arithmetic metadata block over
+    range(240) (constant-color images / square-wave audio / counted
+    video frames, all closed-form in the row index) UNION the
+    perceptual-hash block — DuckDB rebuilds each 32x32 sawtooth image
+    from its formula and recomputes the fixed-point-DCT pHash and the
+    block-mean dHash bit-for-bit against the embedded cosine table
+    (stages/phash.py PH_COS; uint64 hashes compare as their signed
+    int64 reinterpretation, bit 63 contributing -2^63)."""
+    from siteone_crawler_ray.stages.phash import phash_cos_sql_values
+
+    return f"""
+            WITH {phash_cos_sql_values("ct")},
+            px AS (
+              SELECT t.i AS i, yy.y AS y, xx.x AS x,
+                     ((3 + 2*t.i)*xx.x + (5 + 3*t.i)*yy.y + 7*t.i) % 256 AS g
+              FROM range(24) t(i), range(32) yy(y), range(32) xx(x)
+            ),
+            d AS (
+              SELECT px.i AS i, cu.u AS u, cv.u AS v,
+                     SUM(CAST(cu.c AS BIGINT) * cv.c * px.g) AS dv
+              FROM px JOIN ct cu ON cu.x = px.y JOIN ct cv ON cv.x = px.x
+              GROUP BY 1, 2, 3
+            ),
+            med AS (
+              SELECT i, max(CASE WHEN rn = 32 THEN dv END) AS med
+              FROM (SELECT i, dv, row_number() OVER (PARTITION BY i ORDER BY dv) AS rn
+                    FROM d WHERE NOT (u = 0 AND v = 0)) GROUP BY i
+            ),
+            ph AS (
+              SELECT d.i AS i,
+                     CAST(SUM(CASE WHEN d.dv > med.med THEN
+                         CASE WHEN d.u*8 + d.v = 63
+                              THEN CAST(-9223372036854775808 AS HUGEINT)
+                              ELSE CAST(1::BIGINT << CAST(d.u*8 + d.v AS INT) AS HUGEINT)
+                         END ELSE 0 END) AS BIGINT) AS phash
+              FROM d JOIN med ON med.i = d.i GROUP BY 1
+            ),
+            h8 AS (
+              SELECT i, y//4 AS by, x//4 AS bx, SUM(g)//16 AS hval
+              FROM px GROUP BY 1, 2, 3
+            ),
+            dh AS (
+              SELECT a.i AS i,
+                     CAST(SUM(CASE WHEN a.hval > b.hval THEN
+                         CASE WHEN a.by*8 + a.bx = 63
+                              THEN CAST(-9223372036854775808 AS HUGEINT)
+                              ELSE CAST(1::BIGINT << CAST(a.by*8 + a.bx AS INT) AS HUGEINT)
+                         END ELSE 0 END) AS BIGINT) AS dhash
+              FROM h8 a JOIN h8 b ON b.i = a.i AND b.by = a.by AND b.bx = (a.bx + 1) % 8
+              GROUP BY 1
+            )
+            SELECT printf('m%05d', CAST(i AS INT)) AS media_id,
+                   CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   (CASE WHEN i % 3 = 0 THEN 16 + (i % 8) * 4 ELSE 0 END)::BIGINT AS width,
+                   (CASE WHEN i % 3 = 0 THEN 12 + (i % 5) * 4 ELSE 0 END)::BIGINT AS height,
+                   (CASE WHEN i % 3 = 0 THEN (i * 7) % 256 ELSE 0 END)::BIGINT AS mean_pixel,
+                   (CASE i % 3 WHEN 1 THEN (400 + (i % 7) * 100) * 125
+                               WHEN 2 THEN (3 + (i % 5)) * 100000
+                               ELSE 0 END)::BIGINT AS duration_us,
+                   (CASE WHEN i % 3 = 1 THEN 1000 + 10 * i ELSE 0 END)::BIGINT AS rms_energy,
+                   (CASE WHEN i % 3 = 2 THEN 3 + (i % 5) ELSE 0 END)::BIGINT AS n_frames,
+                   0::BIGINT AS phash, 0::BIGINT AS dhash
+            FROM range(240) t(i)
+            UNION ALL
+            SELECT printf('p%05d', CAST(p.i AS INT)) AS media_id, 'phash' AS kind,
+                   32::BIGINT AS width, 32::BIGINT AS height,
+                   0::BIGINT AS mean_pixel, 0::BIGINT AS duration_us,
+                   0::BIGINT AS rms_energy, 0::BIGINT AS n_frames,
+                   ph.phash, dh.dhash
+            FROM range(24) p(i) JOIN ph ON ph.i = p.i JOIN dh ON dh.i = p.i
+            ORDER BY media_id
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2120,18 +2228,5 @@ def oracle_sql() -> dict[str, str]:
         # exactly n_frames·100000 µs out of the stts/mdhd tables) —
         # has a closed form the engine must hit exactly after real
         # container parsing.
-        "media_stages": """
-            SELECT printf('m%05d', CAST(i AS INT)) AS media_id,
-                   CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-                   (CASE WHEN i % 3 = 0 THEN 16 + (i % 8) * 4 ELSE 0 END)::BIGINT AS width,
-                   (CASE WHEN i % 3 = 0 THEN 12 + (i % 5) * 4 ELSE 0 END)::BIGINT AS height,
-                   (CASE WHEN i % 3 = 0 THEN (i * 7) % 256 ELSE 0 END)::BIGINT AS mean_pixel,
-                   (CASE i % 3 WHEN 1 THEN (400 + (i % 7) * 100) * 125
-                               WHEN 2 THEN (3 + (i % 5)) * 100000
-                               ELSE 0 END)::BIGINT AS duration_us,
-                   (CASE WHEN i % 3 = 1 THEN 1000 + 10 * i ELSE 0 END)::BIGINT AS rms_energy,
-                   (CASE WHEN i % 3 = 2 THEN 3 + (i % 5) ELSE 0 END)::BIGINT AS n_frames
-            FROM range(240) t(i)
-            ORDER BY media_id
-        """,
+        "media_stages": _media_stages_oracle_sql(),
     }

@@ -248,6 +248,56 @@ def hamming_neardup_pairs(ds, *, id_col: str = "media_id",
                                                     ("id_b", "ascending")]))
 
 
+def synthesize_phash_media_table(n: int = 24) -> pa.Table:
+    """Deterministic pHash corpus with REAL lossless container payloads
+    and a closed-form arithmetic oracle: image ``i`` is the 32×32 gray
+    sawtooth ``g[y][x] = ((3+2i)·x + (5+3i)·y + 7i) % 256`` (wrapping
+    gradients — spectrally rich, so every image's hash is distinct; a
+    pure linear ramp would make all pHashes collapse to the same sparse
+    sign pattern).  The container cycles BMP → PNG → GIF → WebP → TIFF
+    (``i % 5``), all lossless for gray content, so all five codecs
+    share the same oracle: DuckDB rebuilds the pixels from the formula
+    and recomputes both hashes bit-for-bit (the __ray_entry__
+    media_stages oracle)."""
+    y, x = np.mgrid[0:32, 0:32]
+    ids, payloads, mimes = [], [], []
+    for i in range(n):
+        g = (((3 + 2 * i) * x + (5 + 3 * i) * y + 7 * i) % 256).astype(np.uint8)
+        fmt = i % 5
+        if fmt == 0:
+            from .multimodal import encode_bmp
+
+            payloads.append(encode_bmp(np.repeat(g[:, :, None], 3, axis=2)))
+            mimes.append("image/bmp")
+        elif fmt == 1:
+            from .multimodal import encode_png
+
+            payloads.append(encode_png(g))
+            mimes.append("image/png")
+        elif fmt == 2:
+            from .multimodal import encode_gif
+
+            payloads.append(encode_gif(g, interlace=(i // 5) % 2 == 0))
+            mimes.append("image/gif")
+        elif fmt == 3:
+            from .codec_webp import encode_webp
+
+            payloads.append(encode_webp(g))
+            mimes.append("image/webp")
+        else:
+            from .codec_tiff import encode_tiff
+
+            payloads.append(encode_tiff(g, compression=32773 if (i // 5) % 2 == 0 else 1))
+            mimes.append("image/tiff")
+        ids.append(f"p{i:05d}")
+    return pa.table({
+        "media_id": pa.array(ids, pa.string()),
+        "kind": pa.array(["phash"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(mimes, pa.string()),
+    })
+
+
 def image_neardup_pairs(ds, *, id_col: str = "media_id",
                         payload_col: str = "payload", max_hamming: int = 7,
                         concurrency: int = 4) -> pa.Table:
